@@ -1,0 +1,8 @@
+from .readers import (  # noqa: F401
+    MONITOR_RECORDS_SCHEMA,
+    PROFILES_SCHEMA,
+    TESTDATA_TABLES,
+    load_tables,
+    read_table,
+    register_views,
+)

@@ -1,0 +1,107 @@
+"""Schema-declared sources (SURVEY.md §2.1 S1–S3).
+
+The reference reads two SQLite tables wholesale (`analyse.py:12-15`) or with
+a column projection pushed into the SQL string (`analyse.py:158-164`,
+`370-375`). Here the at-rest format is Parquet; column pruning and predicate
+pushdown are Catalyst's job once the plan is declarative — ``read_table(...)
+.select(...)`` reaches the scan as ``ReadSchema``/``PushedFilters``, so S2
+needs no hand-rolled projection pushdown.
+
+Schemas are **explicit**: the reference's implicit driver-default typing plus
+defensive coercion (SURVEY.md §1.2) is reproduced by declaring the at-rest
+types and funnelling every possibly-dirty column through
+``functions.cleaning`` (``try_cast``-based), never through inference.
+
+For a real SQLite ingest edge the reference's source maps to Spark's JDBC
+reader (needs the xerial sqlite-jdbc jar on the classpath):
+
+    spark.read.format("jdbc")
+        .option("url", "jdbc:sqlite:/path/monitoring.db")
+        .option("dbtable", "monitor_records").load()
+
+The jar is not in this image, so ``read_sqlite`` gates behind a runtime
+error; everything downstream is format-agnostic DataFrames.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Reference-shaped schemas (SURVEY.md §1.3). Dirty columns arrive as strings
+# (SQLite is dynamically typed); cleaning casts them with try_* downstream.
+MONITOR_RECORDS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("ad_unique_id", T.StringType()),
+        T.StructField("push_counter", T.IntegerType()),
+        T.StructField("track_time", T.StringType()),
+        T.StructField("ad_age_in_minutes", T.StringType()),
+        T.StructField("views", T.StringType()),
+    ]
+)
+
+PROFILES_SCHEMA = T.StructType(
+    [
+        T.StructField("ad_unique_id", T.StringType()),
+        T.StructField("push_counter", T.IntegerType()),
+        T.StructField("age", T.StringType()),
+        T.StructField("profile_url", T.StringType()),
+        T.StructField("posting_time", T.StringType()),
+        T.StructField("city", T.StringType()),
+    ]
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one at-rest Parquet table (S1). Projection after this call is
+    pruned into the scan by Catalyst (S2)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL API."""
+    for name in TESTDATA_TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_sqlite(spark: SparkSession, db_path: str, table: str) -> DataFrame:
+    """Ingest edge for the reference's native format (analyse.py:8,12-15).
+
+    Requires the sqlite-jdbc driver jar on the Spark classpath; raises a
+    clear error when absent rather than failing deep inside the JVM.
+    """
+    try:
+        return (
+            spark.read.format("jdbc")
+            .option("url", f"jdbc:sqlite:{db_path}")
+            .option("dbtable", table)
+            .option("driver", "org.sqlite.JDBC")
+            .load()
+        )
+    except Exception as exc:  # pragma: no cover - jar not in test image
+        raise RuntimeError(
+            "SQLite JDBC driver not on classpath; add sqlite-jdbc jar via "
+            "spark.jars to use read_sqlite"
+        ) from exc

@@ -1,0 +1,141 @@
+"""Unit tests for the relational building blocks (SURVEY.md §2.3-§2.6, §2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from markt_database_analyzer_spark.functions import (
+    blank_to_null,
+    categorize_by_contains,
+    clip_at_zero,
+    coerce_numeric,
+    coerce_timestamp,
+    contains_ci,
+    age_group,
+)
+from markt_database_analyzer_spark.operators import (
+    dedup_keep_first,
+    first_last_by_order,
+    lag_deltas,
+    restrict_to_groups_with_min_count,
+    top_k_per_group,
+)
+
+
+def test_coercion_matches_pandas_errors_coerce(spark):
+    df = spark.createDataFrame(
+        [("1.5",), ("x",), ("",), (None,), ("  7 ",)], "s string"
+    )
+    got = [r[0] for r in df.select(coerce_numeric("s").alias("v")).collect()]
+    assert got == [1.5, None, None, None, 7.0]
+
+
+def test_timestamp_coercion(spark):
+    df = spark.createDataFrame([("2024-03-01 10:00:00",), ("nope",), (None,)], "s string")
+    got = [r[0] for r in df.select(coerce_timestamp("s").alias("v")).collect()]
+    assert got[0] is not None and got[1] is None and got[2] is None
+
+
+def test_blank_to_null_trims(spark):
+    df = spark.createDataFrame([(" Berlin ",), ("",), ("   ",), (None,)], "c string")
+    got = [r[0] for r in df.select(blank_to_null("c").alias("v")).collect()]
+    assert got == ["Berlin", None, None, None]
+
+
+def test_contains_ci_null_safe(spark):
+    df = spark.createDataFrame([("A SexChat z",), ("other",), (None,)], "u string")
+    got = [r[0] for r in df.select(contains_ci("u", "sexchat").alias("v")).collect()]
+    assert got == [True, False, False]
+
+
+def test_categorize_first_match_wins(spark):
+    df = spark.createDataFrame([("has sexbilder-sexvideos and sexchat",)], "u string")
+    rules = [("sexbilder-sexvideos", "A"), ("sexchat", "B")]
+    assert df.select(categorize_by_contains("u", rules).alias("v")).first()[0] == "A"
+
+
+def test_age_group_bounds(spark):
+    df = spark.createDataFrame([(17.0,), (18.0,), (19.9,), (20.0,), (25.0,), (26.0,), (None,)], "a double")
+    got = [r[0] for r in df.select(age_group("a").alias("g")).collect()]
+    # 19.9 falls in the gap of the reference's rule (not <=19, not >=20
+    # integer-band logic applied to floats) → None, same as analyse.py:34-42.
+    assert got == [None, "18-19", None, "20-25", "20-25", "26+", None]
+
+
+def test_clip_at_zero(spark):
+    df = spark.createDataFrame([(-5.0,), (0.0,), (3.5,)], "x double")
+    assert [r[0] for r in df.select(clip_at_zero("x").alias("v")).collect()] == [0.0, 0.0, 3.5]
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 5), (2, "c", 1)], "k int, v string, o int"
+    )
+    got = dedup_keep_first(df, ["k"], [F.col("o")]).orderBy("k").collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1, "b"), (2, "c")]
+
+
+def test_lag_deltas_first_row_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 13.0), ("a", 4, 12.0), ("b", 1, 5.0)],
+        "k string, t int, v double",
+    )
+    got = (
+        lag_deltas(df, ["k"], [F.col("t")], {"v": "v", "t": F.col("t").cast("double")})
+        .orderBy("k", "t")
+        .collect()
+    )
+    assert [(r["k"], r["delta_v"], r["delta_t"]) for r in got] == [
+        ("a", 3.0, 1.0),
+        ("a", -1.0, 2.0),
+    ]
+
+
+def test_first_last_conditional_windows(spark):
+    # C semantics: earliest within <=40, latest within <=400, none beyond.
+    df = spark.createDataFrame(
+        [
+            (1, "p", 10.0, 100.0),
+            (1, "p", 35.0, 150.0),
+            (1, "p", 300.0, 400.0),
+            (1, "p", 500.0, 900.0),  # outside both windows
+        ],
+        "id long, k string, age double, views double",
+    )
+    got = first_last_by_order(
+        df,
+        ["k"],
+        order=F.col("age"),
+        value=F.col("views"),
+        first_cond=F.col("age") <= 40,
+        last_cond=F.col("age") <= 400,
+        tiebreak=F.col("id"),
+    ).first()
+    assert got["first_value"] == 100.0 and got["first_order"] == 10.0
+    assert got["last_value"] == 400.0 and got["last_order"] == 300.0
+    assert got["n_rows"] == 4
+
+
+def test_first_last_no_qualifying_row_gives_null(spark):
+    df = spark.createDataFrame([(1, "p", 90.0, 5.0)], "id long, k string, age double, views double")
+    got = first_last_by_order(
+        df, ["k"], F.col("age"), F.col("views"), first_cond=F.col("age") <= 40
+    ).first()
+    assert got["first_value"] is None and got["first_order"] is None
+
+
+def test_having_semi_join_counts_on_other_frame(spark):
+    fact = spark.createDataFrame([("x", 1), ("y", 2)], "city string, v int")
+    dim = spark.createDataFrame(
+        [("x",)] * 3 + [("y",)] * 1, "city string"
+    )
+    got = restrict_to_groups_with_min_count(fact, dim, "city", min_count=2).collect()
+    assert [r["city"] for r in got] == ["x"]
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 5), ("g", 3), ("h", 9)], "k string, v int"
+    )
+    got = top_k_per_group(df, ["k"], [F.desc("v")], k=2).orderBy("k", "rank").collect()
+    assert [(r["k"], r["v"], r["rank"]) for r in got] == [("g", 5, 1), ("g", 3, 2), ("h", 9, 1)]
