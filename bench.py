@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the catalog's queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total headline seconds>, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": 0.1}
+
+Each query is forced with a noop datasource write — full plan execution,
+no driver-side materialization cost in the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from markt_database_analyzer_spark.catalog import REGISTRY
+    from markt_database_analyzer_spark.session import get_spark
+
+    spark = get_spark(app_name="mda-bench", extra_conf={"spark.ui.enabled": "false"})
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup.
+    force(REGISTRY["j1_revenue_by_priority"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    headline_total = 0.0
+    for name, spec in REGISTRY.items():
+        t0 = time.time()
+        force(spec.fn(spark, sf_dir))
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        if spec.headline:
+            headline_total += dt
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(headline_total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,16 +1,28 @@
 """Deterministic floating-point aggregation.
 
 Plain ``sum``/``avg`` over doubles is order-dependent, and Spark's partial
-aggregation order varies run-to-run with partitioning — so the same query can
-return a result that differs in the last ulps between runs, and differs from
-any external oracle. That breaks (a) hash-based differential testing and
+aggregation order varies run-to-run with partitioning — the same query can
+return results differing in the last ulps between runs, and differing from
+any external system. That breaks (a) hash-based differential testing and
 (b) reproducibility audits on a 1000-executor job.
 
-``dsum``/``davg`` route the accumulation through ``DECIMAL(28, 10)``:
-decimal addition is exact and associative, so the aggregate is **bit-stable
-under any partitioning**, then the final value is cast back to double. Cost
-is a constant factor on the agg — no extra shuffle — and at 100 TB the
-stability is worth it for any externally-compared metric.
+``dsum``/``davg`` quantize each value to an integer number of micro-units
+(``round(x * 1e6)``) and sum those integers through ``DECIMAL(38, 0)``:
+
+- integer rounding of a given double is identical in every engine
+  (half-away-from-zero; exact-tie divergence has measure ~2^-52);
+- integer addition is exact and associative → the aggregate is **bit-stable
+  under any partitioning** and reproducible across engines;
+- the final integer → double → /1e6 conversion is deterministic.
+
+(The naive alternative — accumulating ``CAST(x AS DECIMAL)`` — is NOT
+portable: engines disagree systematically on double→decimal conversion
+below ~1e-10 per value, which accumulates across millions of rows.)
+
+Cost: one multiply+round per value, no extra shuffle. Semantics: values are
+quantized at 1e-6 before aggregation — document-level metrics (prices,
+counts, rates) lose nothing that survives float noise anyway. Callers that
+need raw-float semantics use plain ``F.sum``/``F.avg``.
 """
 
 from __future__ import annotations
@@ -18,20 +30,22 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_DEC = "decimal(28,10)"
+MICRO = 1_000_000.0
+
+
+def _quantized(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c.cast("double") * F.lit(MICRO)).cast("decimal(38,0)")
 
 
 def dsum(col: Column | str) -> Column:
-    """Order-insensitive (deterministic) sum of a double column, as double."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(_DEC)).cast("double")
+    """Order-insensitive (deterministic) sum of a double column, as double,
+    quantized at 1e-6."""
+    return (F.sum(_quantized(col)).cast("double") / F.lit(MICRO)).alias("dsum")
 
 
 def davg(col: Column | str) -> Column:
-    """Deterministic mean: exact decimal sum over count, as double.
-
-    Nulls are excluded from numerator and denominator, matching both
-    ``avg`` and pandas ``mean(skipna=True)``.
-    """
+    """Deterministic mean (nulls excluded from numerator and denominator,
+    matching ``avg`` and pandas ``mean(skipna=True)``), quantized at 1e-6."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast(_DEC)).cast("double") / F.count(c)).alias("davg")
+    return ((F.sum(_quantized(c)).cast("double") / F.count(c)) / F.lit(MICRO)).alias("davg")

@@ -51,6 +51,11 @@ def get_spark(
         # explicit — operators also hint broadcast() where the small side is
         # known statically.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Some at-rest parquet carries TIMESTAMP(NANOS) (not in Spark's
+        # type system): read as raw nanosecond longs; sources.read_table
+        # converts to microsecond timestamps (identical to how µs-precision
+        # engines truncate nanos).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if master is not None:
         builder = builder.master(master)

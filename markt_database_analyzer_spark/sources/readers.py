@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TESTDATA_TABLES = (
@@ -70,8 +71,18 @@ PROFILES_SCHEMA = T.StructType(
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one at-rest Parquet table (S1). Projection after this call is
-    pruned into the scan by Catalyst (S2)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    pruned into the scan by Catalyst (S2).
+
+    Columns stored as TIMESTAMP(NANOS) arrive as nanosecond longs (see
+    session.py nanosAsLong) and are converted here to microsecond
+    timestamps with integer division — exact for the full int64 range and
+    identical to the truncation µs-precision engines apply.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name in ("ts",) and field.dataType.typeName() == "long":
+            df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} DIV 1000)"))
+    return df
 
 
 def load_tables(

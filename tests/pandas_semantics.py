@@ -17,6 +17,15 @@ import pandas as pd
 KEY = ["ad_unique_id", "push_counter"]
 
 
+def qmean(s: pd.Series) -> float:
+    """The engine's davg semantics: mean over values quantized to integer
+    micro-units (HALF_UP for non-negatives via floor(x*1e6+0.5))."""
+    if len(s) == 0 or s.isna().all():
+        return np.nan
+    v = s.dropna()
+    return float(np.floor(v * 1e6 + 0.5).sum() / len(v) / 1e6)
+
+
 def _monitor_frame(rows) -> pd.DataFrame:
     df = pd.DataFrame(
         rows, columns=["id", "ad_unique_id", "push_counter", "track_time", "ad_age_in_minutes", "views"]
@@ -74,7 +83,7 @@ def analysis_a(monitor_rows, profile_rows, bin_size=5, smoothing_window=5) -> pd
         sub["rate"] = (sub["dv"] * 60 / sub["dt"]).clip(lower=0)
         sub["mid_age"] = sub["ad_age_num"] - sub["dt"] / 2
         sub["bin"] = pd.cut(sub["mid_age"], bins=bins, labels=centers, include_lowest=True)
-        binned = sub.groupby("bin", observed=False)["rate"].mean().reset_index()
+        binned = sub.groupby("bin", observed=False)["rate"].agg(qmean).reset_index()
         binned["bin"] = binned["bin"].astype(float)
         binned = binned.sort_values("bin")
         binned["smoothed_rate"] = (
@@ -126,7 +135,7 @@ def analysis_b2(monitor_rows, profile_rows, max_age=119, smoothing_window=3) -> 
                 rate = max(0.0, (last["views_num"] - first["views_num"]) / dt * 60)
                 recs.append({"posting_hour": first["posting_ts"].hour, "rate": rate})
     rates = pd.DataFrame(recs)
-    hourly = rates.groupby("posting_hour")["rate"].mean().reindex(range(24), fill_value=0)
+    hourly = rates.groupby("posting_hour")["rate"].agg(qmean).reindex(range(24), fill_value=0)
     smoothed = hourly.rolling(window=smoothing_window, center=True, min_periods=1).mean()
     return pd.DataFrame(
         {"posting_hour": range(24), "avg_rate": hourly.values, "smoothed_rate": smoothed.values}
@@ -161,6 +170,6 @@ def analysis_c(monitor_rows, profile_rows, min_ads=10, initial_max=40, analysis_
             {"city": first["city"], "gained": max(0.0, last["views_num"] - first["views_num"])}
         )
     gained = pd.DataFrame(recs)
-    agg = gained.groupby("city")["gained"].agg(["mean", "size"]).reset_index()
+    agg = gained.groupby("city")["gained"].agg([qmean, "size"]).reset_index()
     agg.columns = ["city", "avg_views_gained", "n_pushes"]
     return agg.sort_values(["avg_views_gained", "city"], ascending=[False, True]).reset_index(drop=True)

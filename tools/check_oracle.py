@@ -1,0 +1,125 @@
+"""Local differential gate — mimics the driver's t2 correctness check.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet tables, then compares:
+
+- row count
+- column names (sorted)
+- values: columns sorted by name, rows sorted by all columns, floats
+  compared exactly AND with np.isclose reporting (so a hash-style
+  mismatch is distinguishable from a genuine semantic difference)
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+DEFAULT_SF = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def duck_conn(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(got) != len(want):
+        problems.append(f"row count: spark={len(got)} duckdb={len(want)}")
+        return problems
+    if sorted(got.columns) != sorted(want.columns):
+        problems.append(f"columns: spark={sorted(got.columns)} duckdb={sorted(want.columns)}")
+        return problems
+    g, w = normalize(got), normalize(want)
+    for c in g.columns:
+        gv, wv = g[c], w[c]
+        if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(wv):
+            ga = pd.to_numeric(gv, errors="coerce").to_numpy(dtype=float)
+            wa = pd.to_numeric(wv, errors="coerce").to_numpy(dtype=float)
+            both_nan = np.isnan(ga) & np.isnan(wa)
+            exact = (ga == wa) | both_nan
+            if not exact.all():
+                close = np.isclose(ga, wa, rtol=1e-12, atol=1e-12) | both_nan
+                idx = np.where(~exact)[0][:3]
+                detail = "; ".join(f"row{i}: {ga[i]!r} vs {wa[i]!r}" for i in idx)
+                if close.all():
+                    problems.append(f"col {c}: NOT bit-exact but within 1e-12 ({detail})")
+                else:
+                    problems.append(f"col {c}: VALUE MISMATCH ({detail})")
+        else:
+            eq = gv.astype(str).eq(wv.astype(str))
+            if not eq.all():
+                i = int(np.where(~eq.to_numpy())[0][0])
+                problems.append(f"col {c}: MISMATCH row{i}: {gv.iloc[i]!r} vs {wv.iloc[i]!r}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and sys.argv[1].startswith("/") else DEFAULT_SF
+    only = [a for a in sys.argv[1:] if not a.startswith("/")]
+
+    import __spark_entry__ as e
+    from markt_database_analyzer_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check", extra_conf={"spark.ui.enabled": "false"})
+    con = duck_conn(sf_dir)
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    names = [n for n in qs if not only or n in only]
+    failures = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            got = qs[name](spark, sf_dir).toPandas()
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            ok = len(got) >= 0
+            print(f"ROWS  {name}: {len(got)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            want = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        problems = compare(name, got, want)
+        hard = [p for p in problems if "within 1e-12" not in p]
+        if hard:
+            failures += 1
+            print(f"FAIL  {name}: " + " | ".join(problems) + f" [{time.time()-t0:.1f}s]")
+        elif problems:
+            print(f"WARN  {name}: " + " | ".join(problems) + f" [{time.time()-t0:.1f}s]")
+        else:
+            print(f"MATCH {name}: {len(got)} rows [{time.time()-t0:.1f}s]")
+    print(f"\n{len(names)-failures}/{len(names)} ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
