@@ -720,3 +720,8 @@ def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in REGISTRY.items() if v.headline}
+
+
+# Extension operators (dedup / similarity / text / multimodal) register on
+# import; kept in a separate module for readability.
+from . import catalog_ext  # noqa: E402,F401  (intentional tail import)

@@ -1,0 +1,441 @@
+"""Extension query catalog: the data-pipeline operators (dedup, similarity
+search, text analysis, multimodal) registered as differential-tested
+queries, same contract as ``catalog`` (which imports this module at the
+bottom so ``REGISTRY`` carries both).
+
+Oracle-generation notes:
+- MinHash/SimHash oracles are *generated* SQL (seeded hash families and
+  per-bit majority votes unrolled) — both engines run the exact same
+  integer math on the portable md5-60bit hash.
+- Cosines: Spark's sequential double fold is bit-identical to DuckDB's
+  ``list_cosine_similarity`` on ``DOUBLE[]`` (verified on real data);
+  results round to 9 dp so rank boundaries are stable.
+- Embedding dimensionality is 64 in the testdata; the IVF oracle hardcodes
+  it (the Spark path reads it dynamically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register, _t
+from .datapipe import dedup as dd
+from .datapipe import multimodal as mm
+from .datapipe import similarity as sim
+from .datapipe import text as tx
+from .datapipe.hashing import hash60, sql_hash60
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_groups",
+    oracle=f"""
+SELECT {sql_hash60('text')} AS content_hash,
+       min(doc_id) AS survivor_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY content_hash
+""",
+    tags=("dedup", "exact"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash-groupBy; survivor = min doc_id.
+    Shuffle key is the 60-bit hash, never the document body."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(docs, "text", "doc_id").orderBy("content_hash")
+
+
+@register(
+    "dedup_fingerprint_tokenset",
+    oracle=f"""
+SELECT {tx.sql_fingerprint_tokenset('text')} AS fp,
+       min(doc_id) AS survivor_id,
+       count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY fp
+""",
+    tags=("dedup", "fingerprint", "text"),
+)
+def dedup_fingerprint_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words near-dup dedup: group by the sorted-distinct-token-set
+    fingerprint (word-order-insensitive duplicate key)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", tx.fingerprint_tokenset("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("fp")
+    )
+
+
+def _sql_minhash_lsh(num_hashes: int = 16, bands: int = 4, shingle_k: int = 3, min_jaccard: float = 0.5) -> str:
+    rows = num_hashes // bands
+    sh_expr = dd.sql_shingles("text", k=shingle_k)
+    mins = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> {sql_hash60('s', seed=i)})) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        vals = " || ',' || ".join(f"m{i}::VARCHAR" for i in range(b * rows, (b + 1) * rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {sql_hash60(f'({vals})', seed=1000 + b)} AS band_hash FROM sig"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH sh AS (SELECT doc_id, {sh_expr} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {mins} FROM sh),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT c.id_a AS id_a, c.id_b AS id_b,
+       len(list_intersect(sa.sh, sb.sh))::DOUBLE
+         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE AS jaccard
+FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE >= {min_jaccard}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_sql_minhash_lsh(),
+    headline=True,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidate pairs, verified with exact
+    shingle Jaccard >= 0.5. Signature computation is row-local column math;
+    only (band_id, band_hash, doc_id) ever shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=4)
+    pairs = dd.jaccard_pairs(docs, cand, "text", "doc_id")
+    return pairs.filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
+
+
+def _sql_simhash(bits: int = 60) -> str:
+    toks = tx.sql_tokens("text")
+    h = f"list_transform({toks}, t -> {sql_hash60('t')})"
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> (x >> {j}) & 1 = 1)) > len(hs) "
+        f"THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {h} AS hs FROM documents)
+SELECT doc_id, ({terms}) AS simhash FROM h ORDER BY doc_id
+"""
+
+
+@register("dedup_simhash_signatures", oracle=_sql_simhash(), tags=("dedup", "simhash"))
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 60-bit SimHash signatures (near-dup key; pairs query
+    below consumes them)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dd.simhash64("text").alias("simhash")).orderBy("doc_id")
+
+
+def _sql_simhash_pairs(max_hamming: int = 3) -> str:
+    base = _sql_simhash().split("SELECT doc_id,")[0]  # reuse the WITH h AS (...) prefix
+    toks = tx.sql_tokens("text")
+    h = f"list_transform({toks}, t -> {sql_hash60('t')})"
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> (x >> {j}) & 1 = 1)) > len(hs) "
+        f"THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(60)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {h} AS hs FROM documents),
+sig AS (SELECT doc_id, ({terms}) AS simhash FROM h)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_sql_simhash_pairs(), tags=("dedup", "simhash"))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) via 4x15-bit chunk banding —
+    pigeonhole-lossless for this distance, equi-join instead of cross join.
+    (The oracle cross-joins; banding must return the identical pair set.)"""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_ngram_jaccard_sample",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {dd.sql_shingles('text', k=3)} AS sh FROM documents WHERE doc_id < 60
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 9) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) > 0
+ORDER BY id_a, id_b
+""",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard on a 60-doc sample — the standalone
+    verifier (at scale, run only behind LSH/banding candidates)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sh = docs.select(F.col("doc_id").alias("doc"), dd.shingles("text", k=3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .withColumn("n_inter", F.size(F.array_intersect("a.sh", "b.sh")))
+        .filter(F.col("n_inter") > 0)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.size("a.sh") + F.size("b.sh") - F.col("n_inter")).cast("double"),
+                9,
+            ),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"), "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_SQL_COS = "round(list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[]), 9)"
+
+
+@register(
+    "similarity_bruteforce_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_SQL_COS.format(a='q.qvec', b='e.embedding')} AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY query_id, rank
+""",
+    headline=True,
+    tags=("similarity", "ann", "brute-force"),
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors over the whole corpus —
+    the ANN baseline. JVM-side fold, broadcast queries, window top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+WITH corpus AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+dims AS (
+  SELECT label AS cell, unnest(generate_series(1, 64)) AS pos, unnest(vec) AS v
+  FROM corpus
+),
+cent_dims AS (
+  SELECT cell, pos,
+         (CAST(SUM(CAST(round(v * 1000000.0) AS HUGEINT)) AS DOUBLE) / COUNT(v) / 1000000.0) AS cv
+  FROM dims GROUP BY cell, pos
+),
+cents AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM cent_dims GROUP BY cell),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < 5),
+probed AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT q.query_id, q.qvec, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_SQL_COS.format(a='q.qvec', b='c.centroid')} DESC, c.cell) AS crank
+    FROM q CROSS JOIN cents c
+  ) WHERE crank <= 2
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {_SQL_COS.format(a='p.qvec', b='e.vec')} AS cos
+  FROM corpus e JOIN probed p ON e.label = p.cell
+  WHERE e.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY query_id, rank
+""",
+    tags=("similarity", "ann", "ivf"),
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse cells (pre-assigned labels), distributed centroid
+    computation, nprobe=2 — scores ~2/10 of the corpus per query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, nprobe=2)
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+WITH c AS (SELECT vec_id, label, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_SQL_COS.format(a='a.embedding', b='b.embedding')} AS cos
+FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.2
+ORDER BY id_a, id_b
+""",
+    tags=("dedup", "similarity", "embedding"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by IVF cell (label):
+    intra-cell pairs only. Threshold 0.2 fits the synthetic corpus's
+    cosine distribution (real text embeddings would use ~0.95)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(emb, min_cos=0.2)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@register(
+    "text_langid",
+    oracle=f"""
+SELECT doc_id, lang AS lang_declared, {tx.sql_lang_id(tx.sql_tokens('text'))} AS lang_pred
+FROM documents ORDER BY doc_id
+""",
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language-ID heuristic, deterministic argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        tx.lang_id(tx.tokens("text")).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {tx.sql_tokens('text')} AS toks FROM documents
+)
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(toks)::BIGINT AS n_tokens,
+       round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 9) AS mean_token_len,
+       round(
+         0.4 * (len(list_filter(toks, t -> t IN ({', '.join(repr(m) for m in sorted({m for ms in tx.LANG_MARKERS.values() for m in ms}))})))::DOUBLE / len(toks))
+         + 0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+         + 0.2 * (1.0 - least(((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(text)) * 4, 1.0))
+       , 9) AS quality_score
+FROM t ORDER BY doc_id
+""",
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized quality features + composite score (C4/Gopher-filter
+    shape, fixed weights)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = tx.quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["mean_token_len"], 9).alias("mean_token_len"),
+        F.round(tx.quality_score("text"), 9).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t != ''))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{tx.BPE_PIECE}'))::BIGINT AS n_bpe_pieces
+FROM documents ORDER BY doc_id
+""",
+    tags=("text", "tokens"),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count_whitespace("text").cast("long").alias("n_ws_tokens"),
+        tx.token_count_bpe("text").cast("long").alias("n_bpe_pieces"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+SELECT doc_id,
+       {tx.sql_fingerprint_tokenset('text')} AS fp_tokenset,
+       {tx.sql_fingerprint_prefix('text', k=8)} AS fp_prefix8
+FROM documents ORDER BY doc_id
+""",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: order-insensitive token-set hash + first-8-
+    token prefix hash (truncation-duplicate key)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.fingerprint_tokenset("text").alias("fp_tokenset"),
+        tx.fingerprint_prefix("text", k=8).alias("fp_prefix8"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+@register(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS content_id,
+       'unknown' AS format
+FROM documents ORDER BY doc_id
+""",
+    tags=("multimodal",),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction (no decode): byte length, content
+    id, magic-byte format sniff. Payloads here are encoded text stand-ins,
+    so the sniffed format is 'unknown' by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = docs.withColumn("payload", mm.to_payload("text"))
+    meta = with_payload.withColumn("meta", mm.payload_meta("payload"))
+    return meta.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_id").alias("content_id"),
+        F.col("meta.format").alias("format"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,  # mapInPandas path — not SQL-expressible; rows-only check
+    tags=("multimodal", "mapInPandas"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature pipeline over binary payloads
+    (deterministic stub featurizer; see datapipe.multimodal for the real-
+    codec integration point)."""
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", mm.to_payload("text").alias("payload"))
+    return mm.decode_features(with_payload).orderBy("doc_id")

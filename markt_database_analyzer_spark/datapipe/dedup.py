@@ -1,0 +1,228 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each operator):
+
+- **exact**: one hash-partitioned aggregation on the content hash — the
+  only shuffle key is a 60-bit int, never the document body. Survivor
+  choice is deterministic (min doc id).
+- **MinHash+LSH**: per-row signature computation is embarrassingly
+  parallel (array expressions, no shuffle, no UDF); banding turns the
+  O(n²) all-pairs problem into a shuffle on (band_id, band_hash) whose
+  buckets only contain plausible near-dups; exact Jaccard verification runs
+  per candidate pair. At 100 TB: signatures are ~100 bytes/doc regardless
+  of doc size, so the shuffle volume is flat.
+- **SimHash**: 64-bit signature via per-bit majority vote of token hashes;
+  hamming-distance candidate generation via chunk banding (4×16-bit
+  chunks — two signatures within hamming k<=3 must share a chunk).
+- **n-gram Jaccard**: the exact verifier, also usable standalone on a
+  blocked/banded candidate set.
+
+Everything is column-expression-only (portable + codegen); hash functions
+are the engine-portable md5-60bit family from ``hashing``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import hash60
+from .text import tokens
+
+
+# --------------------------------------------------------------------------
+# Shingling
+# --------------------------------------------------------------------------
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column (array<string>).
+    Documents shorter than k tokens get their full token join as the one
+    shingle (so they still participate in dedup)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(sh)
+
+
+def sql_shingles(expr: str, k: int = 3) -> str:
+    """DuckDB rendering of :func:`shingles` (1-indexed lists)."""
+    toks = f"list_filter(regexp_split_to_array(lower(trim({expr})), '\\s+'), t -> t != '')"
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({toks}) - {k - 1}, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')))"
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct content hash: survivor id (min), group size.
+    ``dropDuplicates`` on content is the lossy variant; this keeps the
+    full group accounting a pipeline needs for provenance."""
+    return (
+        df.withColumn("content_hash", hash60(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature(sh: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature (array<bigint> of length num_hashes) computed
+    entirely row-local: min over the shingle set of k seeded hashes."""
+    def seeded(i: int):
+        return lambda s: hash60(s, seed=i)
+
+    sigs = [F.array_min(F.transform(sh, seeded(i))) for i in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Band the signature: array of (band_id, band_hash) structs. Two docs
+    collide in a band iff their signature rows in that band are identical."""
+    entries = []
+    for b in range(bands):
+        band_vals = F.slice(sig, b * rows + 1, rows)
+        band_hash = hash60(F.concat_ws(",", F.transform(band_vals, lambda v: v.cast("string"))), seed=1000 + b)
+        entries.append(F.struct(F.lit(b).alias("band_id"), band_hash.alias("band_hash")))
+    return F.array(*entries)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from LSH banding.
+
+    Plan shape: project signatures (no shuffle) → explode bands →
+    self-join on (band_id, band_hash) → distinct pairs. The join key is
+    16 bytes/doc/band; document text never shuffles.
+    """
+    rows = num_hashes // bands
+    sig = (
+        df.select(F.col(id_col).alias("doc"), shingles(text_col, k=shingle_k).alias("sh"))
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        .withColumn("band", F.explode(lsh_bands(F.col("sig"), bands, rows)))
+        .select("doc", "band.band_id", "band.band_hash")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for each candidate pair (the verify step
+    after LSH). Adds ``jaccard`` double column."""
+    sh = df.select(F.col(id_col).alias("doc"), shingles(text_col, k=shingle_k).alias("sh"))
+    out = (
+        candidates.join(sh.withColumnRenamed("doc", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
+        .withColumn(
+            "jaccard",
+            F.try_divide(F.col("n_inter").cast("double"), F.col("n_union").cast("double")),
+        )
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash of the token multiset, as bigint.
+
+    bit j of the signature = 1 iff sum over tokens of ±1 (sign of bit j of
+    the token hash) is positive. Pure column expressions: per-token hashes
+    once, then 64 bit-majority folds."""
+    toks = tokens(col)
+    hashes = F.transform(toks, lambda t: hash60(t))
+
+    def bit_vote(j: int) -> Column:
+        # NB: the HOF lambda must be unary — a second (defaulted) parameter
+        # would make Spark pass the element index into it.
+        def has_bit(h: Column) -> Column:
+            return h.bitwiseAND(F.lit(1 << j)) != 0
+
+        ones = F.size(F.filter(hashes, has_bit))
+        return F.when(ones * 2 > F.size(hashes), F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    sig = bit_vote(0)
+    for j in range(1, 60):  # hash60 yields 60-bit values
+        sig = sig + bit_vote(j)
+    return sig
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded by 4 × 15-bit
+    chunks (pigeonhole: hamming <= 3 ⇒ at least one identical chunk), so
+    candidate generation is an equi-join, not a cross join."""
+    sig = df.select(F.col(id_col).alias("doc"), simhash64(text_col).alias("sig"))
+    chunks = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright("sig", i * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "sig", "c.chunk_id", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same contract (query ids → top-k neighbors by cosine):
+
+- ``brute_force_topk``: exact. Broadcast the (small) query set, score every
+  corpus row, per-query top-k via window. Scoring is a JVM-side fold over
+  the zipped arrays — no UDF, no Python. At 100 TB this is one scan +
+  one small shuffle of (query_id, k) rows per partition.
+- ``ivf_topk``: approximate scale path. A coarse quantizer (here: the
+  pre-assigned ``label`` as the cell id, i.e. IVF with externally-trained
+  centroids, the AnalyticDB-V/FAISS shape) restricts scoring to the
+  ``nprobe`` cells nearest the query → touches 1/cells of the corpus.
+  Centroids are computed distributively (posexplode + per-dimension mean).
+
+Cosines are computed in float64 after casting (float32 arithmetic is not
+portable across engines) and rounded to 9 dp so rank ties are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column, round_dp: int | None = 9) -> Column:
+    """Cosine similarity of two array<double> columns (cast upstream)."""
+    c = F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+    return F.round(c, round_dp) if round_dp is not None else c
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query row.
+
+    Output: (query_id, neighbor_id, cos, rank). Self-matches excluded.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_centroids(corpus: DataFrame, cell_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Per-cell centroid vectors, computed distributively: posexplode the
+    vectors, mean per (cell, dimension), re-assemble ordered arrays."""
+    dims = (
+        corpus.select(F.col(cell_col).alias("cell"), F.posexplode(F.col(vec_col).cast("array<double>")))
+        .groupBy("cell", "pos")
+        .agg(F.avg("col").alias("v"))
+    )
+    return dims.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv")
+    ).select("cell", F.transform("pv", lambda s: s["v"]).alias("centroid"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Approximate top-k: score only rows in the ``nprobe`` cells whose
+    centroids are nearest each query. Output as brute_force_topk plus the
+    probed flag is implicit in the smaller candidate set."""
+    cents = ivf_centroids(corpus, cell_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.col("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col("qvec"), F.col("centroid")))
+        .withColumn("crank", F.row_number().over(probe_w))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    scored = (
+        c.join(F.broadcast(probed), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    min_cos: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by cell (IVF-style):
+    only intra-cell pairs are scored — the standard recall/cost trade
+    against a full O(n²) sweep."""
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cos", cosine(F.col("a.vec"), F.col("b.vec")))
+        .filter(F.col("cos") >= min_cos)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,150 @@
+"""Text analysis operators: tokenization, language-ID, quality scoring,
+token counting, fingerprinting.
+
+All pure column expressions (JVM-side, whole-stage codegen) — no UDFs in
+any of these paths, so they scale linearly with no Python serialization.
+Each has a matching SQL rendering used by the differential oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import hash60, sql_hash60
+
+# Tiny built-in stopword lists for the language-ID heuristic. A real
+# deployment swaps in character-n-gram profiles; the *shape* of the
+# operator (per-language token-hit scoring, argmax with deterministic
+# tie-break) is what matters at the engine level.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "en": ("the", "and", "of", "to", "is", "a", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "que"),
+    "zh": ("de", "shi", "bu", "le", "wo", "ni", "ta", "men"),
+}
+
+TOKEN_SPLIT = r"\s+"
+# BPE-ish word/number/punctuation pieces (public GPT-2-style pre-tokenizer
+# shape: word chars, digits, or single non-space symbols).
+BPE_PIECE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (lowercased), empty tokens removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(F.trim(c)), TOKEN_SPLIT), lambda t: t != "")
+
+
+def sql_tokens(expr: str) -> str:
+    return f"list_filter(regexp_split_to_array(lower(trim({expr})), '\\s+'), t -> t != '')"
+
+
+def token_count_whitespace(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish piece count via regex extraction (upper bound on BPE tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PIECE), F.lit(0)))
+
+
+def lang_scores(toks: Column) -> list[tuple[str, Column]]:
+    """Per-language stopword-hit counts over a token array column."""
+    def hit(markers: tuple[str, ...]):
+        # unary lambda: a defaulted second param would receive the index
+        return lambda t: t.isin(*markers)
+
+    out = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        out.append((lang, F.size(F.filter(toks, hit(markers)))))
+    return out
+
+
+def lang_id(toks: Column) -> Column:
+    """Argmax language with deterministic tie-break (lowest code wins);
+    'und' (undetermined) when no marker hits at all."""
+    scores = lang_scores(toks)
+    # Build max via greatest, then first language reaching it.
+    best = F.greatest(*[s for _, s in scores])
+    expr: Column = F.lit("und")
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def sql_lang_id(toks_expr: str) -> str:
+    """DuckDB rendering of :func:`lang_id` over a token-array expression."""
+    score = {
+        lang: f"len(list_filter({toks_expr}, t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = f"greatest({', '.join(score.values())})"
+    case = "CASE "
+    for lang in sorted(score):
+        case += f"WHEN {score[lang]} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return case
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Deterministic quality signals (shape per Gopher/C4-style filters):
+    char length, token count, mean token length, punctuation ratio,
+    stopword ratio, uppercase ratio."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*all_markers)))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_upper = F.length(c) - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": F.try_divide(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")).cast("double"),
+            n_tokens.cast("double"),
+        ),
+        "punct_ratio": F.try_divide(n_punct.cast("double"), n_chars.cast("double")),
+        "stopword_ratio": F.try_divide(stop_hits.cast("double"), n_tokens.cast("double")),
+        "upper_ratio": F.try_divide(n_upper.cast("double"), n_chars.cast("double")),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1]-ish quality score: rewards stopword density and
+    mid-range length, penalizes punctuation soup. Weights are arbitrary but
+    fixed — the operator shape (vectorized feature fusion) is the point."""
+    f = quality_features(col)
+    length_term = F.least(f["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * F.coalesce(f["stopword_ratio"], F.lit(0.0))
+        + F.lit(0.4) * length_term
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.coalesce(f["punct_ratio"], F.lit(0.0)) * 4, F.lit(1.0)))
+    )
+
+
+def fingerprint_tokenset(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: 60-bit hash of the sorted
+    distinct token set. Identical wording ⇒ identical fingerprint;
+    robust to shuffled word order (bag-of-words near-dup key)."""
+    return hash60(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def sql_fingerprint_tokenset(expr: str) -> str:
+    return sql_hash60(
+        f"array_to_string(list_sort(list_distinct({sql_tokens(expr)})), ' ')"
+    )
+
+
+def fingerprint_prefix(col: Column | str, k: int = 8) -> Column:
+    """Positional fingerprint: hash of the first k tokens (prefix near-dup
+    key — catches truncation/extension duplicates)."""
+    return hash60(F.concat_ws(" ", F.slice(tokens(col), 1, k)))
+
+
+def sql_fingerprint_prefix(expr: str, k: int = 8) -> str:
+    return sql_hash60(f"array_to_string(list_slice({sql_tokens(expr)}, 1, {k}), ' ')")

@@ -1,0 +1,188 @@
+"""Unit/property tests for the data-pipeline extension operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from markt_database_analyzer_spark.datapipe import dedup as dd
+from markt_database_analyzer_spark.datapipe import multimodal as mm
+from markt_database_analyzer_spark.datapipe import similarity as sim
+from markt_database_analyzer_spark.datapipe import text as tx
+from markt_database_analyzer_spark.datapipe.udfs import (
+    age_group_pandas_udf,
+    first_last_apply_in_pandas,
+)
+from markt_database_analyzer_spark.functions import age_group
+from markt_database_analyzer_spark.operators import first_last_by_order
+
+DOC_A = "the quick brown fox jumps over the lazy dog again and again today"
+DOC_A2 = "the quick brown fox jumps over the lazy dog again and again tonight"  # near-dup of A
+DOC_B = "completely different content about spark engines and columnar execution"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A2), (3, DOC_B), (4, DOC_A)], "doc_id long, text string"
+    )
+
+
+def test_shingles_match_python(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    got = df.select(dd.shingles("t", k=3).alias("s")).first()["s"]
+    assert sorted(got) == ["a b c", "b c d"]
+    # shorter than k → whole text as one shingle
+    got1 = spark.createDataFrame([("a b",)], "t string").select(
+        dd.shingles("t", k=3).alias("s")
+    ).first()["s"]
+    assert got1 == ["a b"]
+
+
+def test_exact_dedup_groups(spark, docs):
+    groups = dd.exact_dedup_groups(docs, "text", "doc_id").collect()
+    by_size = sorted((r["n_copies"], r["survivor_id"]) for r in groups)
+    assert by_size == [(1, 2), (1, 3), (2, 1)]  # docs 1&4 identical, survivor=1
+
+
+def test_minhash_lsh_finds_planted_neardup(spark, docs):
+    cand = dd.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs  # near dup: 8 bands of 2 rows → high recall
+    verified = dd.jaccard_pairs(docs, cand, "text", "doc_id").collect()
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified}
+    assert j[(1, 4)] == 1.0
+    assert 0.5 < j[(1, 2)] < 1.0
+
+
+def test_simhash_properties(spark, docs):
+    sigs = {r["doc_id"]: r["s"] for r in docs.select("doc_id", dd.simhash64("text").alias("s")).collect()}
+    assert sigs[1] == sigs[4]  # identical text → identical signature
+    ham_near = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated doc
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_near_pairs(docs, "text", "doc_id", max_hamming=10).collect()
+    }
+    assert pairs.get((1, 4)) == 0
+
+
+def test_bruteforce_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)], "vec_id long, embedding array<float>"
+    )
+    got = sim.brute_force_topk(df, df.filter("vec_id = 0"), k=5).collect()
+    v = vecs.astype("float64")
+    cos = v @ v[0] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    cos[0] = -np.inf  # self excluded
+    want = list(np.argsort(-cos)[:5])
+    assert [r["neighbor_id"] for r in got] == want
+    assert all(abs(r["cos"] - cos[r["neighbor_id"]]) < 1e-6 for r in got)
+
+
+def test_ivf_topk_respects_cells(spark):
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(40):
+        cell = i % 4
+        base = np.zeros(4)
+        base[cell] = 10.0  # well-separated cells
+        rows.append((i, [float(x) for x in base + rng.normal(scale=0.1, size=4)], cell))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = sim.ivf_topk(df, df.filter("vec_id = 0"), k=5, nprobe=1)
+    res = got.collect()
+    assert len(res) == 5
+    # query 0 is in cell 0; with nprobe=1 all neighbors must share the cell
+    assert all(r["neighbor_id"] % 4 == 0 for r in res)
+
+
+def test_lang_id_picks_planted_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "der hund und die katze ist nicht da"),
+            (2, "the cat and the dog is in that house"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["p"] for r in df.select("id", tx.lang_id(tx.tokens("text")).alias("p")).collect()}
+    assert got[1] == "de" and got[2] == "en" and got[3] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello, world! 42 times",)], "text string")
+    r = df.select(
+        tx.token_count_whitespace("text").alias("ws"),
+        tx.token_count_bpe("text").alias("bpe"),
+    ).first()
+    assert r["ws"] == 4
+    # pieces: Hello , world ! 42 times  → 6
+    assert r["bpe"] == 6
+
+
+def test_fingerprints_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "id long, text string",
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", tx.fingerprint_tokenset("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_quality_score_bounded(spark, docs):
+    scores = [r["q"] for r in docs.select(tx.quality_score("text").alias("q")).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_udf_age_group_matches_native(spark):
+    df = spark.createDataFrame([(float(a),) for a in range(15, 40)], "age double")
+    both = df.select(
+        age_group("age").alias("native"), age_group_pandas_udf("age").alias("udf")
+    ).collect()
+    assert all(r["native"] == r["udf"] for r in both)
+
+
+def test_apply_in_pandas_matches_native_first_last(spark):
+    df = spark.createDataFrame(
+        [("k1", 1.0, 10.0), ("k1", 3.0, 30.0), ("k1", 2.0, 20.0), ("k2", 5.0, 1.0)],
+        "k string, o double, v double",
+    )
+    native = {
+        r["k"]: (r["first_value"], r["last_value"])
+        for r in first_last_by_order(df, ["k"], F.col("o"), F.col("v")).collect()
+    }
+    viaudf = {
+        r["k"]: (r["first_value"], r["last_value"])
+        for r in first_last_apply_in_pandas(df, ["k"], "o", "v").collect()
+    }
+    assert native == viaudf == {"k1": (10.0, 30.0), "k2": (1.0, 1.0)}
+
+
+def test_multimodal_meta_sniffs_magic(spark):
+    df = spark.createDataFrame([(1, bytearray(b"\x89PNG\r\n123")), (2, bytearray(b"plain"))], "doc_id long, payload binary")
+    got = {r["doc_id"]: r["m"]["format"] for r in df.select("doc_id", mm.payload_meta("payload").alias("m")).collect()}
+    assert got == {1: "png", 2: "unknown"}
+
+
+def test_multimodal_decode_stub(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string").select(
+        "doc_id", mm.to_payload("text").alias("payload")
+    )
+    row = mm.decode_features(df).first()
+    assert row["n_bytes"] == 3 and row["byte_min"] == ord("a") and row["byte_max"] == ord("c")
+    assert row["feature_version"] == "fake-v1"
+    with pytest.raises(NotImplementedError):
+        mm.decode_features(df, backend="real")
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, "x" * 250)], "doc_id long, text string").select(
+        "doc_id", mm.to_payload("text").alias("payload")
+    )
+    frames = [r["frame_idx"] for r in mm.frame_sample_plan(df, every_n=1).collect()]
+    assert frames == [0, 1, 2]
