@@ -439,3 +439,27 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", mm.to_payload("text").alias("payload"))
     return mm.decode_features(with_payload).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Streaming
+# --------------------------------------------------------------------------
+
+@register(
+    "streaming_tumbling_counts",
+    oracle="""
+SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
+       count(*) AS n_events
+FROM events GROUP BY 1 ORDER BY window_start
+""",
+    tags=("streaming", "window", "watermark"),
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1's streaming analog driven end-to-end: readStream -> watermarked
+    tumbling 10-minute window count -> memory sink, returned as the
+    materialized batch result. The oracle is the equivalent batch bucket
+    aggregation — streaming and batch must agree on static input."""
+    from .streaming import read_events_stream, run_stream_to_memory, tumbling_counts
+
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    return run_stream_to_memory(stream).orderBy("window_start")

@@ -1,0 +1,7 @@
+from .jobs import (  # noqa: F401
+    read_events_stream,
+    run_stream_to_memory,
+    sliding_hourly_avg,
+    stateful_per_key_deltas,
+    tumbling_counts,
+)

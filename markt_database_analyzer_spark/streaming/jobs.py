@@ -1,0 +1,147 @@
+"""Structured Streaming variants of the reference's batch shapes
+(SURVEY.md §2.11, §7 Phase 5).
+
+| batch computation (reference)                   | streaming analog here |
+|------------------------------------------------|-----------------------|
+| pushes per 10-min slot (analyse.py:191-227)    | ``tumbling_counts`` — watermarked tumbling window count |
+| smoothed hourly curve (analyse.py:293-297)     | ``sliding_hourly_avg`` — sliding window average |
+| per-push view deltas (analyse.py:69-73)        | ``stateful_per_key_deltas`` — applyInPandasWithState |
+
+Batch/streaming unification: the aggregation expressions are the same
+column helpers the batch plans use; only the source (``readStream``) and
+the window/watermark wrapping differ. Tests drive each job on the static
+events parquet via the memory sink + ``processAllAvailable`` — the
+documented pattern for deterministic streaming smoke tests — and
+differential-check results against the equivalent batch plan.
+
+Watermark policy: 30 minutes of allowed lateness on ``ts``. In
+``complete`` output mode the watermark does not drop visible results (all
+windows re-emit); it bounds state for append-mode/production runs where
+late events beyond the watermark are discarded — the explicit late-data
+policy the reference never had to think about.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# The at-rest events schema (ts stored as TIMESTAMP(NANOS) → read as long
+# nanoseconds, converted to a µs timestamp, matching sources.read_table).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_sink_counter = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events table (file-source; in production the
+    same plan runs off Kafka by swapping the source)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """B1's streaming analog: event counts per tumbling window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def sliding_hourly_avg(
+    events: DataFrame, width: str = "3 hours", slide: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """W3's streaming analog: sliding-window smoothed value average. Uses
+    plain avg (per-window values are emitted continuously; cross-engine
+    quantization is a batch-oracle concern, not a streaming one)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "avg_value", "n_events")
+    )
+
+
+_DELTA_SCHEMA = "user_id long, event_id long, delta_value double, delta_minutes double"
+_STATE_SCHEMA = "last_us long, last_value double"
+
+
+def _delta_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key streaming delta: carries (last event µs, last value) across
+    micro-batches — W1's lag() re-expressed as O(1) keyed state."""
+    (user_id,) = key
+    last_us, last_value = state.get if state.exists else (None, None)
+    for pdf in batches:
+        pdf = pdf.sort_values(["us", "event_id"], kind="mergesort")
+        out_rows = []
+        for _, row in pdf.iterrows():
+            if last_us is not None:
+                out_rows.append(
+                    (
+                        user_id,
+                        int(row["event_id"]),
+                        float(row["value"]) - last_value,
+                        (int(row["us"]) - last_us) / 60_000_000.0,
+                    )
+                )
+            last_us, last_value = int(row["us"]), float(row["value"])
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=["user_id", "event_id", "delta_value", "delta_minutes"])
+    state.update((last_us, last_value))
+
+
+def stateful_per_key_deltas(events: DataFrame) -> DataFrame:
+    """W1's streaming analog via ``applyInPandasWithState``: per-user value
+    deltas with explicit keyed state (first event of a key yields nothing,
+    matching the batch lag() null-drop)."""
+    prepared = events.select("user_id", "event_id", F.unix_micros("ts").alias("us"), "value")
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _delta_fn,
+        outputStructType=_DELTA_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming frame to completion over the available (static)
+    input and return the materialized result as a batch DataFrame — the
+    deterministic smoke-test harness for every job above."""
+    name = f"stream_out_{next(_sink_counter)}"
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return result.sparkSession.table(name)
