@@ -722,6 +722,8 @@ def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in REGISTRY.items() if v.headline}
 
 
-# Extension operators (dedup / similarity / text / multimodal) register on
-# import; kept in a separate module for readability.
+# Extension operators (dedup / similarity / text / multimodal / streaming)
+# and the general-analytics completion register on import; kept in separate
+# modules for readability.
 from . import catalog_ext  # noqa: E402,F401  (intentional tail import)
+from . import catalog_more  # noqa: E402,F401
