@@ -73,7 +73,7 @@ def _sql_minhash_lsh(num_hashes: int = 16, bands: int = 4, shingle_k: int = 3, m
     rows = num_hashes // bands
     sh_expr = dd.sql_shingles("text", k=shingle_k)
     mins = ",\n    ".join(
-        f"list_min(list_transform(sh, s -> {sql_hash60('s', seed=i)})) AS m{i}"
+        f"list_min(list_transform(sh, s -> {dd.sql_km_hash('s', i)})) AS m{i}"
         for i in range(num_hashes)
     )
     band_selects = []
@@ -135,9 +135,14 @@ SELECT doc_id, ({terms}) AS simhash FROM h ORDER BY doc_id
 @register("dedup_simhash_signatures", oracle=_sql_simhash(), tags=("dedup", "simhash"))
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 60-bit SimHash signatures (near-dup key; pairs query
-    below consumes them)."""
+    below consumes them). Uses the explode+aggregate scale path — one md5
+    per token, map-side-combined votes — not the 60-pass expression form."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", dd.simhash64("text").alias("simhash")).orderBy("doc_id")
+    return (
+        dd.simhash_signatures(docs, "text", "doc_id")
+        .select(F.col("doc").alias("doc_id"), F.col("sig").alias("simhash"))
+        .orderBy("doc_id")
+    )
 
 
 def _sql_simhash_pairs(max_hamming: int = 3) -> str:

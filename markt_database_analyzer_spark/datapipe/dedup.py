@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from .hashing import hash60
 from .text import tokens
+from .util import fan_out
 
 
 # --------------------------------------------------------------------------
@@ -81,12 +82,37 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def minhash_signature(sh: Column, num_hashes: int = 16) -> Column:
     """MinHash signature (array<bigint> of length num_hashes) computed
-    entirely row-local: min over the shingle set of k seeded hashes."""
+    entirely row-local: min over the shingle set of k seeded hashes.
+
+    Expression form: one seeded md5 per (shingle, hash) — k md5 calls per
+    shingle. The hot path is the Kirsch-Mitzenmacher family in
+    :func:`minhash_signatures_km` (one md5 per shingle, k derived
+    cheaply); this form is kept for callers that need k genuinely
+    independent md5 families."""
     def seeded(i: int):
         return lambda s: hash60(s, seed=i)
 
     sigs = [F.array_min(F.transform(sh, seeded(i))) for i in range(num_hashes)]
     return F.array(*sigs)
+
+
+def km_hash_arrays(sh: Column) -> tuple[Column, Column]:
+    """The two base 56-bit hash arrays of the Kirsch-Mitzenmacher family:
+    h1 = first 14 hex digits of md5, h2 = next 14. Derived members are
+    ``h1 + i*h2`` (max 2^56 + 15·2^56 = 2^60 — no int64 overflow in any
+    engine). K-M is the standard construction for deriving k hash
+    functions from two with no loss for LSH-style sketches."""
+    digests = F.transform(sh, lambda s: F.md5(s))
+    h1 = F.transform(digests, lambda d: F.conv(F.substring(d, 1, 14), 16, 10).cast("bigint"))
+    h2 = F.transform(digests, lambda d: F.conv(F.substring(d, 15, 14), 16, 10).cast("bigint"))
+    return h1, h2
+
+
+def sql_km_hash(expr: str, i: int) -> str:
+    """DuckDB rendering of the i-th K-M family member of a string expr."""
+    h1 = f"(('0x' || substring(md5({expr}), 1, 14))::BIGINT)"
+    h2 = f"(('0x' || substring(md5({expr}), 15, 14))::BIGINT)"
+    return f"({h1} + {i} * {h2})"
 
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -113,11 +139,35 @@ def minhash_lsh_candidates(
     Plan shape: project signatures (no shuffle) → explode bands →
     self-join on (band_id, band_hash) → distinct pairs. The join key is
     16 bytes/doc/band; document text never shuffles.
+
+    Signatures use the Kirsch-Mitzenmacher family: md5 each shingle ONCE,
+    split the digest into two 56-bit bases, derive the k functions as
+    ``h1 + i*h2`` — zip_with over cheap int arrays instead of k md5
+    passes. The two base arrays are materialized in separate projections
+    so the md5 transform is evaluated once (CollapseProject keeps
+    non-cheap expressions referenced twice in their own project).
     """
     rows = num_hashes // bands
+    # fan_out BEFORE the shingle projection: a repartition is a plan
+    # barrier, so expressions projected after it run on the widened
+    # partitioning. (fan_out around the projection would evaluate the
+    # heavy expression on the narrow input and shuffle its output.)
+    base = fan_out(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))).select(
+        "doc", shingles("_text", k=shingle_k).alias("sh")
+    )
+    digests = base.withColumn("digests", F.transform("sh", lambda s: F.md5(s)))
+    hashed = digests.select(
+        "doc",
+        F.transform("digests", lambda d: F.conv(F.substring(d, 1, 14), 16, 10).cast("bigint")).alias("h1"),
+        F.transform("digests", lambda d: F.conv(F.substring(d, 15, 14), 16, 10).cast("bigint")).alias("h2"),
+    )
+    def member(i: int) -> Column:
+        if i == 0:
+            return F.array_min(F.col("h1"))
+        return F.array_min(F.zip_with("h1", "h2", lambda a, b: a + F.lit(i) * b))
+
     sig = (
-        df.select(F.col(id_col).alias("doc"), shingles(text_col, k=shingle_k).alias("sh"))
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        hashed.withColumn("sig", F.array(*[member(i) for i in range(num_hashes)]))
         .withColumn("band", F.explode(lsh_bands(F.col("sig"), bands, rows)))
         .select("doc", "band.band_id", "band.band_hash")
     )
@@ -144,7 +194,9 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for each candidate pair (the verify step
     after LSH). Adds ``jaccard`` double column."""
-    sh = df.select(F.col(id_col).alias("doc"), shingles(text_col, k=shingle_k).alias("sh"))
+    sh = fan_out(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))).select(
+        "doc", shingles("_text", k=shingle_k).alias("sh")
+    )
     out = (
         candidates.join(sh.withColumnRenamed("doc", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -163,11 +215,16 @@ def jaccard_pairs(
 # --------------------------------------------------------------------------
 
 def simhash64(col: Column | str) -> Column:
-    """64-bit SimHash of the token multiset, as bigint.
+    """64-bit SimHash of the token multiset, as bigint — expression form.
 
     bit j of the signature = 1 iff sum over tokens of ±1 (sign of bit j of
-    the token hash) is positive. Pure column expressions: per-token hashes
-    once, then 64 bit-majority folds."""
+    the token hash) is positive (strict majority; ties → 0).
+
+    This form re-walks the hash array once per bit (higher-order functions
+    sit outside whole-stage codegen, so the 60 ``filter`` passes are not
+    subexpression-eliminated). Fine for ad-hoc use on small inputs; the
+    hot path is :func:`simhash_signatures`, which hashes each token
+    exactly once and reduces via a map-side-combined aggregation."""
     toks = tokens(col)
     hashes = F.transform(toks, lambda t: hash60(t))
 
@@ -185,11 +242,44 @@ def simhash64(col: Column | str) -> Column:
     return sig
 
 
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document 60-bit SimHash — the scale path.
+
+    Identical output to ``simhash64`` (strict-majority vote per bit, ties
+    and empty documents → 0), restructured for throughput:
+
+    explode tokens → hash each token ONCE → 60 conditional ±1 sums in one
+    hash aggregation → fold votes into the signature.
+
+    Why this shape wins: the md5 work (the dominant cost) drops 60× versus
+    the expression form, the per-token rows partial-aggregate map-side so
+    the shuffle carries just 60 ints per document, and the exploded rows
+    spread across all cores. State per group is O(60) regardless of
+    document size."""
+    docs = fan_out(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))).select(
+        "doc", tokens("_text").alias("toks")
+    )
+    ex = docs.select("doc", F.explode_outer("toks").alias("tok")).withColumn("h", hash60(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.col("h").isNull(), 0)
+            .when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(60)
+    ]
+    agg = ex.groupBy("doc").agg(*votes)
+    sig: Column = F.lit(0).cast("bigint")
+    for j in range(60):
+        sig = sig + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return agg.select("doc", sig.alias("sig"))
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded by 4 × 15-bit
     chunks (pigeonhole: hamming <= 3 ⇒ at least one identical chunk), so
     candidate generation is an equi-join, not a cross join."""
-    sig = df.select(F.col(id_col).alias("doc"), simhash64(text_col).alias("sig"))
+    sig = simhash_signatures(df, text_col, id_col)
     chunks = sig.select(
         "doc",
         "sig",

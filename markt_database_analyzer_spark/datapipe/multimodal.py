@@ -20,10 +20,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .util import fan_out
 
 MAGIC = {
     b"\x89PNG": "png",
@@ -61,17 +64,24 @@ FEATURE_SCHEMA = (
 
 
 def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic stand-in featurizer: byte statistics of the payload.
-    Replaces (e.g.) decode→resize→embed for an image batch."""
-    payloads = pdf["payload"]
-    stats = payloads.map(lambda b: (len(b), float(sum(b)) / len(b) if len(b) else 0.0, min(b, default=0), max(b, default=0)))
+    """Deterministic stand-in featurizer: byte statistics of the payload,
+    vectorized with numpy per payload (``np.frombuffer`` is zero-copy) —
+    the same inner-loop discipline a real decoder batch needs. Replaces
+    (e.g.) decode→resize→embed for an image batch."""
+    def stats(b: bytes) -> tuple[int, float, int, int]:
+        if not b:
+            return (0, 0.0, 0, 0)
+        arr = np.frombuffer(b, dtype=np.uint8)
+        return (len(b), float(arr.sum()) / len(b), int(arr.min()), int(arr.max()))
+
+    s = pdf["payload"].map(stats)
     out = pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
-            "n_bytes": stats.map(lambda s: s[0]),
-            "byte_mean": stats.map(lambda s: s[1]),
-            "byte_min": stats.map(lambda s: s[2]),
-            "byte_max": stats.map(lambda s: s[3]),
+            "n_bytes": s.map(lambda t: t[0]),
+            "byte_mean": s.map(lambda t: t[1]),
+            "byte_min": s.map(lambda t: t[2]),
+            "byte_max": s.map(lambda t: t[3]),
             "feature_version": "fake-v1",
         }
     )
@@ -95,7 +105,7 @@ def decode_features(df: DataFrame, backend: str = "fake") -> DataFrame:
         for pdf in batches:
             yield _fake_decode_batch(pdf)
 
-    return df.select("doc_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+    return fan_out(df.select("doc_id", "payload")).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -36,6 +38,16 @@ def cosine(a: Column, b: Column, round_dp: int | None = 9) -> Column:
     return F.round(c, round_dp) if round_dp is not None else c
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column, round_dp: int | None = 9) -> Column:
+    """``cosine`` with the two norms precomputed per *row* instead of per
+    *pair* — bit-identical result (same expressions, evaluated once), 3×
+    less interpreted-HOF fold work on pair-heavy plans. The folds sit
+    outside whole-stage codegen, so hoisting them out of the O(pairs) loop
+    is the single biggest lever in the similarity paths."""
+    c = F.try_divide(_dot(a, b), na * nb)
+    return F.round(c, round_dp) if round_dp is not None else c
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -47,15 +59,17 @@ def brute_force_topk(
 
     Output: (query_id, neighbor_id, cos, rank). Self-matches excluded.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
-    )
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+        )
+    ).withColumn("cnrm", _norm(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
-    )
+    ).withColumn("qnrm", _norm(F.col("qvec")))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("cos", cosine_with_norms(F.col("qvec"), F.col("cvec"), F.col("qnrm"), F.col("cnrm")))
         .select("query_id", "neighbor_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
@@ -103,15 +117,17 @@ def ivf_topk(
         .filter(F.col("crank") <= nprobe)
         .select("query_id", "qvec", "cell")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(cell_col).alias("cell"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
-    )
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(cell_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+    ).withColumn("cnrm", _norm(F.col("cvec")))
     scored = (
-        c.join(F.broadcast(probed), on="cell")
+        c.join(F.broadcast(probed.withColumn("qnrm", _norm(F.col("qvec")))), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("cos", cosine_with_norms(F.col("qvec"), F.col("cvec"), F.col("qnrm"), F.col("cnrm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
@@ -132,16 +148,37 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs, blocked by cell (IVF-style):
     only intra-cell pairs are scored — the standard recall/cost trade
     against a full O(n²) sweep."""
-    c = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(cell_col).alias("cell"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    )
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(cell_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+    ).withColumn("nrm", _norm(F.col("vec")))
     a, b = c.alias("a"), c.alias("b")
-    return (
+    # The cell join fans IN to one task per distinct cell, but emits
+    # quadratically many pairs on which the (interpreted-fold) cosine is
+    # the dominant cost — so re-spread the pairs round-robin before
+    # scoring. At scale this is the same fix: all-pairs-within-cell is
+    # quadratic work generated from linear input, and the exchange moves
+    # only (ids, vecs, norms) for surviving pairs.
+    pairs = (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cos", cosine(F.col("a.vec"), F.col("b.vec")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+            F.col("a.nrm").alias("nrm_a"),
+            F.col("b.nrm").alias("nrm_b"),
+        )
+        .repartition(c.sparkSession.sparkContext.defaultParallelism)
+    )
+    return (
+        pairs.withColumn(
+            "cos", cosine_with_norms(F.col("vec_a"), F.col("vec_b"), F.col("nrm_a"), F.col("nrm_b"))
+        )
         .filter(F.col("cos") >= min_cos)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos")
+        .select("id_a", "id_b", "cos")
         .orderBy("id_a", "id_b")
     )

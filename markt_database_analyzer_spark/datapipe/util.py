@@ -1,0 +1,31 @@
+"""Shared datapipe plumbing.
+
+``fan_out`` exists because of a local[N]/small-file reality with a real
+100 TB counterpart: Spark parallelism for a parquet scan is bounded by
+file *splits*, and a parquet file is splittable only at row-group
+boundaries. A small dimension-sized table (or, at 100 TB, the tail of a
+skewed file-size distribution) can therefore arrive as one task — and any
+CPU-bound per-row work downstream (per-token hashing, shingling, cosine
+folds) runs on one core while the rest of the cluster idles.
+
+``fan_out(df)`` round-robin-repartitions to the session default
+parallelism *before* such compute. The shuffle moves only the narrow
+input (ids + text/embedding), costs milliseconds at dimension scale, and
+is dwarfed by the compute it parallelizes. For inputs that already arrive
+in >= defaultParallelism splits it is skipped by the caller passing
+``min_partitions`` (we never coalesce — fan_out only ever widens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen ``df`` to at least the session's default parallelism (or
+    ``min_partitions``) ahead of CPU-bound per-row operators. No-op when
+    the input is already at least that wide."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
