@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import SQL_DSUM, register, _t
+from .catalog import SQL_DAVG, SQL_DSUM, register, _t
 from .functions import dsum
 
 
@@ -251,4 +251,231 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins beyond the reference (SURVEY.md §2.3 "absent" rows): as-of and
+# range joins, the two time-series shapes a training pipeline hits first.
+# --------------------------------------------------------------------------
+
+@register(
+    "asof_join_last_event",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events GROUP BY user_id, ts
+)
+SELECT o.o_orderkey AS o_orderkey, o.o_custkey AS user_id,
+       e.value AS value_asof
+FROM orders o ASOF LEFT JOIN e ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+ORDER BY o_orderkey
+""",
+    tags=("asof-join", "point-in-time"),
+)
+def asof_join_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order, the value of that user's latest event
+    at or before the order date. Spark side runs the union-sentinel merge
+    (one shuffle, no row explosion — operators.asof); the oracle runs
+    DuckDB's NATIVE ASOF JOIN, so the two implementations are genuinely
+    independent. Equal-time right rows are pre-reduced with arg_max on
+    event_id in the oracle / right_seq tiebreak in the operator, making
+    the pick total."""
+    from .operators.asof import asof_join_last
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    events = _t(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    return (
+        asof_join_last(orders, events, "user_id", "o_orderdate", "ts", "value", right_seq="event_id")
+        .select("o_orderkey", "user_id", F.col("value_asof"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "range_join_first_day_events",
+    oracle="""
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+SELECT f.user_id AS user_id, count(*) AS n_events
+FROM f JOIN events e
+  ON e.user_id = f.user_id
+ AND e.ts >= f.first_ts AND e.ts < f.first_ts + INTERVAL 1 DAY
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("range-join", "interval"),
+)
+def range_join_first_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: each user's event count within 24h of their first
+    event. OSS Spark would plan the raw inequality as a nested-loop join;
+    operators.rangejoin buckets time at the interval width and equi-joins
+    on (key, bucket) with a residual filter — a plain shuffled hash join
+    that scales like any other."""
+    from .operators.rangejoin import bucketed_range_join
+
+    events = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = bucketed_range_join(first, events, "user_id", "first_ts", "ts", F.lit(86400 * 1_000_000))
+    return j.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events")).orderBy("user_id")
+
+
+@register(
+    "union_all_key_counts",
+    oracle="""
+SELECT key, count(*) AS n FROM (
+  SELECT o_custkey AS key FROM orders
+  UNION ALL
+  SELECT c_custkey AS key FROM customer
+) GROUP BY key ORDER BY key
+""",
+    tags=("set-ops", "union"),
+)
+def union_all_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (unionByName) + re-aggregation."""
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    return (
+        orders.unionByName(cust).groupBy("key").agg(F.count(F.lit(1)).alias("n")).orderBy("key")
+    )
+
+
+@register(
+    "a3_value_counts_nation",
+    oracle="""
+SELECT n.n_name AS nation, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY n_customers DESC, nation
+""",
+    tags=("A3", "value-counts", "J1"),
+)
+def a3_value_counts_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 value_counts (analyse.py:419): count-per-dimension with
+    descending ranking, dimension resolved through a broadcast dim join."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), "nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# The sanctioned Python-UDF surface (SURVEY.md §2.10), differential-checked
+# against pure-SQL oracles: the Arrow path must agree with codegen exactly.
+# --------------------------------------------------------------------------
+
+@register(
+    "udf_scalar_age_group",
+    oracle="""
+SELECT p_partkey, p_size,
+       CASE WHEN p_size BETWEEN 18 AND 19 THEN '18-19'
+            WHEN p_size BETWEEN 20 AND 25 THEN '20-25'
+            WHEN p_size >= 26 THEN '26+' END AS age_group
+FROM part ORDER BY p_partkey
+""",
+    tags=("udf", "pandas_udf", "F3"),
+)
+def udf_scalar_age_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Series→Series, Arrow-vectorized) — the F3
+    age-group bucketing run through the Python surface and checked
+    against the native CASE expression."""
+    from .datapipe.udfs import age_group_pandas_udf
+
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", "p_size", age_group_pandas_udf(F.col("p_size")).alias("age_group")
+    ).orderBy("p_partkey")
+
+
+@register(
+    "udf_grouped_first_last",
+    oracle="""
+SELECT event_type,
+       arg_min(value, event_id) AS first_value,
+       arg_max(value, event_id) AS last_value,
+       min(event_id)::DOUBLE AS first_order,
+       max(event_id)::DOUBLE AS last_order,
+       count(*) AS n_rows
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("udf", "applyInPandas", "A4"),
+)
+def udf_grouped_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the per-group escape hatch) — A4
+    first/last extraction through the Python surface, checked against the
+    arg_min/arg_max SQL the native operator compiles to."""
+    from .datapipe.udfs import first_last_apply_in_pandas
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("event_id").cast("double").alias("event_id"), "value"
+    )
+    return first_last_apply_in_pandas(ev, ["event_type"], "event_id", "value").orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Streaming jobs 2 and 3 (job 1, tumbling counts, registers in catalog_ext):
+# the full §2.11 set each driven end-to-end and checked against the
+# equivalent batch SQL — streaming and batch must agree on static input.
+# --------------------------------------------------------------------------
+
+@register(
+    "streaming_sliding_avg",
+    oracle=f"""
+WITH w AS (
+  SELECT value, make_timestamp(g.s) AS window_start
+  FROM events,
+       UNNEST(generate_series(((epoch_us(ts) - 10800000000) // 3600000000 + 1) * 3600000000,
+                              (epoch_us(ts) // 3600000000) * 3600000000,
+                              3600000000)) AS g(s)
+)
+SELECT window_start, count(*) AS n_events,
+       {SQL_DAVG.format(x='value')} AS avg_value
+FROM w GROUP BY 1 ORDER BY 1
+""",
+    tags=("streaming", "window", "sliding", "W3"),
+)
+def streaming_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3's streaming analog: 3-hour windows sliding hourly, value mean
+    per window (quantized micro-unit mean so the result is bit-stable
+    cross-engine). The oracle expands each event to its 3 covering
+    windows and re-aggregates."""
+    from .functions import davg
+    from .streaming import read_events_stream, run_stream_to_memory
+
+    ev = read_events_stream(spark, sf_dir)
+    stream = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "3 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), davg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+    return run_stream_to_memory(stream).orderBy("window_start")
+
+
+@register(
+    "streaming_keyed_deltas",
+    oracle="""
+SELECT user_id, event_id,
+       value - lag(value) OVER w AS delta_value,
+       (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 60000000.0 AS delta_minutes
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY lag(value) OVER w IS NOT NULL
+ORDER BY user_id, event_id
+""",
+    tags=("streaming", "stateful", "W1"),
+)
+def streaming_keyed_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1's streaming analog: per-user value deltas via
+    applyInPandasWithState (O(1) keyed state carried across
+    micro-batches), checked against the batch lag() window — the first
+    event of each key yields nothing in both."""
+    from .streaming import read_events_stream, run_stream_to_memory, stateful_per_key_deltas
+
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        run_stream_to_memory(stateful_per_key_deltas(ev), output_mode="append")
+        .orderBy("user_id", "event_id")
     )

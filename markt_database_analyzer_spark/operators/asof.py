@@ -1,0 +1,62 @@
+"""As-of (point-in-time) join — an operator family the reference never
+needed (SURVEY.md §2.3 marks it absent) but a time-series/training
+pipeline does: for each left row, attach the most recent right-side value
+at or before the left row's time, per key.
+
+Spark has no native ASOF join; the naive encoding (inequality join +
+max_by) explodes to O(left × right-per-key) intermediate rows. The
+scalable plan here is the **union-sentinel** form:
+
+    tag left rows (probe) and right rows (state) → unionByName
+    → one window per key ordered by (time, side, seq)
+    → ``last(value, ignorenulls=True)`` over unbounded-preceding
+    → keep probe rows
+
+One shuffle (the window partitioning), O(1) state per row, no row
+explosion — the same merge-scan shape kdb/DuckDB execute natively. Ties:
+a right row at exactly t is visible to a left row at t (<=-semantics,
+side ordering), and equal-time right rows resolve by ``right_seq``
+(latest wins), which callers should pass to make the pick total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_last(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    value_col: str,
+    right_seq: str | None = None,
+) -> DataFrame:
+    """Left as-of join: all ``left`` columns plus ``<value_col>_asof`` =
+    the ``value_col`` of the latest right row with
+    ``right_time <= left_time`` for the same ``key`` (null if none)."""
+    out_col = f"{value_col}_asof"
+    seq = F.col(right_seq) if right_seq else F.lit(0)
+    lt = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1)).withColumn(
+        "_seq", F.lit(None).cast("long")
+    ).withColumn("_v", F.lit(None).cast(right.schema[value_col].dataType))
+    rt = right.select(
+        F.col(key),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        seq.cast("long").alias("_seq"),
+        F.col(value_col).alias("_v"),
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_side", "_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn(out_col, F.last("_v", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .drop("_t", "_side", "_seq", "_v")
+    )

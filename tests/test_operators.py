@@ -139,3 +139,50 @@ def test_top_k_per_group(spark):
     )
     got = top_k_per_group(df, ["k"], [F.desc("v")], k=2).orderBy("k", "rank").collect()
     assert [(r["k"], r["v"], r["rank"]) for r in got] == [("g", 5, 1), ("g", 3, 2), ("h", 9, 1)]
+
+
+def test_asof_join_last_picks_latest_at_or_before(spark):
+    from markt_database_analyzer_spark.operators import asof_join_last
+
+    left = spark.createDataFrame(
+        [("k1", 10, "o1"), ("k1", 5, "o2"), ("k2", 7, "o3"), ("k3", 1, "o4")],
+        "key string, t long, oid string",
+    )
+    right = spark.createDataFrame(
+        [("k1", 5, 100.0, 1), ("k1", 5, 200.0, 2), ("k1", 8, 300.0, 3), ("k2", 9, 400.0, 4)],
+        "key string, t long, v double, seq long",
+    )
+    got = {
+        r["oid"]: r["v_asof"]
+        for r in asof_join_last(left, right, "key", "t", "t", "v", right_seq="seq").collect()
+    }
+    # o1@10: latest right <=10 is t=8 -> 300; o2@5: tie at t=5 resolved by
+    # seq (latest wins) -> 200; o3@7: right events only at t=9 -> null;
+    # o4: no right rows for k3 -> null.
+    assert got == {"o1": 300.0, "o2": 200.0, "o3": None, "o4": None}
+
+
+def test_bucketed_range_join_boundaries(spark):
+    from pyspark.sql import functions as F
+    from markt_database_analyzer_spark.operators import bucketed_range_join
+
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00")], "key string, start string"
+    ).withColumn("start", F.to_timestamp("start"))
+    right = spark.createDataFrame(
+        [
+            ("u1", "2023-12-31 23:59:59", "before"),
+            ("u1", "2024-01-01 00:00:00", "at-start"),      # inclusive
+            ("u1", "2024-01-01 12:00:00", "inside"),
+            ("u1", "2024-01-02 00:00:00", "at-end"),        # exclusive
+            ("u2", "2024-01-01 12:00:00", "other-key"),
+        ],
+        "key string, t string, tag string",
+    ).withColumn("t", F.to_timestamp("t"))
+    got = sorted(
+        r["tag"]
+        for r in bucketed_range_join(
+            left, right, "key", "start", "t", F.lit(86400 * 1_000_000)
+        ).collect()
+    )
+    assert got == ["at-start", "inside"]
