@@ -229,7 +229,7 @@ per_order AS (
          min(age_days) AS first_order,
          max(age_days) AS last_order,
          count(*) AS n_rows,
-         count(DISTINCT age_days) AS n_distinct_order,
+         min(age_days) <> max(age_days) AS order_varies,
          min(posting_month) AS posting_month
   FROM ranked GROUP BY l_orderkey
 ),
@@ -237,7 +237,7 @@ rates AS (
   SELECT posting_month,
          greatest(0.0, (last_value - first_value) / (last_order - first_order)) AS rate
   FROM per_order
-  WHERE n_rows >= 2 AND n_distinct_order > 1 AND last_order - first_order > 0
+  WHERE n_rows >= 2 AND order_varies AND last_order - first_order > 0
 ),
 monthly AS (
   SELECT posting_month, {SQL_DAVG.format(x='rate')} AS avg_rate
@@ -278,7 +278,7 @@ def b2_initial_rate_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         carry={"posting_month": F.col("posting_month")},
     )
     rates = (
-        per_order.filter((F.col("n_rows") >= 2) & (F.col("n_distinct_order") > 1))
+        per_order.filter((F.col("n_rows") >= 2) & F.col("order_varies"))
         .withColumn("dt", F.col("last_order") - F.col("first_order"))
         .filter(F.col("dt") > 0)
         .withColumn("rate", clip_at_zero((F.col("last_value") - F.col("first_value")) / F.col("dt")))

@@ -48,10 +48,17 @@ def first_last_by_order(
     ``order`` (optionally under different row-conditions for each end).
 
     Output columns: group_keys + first_value, last_value, first_order,
-    last_order, n_rows, n_distinct_order (+ any ``carry`` aggregates, each
+    last_order, n_rows, order_varies (+ any ``carry`` aggregates, each
     taken with ``min`` — the reference reads these off an arbitrary group row
     because they are constant within the group (analyse.py:273,474); ``min``
     gives that value deterministically).
+
+    ``order_varies`` is the A5 "more than one distinct order" guard
+    (``nunique > 1``, analyse.py:259) compiled to ``min(order) !=
+    max(order)`` — exactly equivalent for the >1 test, and crucially NOT a
+    distinct aggregation: ``countDistinct`` here would force a second
+    shuffle on (group, order) plus per-partition sort-aggregates, the
+    dominant cost of this operator at scale.
     """
     first_key = _ordering(order, first_cond, tiebreak)
     last_key = _ordering(order, last_cond, tiebreak)
@@ -61,7 +68,7 @@ def first_last_by_order(
         F.min(F.when(first_cond, order) if first_cond is not None else order).alias("first_order"),
         F.max(F.when(last_cond, order) if last_cond is not None else order).alias("last_order"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct(order).alias("n_distinct_order"),
+        (F.min(order) != F.max(order)).alias("order_varies"),
     ]
     for name, col in (carry or {}).items():
         aggs.append(F.min(col).alias(name))

@@ -105,7 +105,7 @@ def initial_rate_by_posting_hour(
     )
     rates = (
         per_push.filter(
-            (F.col("n_rows") >= 2) & (F.col("n_distinct_order") > 1)  # analyse.py:259
+            (F.col("n_rows") >= 2) & F.col("order_varies")  # analyse.py:259
         )
         .withColumn("delta_t", F.col("last_order") - F.col("first_order"))
         .filter(F.col("delta_t") > 0)  # analyse.py:267

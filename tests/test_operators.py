@@ -186,3 +186,14 @@ def test_bucketed_range_join_boundaries(spark):
         ).collect()
     )
     assert got == ["at-start", "inside"]
+
+
+def test_approx_count_distinct_error_bounded(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20_000).select((F.col("id") % 5_000).alias("k"))
+    row = df.agg(
+        F.approx_count_distinct("k").alias("approx"), F.countDistinct("k").alias("exact")
+    ).first()
+    # default rsd is 5%; assert a loose 10% envelope so the test is stable
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.10
