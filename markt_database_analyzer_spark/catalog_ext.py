@@ -25,6 +25,7 @@ from .datapipe import multimodal as mm
 from .datapipe import similarity as sim
 from .datapipe import text as tx
 from .datapipe.hashing import hash60, sql_hash60
+from .datapipe.util import fan_out
 
 # --------------------------------------------------------------------------
 # Deduplication
@@ -43,7 +44,7 @@ FROM documents GROUP BY 1 ORDER BY content_hash
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash-groupBy; survivor = min doc_id.
     Shuffle key is the 60-bit hash, never the document body."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return dd.exact_dedup_groups(docs, "text", "doc_id").orderBy("content_hash")
 
 
@@ -60,7 +61,7 @@ FROM documents GROUP BY 1 ORDER BY fp
 def dedup_fingerprint_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words near-dup dedup: group by the sorted-distinct-token-set
     fingerprint (word-order-insensitive duplicate key)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return (
         docs.withColumn("fp", tx.fingerprint_tokenset("text"))
         .groupBy("fp")
@@ -320,7 +321,7 @@ FROM documents ORDER BY doc_id
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language-ID heuristic, deterministic argmax."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
@@ -350,7 +351,7 @@ FROM t ORDER BY doc_id
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized quality features + composite score (C4/Gopher-filter
     shape, fixed weights)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     feats = tx.quality_features("text")
     return docs.select(
         "doc_id",
@@ -373,7 +374,7 @@ FROM documents ORDER BY doc_id
 )
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex pieces."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         tx.token_count_whitespace("text").cast("long").alias("n_ws_tokens"),
@@ -394,7 +395,7 @@ FROM documents ORDER BY doc_id
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: order-insensitive token-set hash + first-8-
     token prefix hash (truncation-duplicate key)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         tx.fingerprint_tokenset("text").alias("fp_tokenset"),
@@ -421,7 +422,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata extraction (no decode): byte length, content
     id, magic-byte format sniff. Payloads here are encoded text stand-ins,
     so the sniffed format is 'unknown' by construction."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     with_payload = docs.withColumn("payload", mm.to_payload("text"))
     meta = with_payload.withColumn("meta", mm.payload_meta("payload"))
     return meta.select(

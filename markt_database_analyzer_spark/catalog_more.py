@@ -479,3 +479,72 @@ def streaming_keyed_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_memory(stateful_per_key_deltas(ev), output_mode="append")
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "salted_join_revenue",
+    oracle=f"""
+SELECT o.o_orderpriority AS priority,
+       {SQL_DSUM.format(x='l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY priority
+""",
+    tags=("skew", "salting", "J1"),
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 revenue query through operators.skew.salted_join (16 buckets,
+    deterministic hash salt) — same oracle as j1_revenue_by_priority, so
+    the gate proves salting is row-identical to the plain join. The tool
+    for hot keys a single shuffle partition can't hold (beyond what AQE
+    skew-splitting fixes at runtime)."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "k")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"), "o_orderpriority")
+    )
+    j = salted_join(li, orders, on=["k"], salt_from="l_linenumber", buckets=16)
+    return (
+        j.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "session_window_native",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id, make_timestamp(min(us)) AS session_start, count(*) AS n_events
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+""",
+    tags=("sessionization", "session_window"),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` (30-min gap) — the built-in merging
+    session operator, checked against the independent lag+running-sum
+    formulation the manual ``sessionize_events`` entry uses. Works
+    identically over ``readStream`` (append mode + watermark) — this
+    batch form shares the plan."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .orderBy("user_id", "session_start")
+    )

@@ -7,3 +7,4 @@ from .spine import join_spine, numeric_spine  # noqa: F401
 from .topk import top_k_per_group  # noqa: F401
 from .asof import asof_join_last  # noqa: F401
 from .rangejoin import bucketed_range_join  # noqa: F401
+from .skew import salted_join  # noqa: F401
