@@ -1,0 +1,75 @@
+"""Physical-plan regression tests (SURVEY.md §4): the scale properties the
+engine promises are asserted on the optimized plans themselves, so a
+refactor that silently degrades a plan (loses a broadcast, blocks
+pushdown, introduces a nested-loop join) fails CI, not a 100 TB run.
+
+Streaming entries are skipped (their plan exists only inside a running
+query); everything else is pure `.explain` inspection — no job runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from markt_database_analyzer_spark.catalog import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+STREAMING = {name for name, spec in REGISTRY.items() if "streaming" in spec.tags}
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(set(REGISTRY) - STREAMING))
+def test_no_cartesian_or_nested_loop_join(spark, name):
+    """Engine-wide invariant: no catalog plan degenerates to a cartesian
+    product or nested-loop join — every join is hash/sort-merge/broadcast
+    on real keys (the bucketed range join exists precisely to keep
+    interval predicates out of BroadcastNestedLoopJoin)."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    # Principled exceptions — operators that are all-pairs BY DEFINITION,
+    # where a broadcast nested loop of a small side is the correct plan:
+    #   similarity_ivf_topk        probe stage crossJoins queries × a
+    #                              handful of centroids
+    #   similarity_bruteforce_topk exact kNN IS scan × broadcast(queries);
+    #                              the scalable alternative is the IVF entry
+    #   dedup_ngram_jaccard_sample all-pairs verifier on an explicit
+    #                              sample; at scale it runs on LSH
+    #                              candidates (dedup_minhash_lsh), which
+    #                              equi-join
+    allowed_bnlj = {
+        "similarity_ivf_topk",
+        "similarity_bruteforce_topk",
+        "dedup_ngram_jaccard_sample",
+    }
+    if name not in allowed_bnlj:
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name", ["j1_revenue_by_priority", "c_gain_by_nation", "a3_value_counts_nation"]
+)
+def test_dim_joins_broadcast(spark, name):
+    """Dimension joins must broadcast — a shuffled join against a small
+    dim would add an exchange of the full fact side."""
+    assert "BroadcastHashJoin" in _plan(spark, name), name
+
+
+def test_column_pruning_reaches_scan(spark):
+    """S2: a two-column projection must not scan all lineitem columns."""
+    plan = _plan(spark, "a4_first_last_per_order")
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    assert "l_comment" not in scan and "l_shipmode" not in scan
+    assert "l_orderkey" in scan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """Predicate pushdown: the IN-list filter must appear in PushedFilters,
+    not only as a post-scan Filter node."""
+    plan = _plan(spark, "p_filters_inlist")
+    assert "PushedFilters: [" in plan
+    assert "In(p_container" in plan or "In(p_brand" in plan or "IsNotNull" in plan
