@@ -3,6 +3,8 @@ from .readers import (  # noqa: F401
     PROFILES_SCHEMA,
     TESTDATA_TABLES,
     load_tables,
+    read_jsonl,
     read_table,
     register_views,
 )
+from .sinks import write_partitioned  # noqa: F401

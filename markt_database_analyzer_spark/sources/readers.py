@@ -116,3 +116,23 @@ def read_sqlite(spark: SparkSession, db_path: str, table: str) -> DataFrame:
             "SQLite JDBC driver not on classpath; add sqlite-jdbc jar via "
             "spark.jars to use read_sqlite"
         ) from exc
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSONL (one JSON document per line) source with an EXPLICIT schema —
+    the standard interchange format for document/training-data pipelines.
+
+    Schema inference over JSON costs a full extra pass of the input and
+    can silently widen types between runs; at 100 TB both are
+    unacceptable, so the schema argument is mandatory. Corrupt lines land
+    in ``_corrupt_record`` (PERMISSIVE mode) instead of failing the job —
+    the reference's errors='coerce' philosophy applied to the source
+    boundary.
+    """
+    full_schema = schema.add("_corrupt_record", T.StringType())
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

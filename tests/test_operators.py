@@ -197,3 +197,47 @@ def test_approx_count_distinct_error_bounded(spark):
     ).first()
     # default rsd is 5%; assert a loose 10% envelope so the test is stable
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.10
+
+
+def test_write_partitioned_roundtrip_and_layout(spark, tmp_path):
+    import os
+    from pyspark.sql import functions as F
+    from markt_database_analyzer_spark.sources import write_partitioned
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 3).alias("part"), (F.col("id") * 2.0).alias("v")
+    )
+    out = str(tmp_path / "parts")
+    write_partitioned(df, out, partition_by=["part"], sort_within=["id"])
+    # hive-style partition directories exist
+    assert sorted(d for d in os.listdir(out) if d.startswith("part=")) == [
+        "part=0", "part=1", "part=2",
+    ]
+    # one shuffle-owned file per partition value, not task-count x values
+    for d in ("part=0", "part=1", "part=2"):
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, files
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).first()[0] == sum(i * 2.0 for i in range(1000))
+
+
+def test_read_jsonl_explicit_schema_and_corrupt_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+    from markt_database_analyzer_spark.sources import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        'not json at all\n'
+        '{"doc_id": 2, "text": "zweites dokument"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    df = read_jsonl(spark, str(p), schema)
+    rows = df.orderBy("doc_id").collect()
+    good = [(r["doc_id"], r["text"]) for r in rows if r["_corrupt_record"] is None]
+    bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
+    assert good == [(1, "hello world"), (2, "zweites dokument")]
+    assert bad == ["not json at all"]
