@@ -469,3 +469,98 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = tumbling_counts(read_events_stream(spark, sf_dir))
     return run_stream_to_memory(stream).orderBy("window_start")
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({tx.sql_tokens('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         round(t.tf * ln(n.n_docs::DOUBLE / d.dfreq), 9) AS score
+  FROM tf t JOIN dfx d USING (term), n
+)
+SELECT doc_id, term, tf, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3 ORDER BY doc_id, score DESC, term
+""",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document, entirely as aggregations: explode
+    tokens → per-(doc,term) counts → document frequency → ln(N/df) weight
+    → per-doc top-k window. N enters the plan as a broadcast 1-row
+    aggregate, so the whole thing is one lazy pipeline (no driver-side
+    collect). Scores round to 9 dp for stable rank boundaries."""
+    from pyspark.sql import Window
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfx, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("dfreq")), 9),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "score")
+        .orderBy("doc_id", F.desc("score"), "term")
+    )
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({tx.sql_tokens('text')}) AS term FROM documents),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_hits, sum(lex.weight) AS total
+  FROM tok t JOIN {tx.sql_sentiment_lexicon_values()} ON t.term = lex.word
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       round(COALESCE(h.total, 0)::DOUBLE / len({tx.sql_tokens('d.text')}), 9) AS sentiment
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+""",
+    tags=("text", "sentiment", "lexicon-join"),
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-join sentiment: explode tokens, broadcast-join the valence
+    lexicon, integer-sum per document, normalize by token count. The
+    lexicon is the canonical tiny-broadcast-dim; the integer sum keeps the
+    score deterministic under any partitioning."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    lex = docs.sparkSession.createDataFrame(
+        list(tx.SENTIMENT_LEXICON.items()), "word string, weight int"
+    )
+    tok = docs.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
+    hits = (
+        tok.join(F.broadcast(lex), tok.term == lex.word)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.sum("weight").alias("total"))
+    )
+    base = docs.select("doc_id", F.size(tx.tokens("text")).alias("n_tokens"))
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("total"), F.lit(0)).cast("double") / F.col("n_tokens"), 9
+            ).alias("sentiment"),
+        )
+        .orderBy("doc_id")
+    )

@@ -148,3 +148,21 @@ def fingerprint_prefix(col: Column | str, k: int = 8) -> Column:
 
 def sql_fingerprint_prefix(expr: str, k: int = 8) -> str:
     return sql_hash60(f"array_to_string(list_slice({sql_tokens(expr)}, 1, {k}), ' ')")
+
+
+# Tiny fixed sentiment lexicon (AFINN-shaped: word → integer valence).
+# A real deployment swaps in a full lexicon file broadcast the same way;
+# the operator shape (explode → broadcast lexicon join → per-doc fusion)
+# is what matters at the engine level.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "good": 3, "great": 4, "excellent": 5, "love": 3, "best": 3,
+    "happy": 3, "wonderful": 4, "amazing": 4, "gut": 3, "super": 3,
+    "bad": -3, "terrible": -4, "awful": -4, "hate": -3, "worst": -4,
+    "sad": -2, "poor": -2, "broken": -2, "schlecht": -3, "problem": -1,
+}
+
+
+def sql_sentiment_lexicon_values(alias: str = "lex") -> str:
+    """DuckDB VALUES rendering of the lexicon for oracle SQL."""
+    rows = ", ".join(f"('{w}', {v})" for w, v in SENTIMENT_LEXICON.items())
+    return f"(VALUES {rows}) AS {alias}(word, weight)"

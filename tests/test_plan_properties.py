@@ -41,10 +41,13 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
     #                              sample; at scale it runs on LSH
     #                              candidates (dedup_minhash_lsh), which
     #                              equi-join
+    #   text_tfidf_top_terms       injects the 1-row corpus-size aggregate
+    #                              via crossJoin(broadcast(N))
     allowed_bnlj = {
         "similarity_ivf_topk",
         "similarity_bruteforce_topk",
         "dedup_ngram_jaccard_sample",
+        "text_tfidf_top_terms",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

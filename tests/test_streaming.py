@@ -70,3 +70,63 @@ def test_stateful_deltas_match_batch_lag(spark):
     for k in got:
         assert abs(got[k][0] - want[k][0]) < 1e-9
         assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """The late-data policy, observed end-to-end: an event arriving in a
+    later micro-batch, older than the watermark, must be DROPPED from its
+    (already-closed) window; on-time windows emit exactly once in append
+    mode when the watermark passes their end."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+
+    def write(name, ts_list):
+        t = pa.table({"ts": pa.array(ts_list, type=pa.timestamp("us"))})
+        pq.write_table(t, str(d / name))
+
+    from datetime import datetime
+
+    # batch 1: two events in the 10:00 window, one at 11:00 that advances
+    # the watermark to 10:30 (30-min delay)
+    write(
+        "b1.parquet",
+        [
+            datetime(2024, 1, 1, 10, 0, 1),
+            datetime(2024, 1, 1, 10, 5, 0),
+            datetime(2024, 1, 1, 11, 0, 0),
+        ],
+    )
+
+    stream = spark.readStream.schema("ts timestamp").parquet(str(d))
+    from markt_database_analyzer_spark.streaming import tumbling_counts
+
+    q = (
+        tumbling_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_drop_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 → watermark becomes 10:30
+        # batch 2: a late event at 09:50 (window end 10:00 <= watermark →
+        # dropped) and an on-time event at 11:05 (its window stays open)
+        write(
+            "b2.parquet", [datetime(2024, 1, 1, 9, 50, 0), datetime(2024, 1, 1, 11, 5, 0)]
+        )
+        time.sleep(0.2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r["window_start"]: r["n_events"]
+        for r in spark.table("wm_drop_test").collect()
+    }
+    # only the 10:00 window closed; the late 09:50 event created no window
+    # and the 11:00/11:05 windows are still open (unemitted in append mode)
+    assert rows == {datetime(2024, 1, 1, 10, 0, 0): 2}
