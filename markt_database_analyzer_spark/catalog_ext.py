@@ -564,3 +564,20 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "similarity_ivf_kmeans_topk",
+    oracle=None,  # iterative float k-means is not reasonably SQL-expressible;
+    # the strong check is tests/test_datapipe.py::test_ivf_recall_against_bruteforce
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a LEARNED coarse quantizer: 3 distributed Lloyd
+    iterations (broadcast-assign / posexplode-mean re-estimate), then the
+    standard nprobe search. Recall@10 vs brute force is pinned in the
+    test layer (0.88 at sf0.01/nprobe=2 vs 0.30 for the label cells)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    learned = sim.kmeans_cells(emb, k=10, iters=3)
+    queries = learned.filter(F.col("vec_id") < 10)
+    return sim.ivf_topk(learned, queries, k=5, nprobe=2, cell_col="cell")

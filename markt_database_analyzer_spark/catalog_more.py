@@ -548,3 +548,53 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "sql_api_revenue",
+    oracle=f"""
+SELECT o.o_orderpriority AS priority,
+       {SQL_DSUM.format(x='l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY priority
+""",
+    tags=("sql-api", "J1"),
+)
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: the J1 revenue query written as ANSI SQL
+    over registered views (sources.register_views) instead of the
+    DataFrame API — same logical plan, same oracle, proving the two
+    APIs are interchangeable front-ends to one Catalyst pipeline."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority AS priority,
+               CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000.0)
+                        AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority ORDER BY priority
+        """
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id, unnest(generate_series(0, octet_length(encode(text)) // 100, 10)) AS frame_idx
+FROM documents ORDER BY doc_id, frame_idx
+""",
+    tags=("multimodal", "frame-sample"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame-sampling plumbing without a codec: one row per sampled
+    frame index, derived from payload size — the partition-preserving
+    explode pattern a real frame sampler drops into."""
+    docs = _t(spark, sf_dir, "documents")
+    from .datapipe import multimodal as mm
+
+    with_payload = docs.select("doc_id", mm.to_payload("text").alias("payload"))
+    return mm.frame_sample_plan(with_payload, every_n=10).orderBy("doc_id", "frame_idx")

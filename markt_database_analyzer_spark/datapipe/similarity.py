@@ -182,3 +182,68 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", "cos")
         .orderBy("id_a", "id_b")
     )
+
+
+def assign_cells(corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Assign each vector to its nearest centroid (argmin squared L2,
+    deterministic cell-id tiebreak). ``cents`` is (cell, centroid) and is
+    broadcast — the corpus never shuffles."""
+    sq = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "cell")
+    return (
+        fan_out(corpus)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("dist", sq)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("dist", "_rn", "centroid")
+    )
+
+
+def kmeans_cells(
+    corpus: DataFrame,
+    k: int = 10,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Learn an IVF coarse quantizer with ``iters`` distributed Lloyd
+    iterations: deterministic seeding (the k lowest-id vectors), then
+    assign (broadcast centroids, no corpus shuffle) / re-estimate
+    (posexplode + per-dimension mean) rounds. Returns the corpus with a
+    ``cell`` column — the input ``ivf_topk`` expects. Each iteration is
+    one broadcast + one aggregation; at 100 TB this is the standard
+    Spark k-means shape (MLlib's kmeans|| differs only in seeding).
+
+    Centroids are O(k·dims) model state, so each iteration materializes
+    them on the driver (``collect`` of k tiny rows) and re-injects them
+    as a literal frame — truncating the lineage that would otherwise
+    re-run every prior iteration in every consumer branch (MLlib keeps
+    centroids driver-side for the same reason)."""
+    spark = corpus.sparkSession
+
+    def materialize(cdf: DataFrame) -> DataFrame:
+        rows = [(int(r["cell"]), list(r["centroid"])) for r in cdf.collect()]
+        return spark.createDataFrame(rows, "cell int, centroid array<double>")
+
+    cents = materialize(
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("centroid"))
+        .withColumn("cell", F.row_number().over(Window.orderBy("centroid")) - 1)
+        .select("cell", "centroid")
+    )
+    assigned = corpus
+    for i in range(iters):
+        assigned = assign_cells(corpus, cents, id_col, vec_col)
+        if i < iters - 1:
+            cents = materialize(ivf_centroids(assigned, cell_col="cell", vec_col=vec_col))
+    # persist the final assignment: every IVF consumer (centroid
+    # estimation, probe, scoring) branches off it, and recomputing the
+    # assignment pass per branch dominates otherwise. The caller owns the
+    # cache lifetime (same contract as MLlib model dataframes).
+    return assigned.persist()

@@ -43,9 +43,12 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
     #                              equi-join
     #   text_tfidf_top_terms       injects the 1-row corpus-size aggregate
     #                              via crossJoin(broadcast(N))
+    #   similarity_ivf_kmeans_topk Lloyd assignment crossJoins the corpus
+    #                              with the broadcast k-row centroid set
     allowed_bnlj = {
         "similarity_ivf_topk",
         "similarity_bruteforce_topk",
+        "similarity_ivf_kmeans_topk",
         "dedup_ngram_jaccard_sample",
         "text_tfidf_top_terms",
     }
