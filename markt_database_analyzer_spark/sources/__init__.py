@@ -8,3 +8,4 @@ from .readers import (  # noqa: F401
     register_views,
 )
 from .sinks import write_partitioned  # noqa: F401
+from . import plots  # noqa: F401

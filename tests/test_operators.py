@@ -241,3 +241,33 @@ def test_read_jsonl_explicit_schema_and_corrupt_lines(spark, tmp_path):
     bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
     assert good == [(1, "hello world"), (2, "zweites dokument")]
     assert bad == ["not json at all"]
+
+
+def test_plot_sink_collect_discipline(spark):
+    """S5 plot sinks: a frame that is not a small aggregate must be refused
+    before it reaches the driver; missing columns fail fast; and without
+    matplotlib installed the error is actionable."""
+    import pytest
+    from pyspark.sql import functions as F
+    from markt_database_analyzer_spark.sources import plots
+
+    big = spark.range(0, plots.MAX_PLOT_ROWS + 10).select(
+        F.col("id").alias("bin"), F.lit(1.0).alias("smoothed_rate")
+    )
+    with pytest.raises(ValueError, match="refused"):
+        plots.plot_rate_curve(big, "/tmp/never.png")
+
+    small = spark.range(0, 5).select(F.col("id").alias("bin"), F.lit(1.0).alias("rate"))
+    with pytest.raises(ValueError, match="missing columns"):
+        plots.plot_rate_curve(small, "/tmp/never.png")  # no smoothed_rate col
+
+    ok = small.withColumnRenamed("rate", "smoothed_rate")
+    try:
+        import matplotlib  # noqa: F401
+
+        has_mpl = True
+    except ImportError:
+        has_mpl = False
+    if not has_mpl:
+        with pytest.raises(RuntimeError, match="matplotlib is not installed"):
+            plots.plot_rate_curve(ok, "/tmp/never.png")
