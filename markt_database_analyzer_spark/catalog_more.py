@@ -598,3 +598,63 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with_payload = docs.select("doc_id", mm.to_payload("text").alias("payload"))
     return mm.frame_sample_plan(with_payload, every_n=10).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "grouping_sets_status_priority",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       {SQL_DSUM.format(x='o_totalprice')} AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority
+""",
+    tags=("grouping-sets", "A8"),
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form cube/rollup specialize):
+    per-status, per-priority, and grand-total rows in one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1000000.0 AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+@register(
+    "streaming_enrich_static_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment, count(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY segment
+""",
+    tags=("streaming", "stream-static-join"),
+)
+def streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (broadcast per micro-batch — the canonical streaming enrich
+    pattern), then aggregates per segment. Batch oracle on the same
+    static input."""
+    from .streaming import read_events_stream, run_stream_to_memory
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return run_stream_to_memory(enriched).orderBy("segment")
