@@ -566,9 +566,8 @@ def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     over registered views (sources.register_views) instead of the
     DataFrame API — same logical plan, same oracle, proving the two
     APIs are interchangeable front-ends to one Catalyst pipeline."""
-    from .sources import register_views
-
-    register_views(spark, sf_dir)
+    for t in ("lineitem", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
         """
         SELECT o.o_orderpriority AS priority,
