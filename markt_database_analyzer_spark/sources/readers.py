@@ -69,6 +69,20 @@ PROFILES_SCHEMA = T.StructType(
 )
 
 
+def ensure_engine_conf(spark: SparkSession) -> None:
+    """Set the two runtime confs the engine's semantics depend on, so
+    every entry point works on ANY caller-provided SparkSession (the
+    driver contract hands us one we didn't build):
+
+    - ``nanosAsLong``: TIMESTAMP(NANOS) parquet (the events table) is
+      unreadable in Spark 4 without it — reads throw PARQUET_TYPE_ILLEGAL;
+    - UTC session timezone: hour/day extractions and timestamp collection
+      must agree with the UTC-naive at-rest data and external oracles.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one at-rest Parquet table (S1). Projection after this call is
     pruned into the scan by Catalyst (S2).
@@ -78,6 +92,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps with integer division — exact for the full int64 range and
     identical to the truncation µs-precision engines apply.
     """
+    ensure_engine_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name in ("ts",) and field.dataType.typeName() == "long":

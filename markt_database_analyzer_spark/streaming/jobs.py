@@ -52,6 +52,9 @@ _sink_counter = itertools.count()
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events table (file-source; in production the
     same plan runs off Kafka by swapping the source)."""
+    from ..sources.readers import ensure_engine_conf
+
+    ensure_engine_conf(spark)  # works on any caller-provided session
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
