@@ -581,3 +581,70 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned = sim.kmeans_cells(emb, k=10, iters=3)
     queries = learned.filter(F.col("vec_id") < 10)
     return sim.ivf_topk(learned, queries, k=5, nprobe=2, cell_col="cell")
+
+
+def _sql_clean_corpus(min_quality: float = 0.4) -> str:
+    toks = tx.sql_tokens("text")
+    pairs = _sql_minhash_lsh()
+    return f"""
+WITH pairs AS ({pairs}),
+meta AS (
+  SELECT doc_id,
+         {tx.sql_lang_id(toks)} AS lang_pred,
+         len({toks})::BIGINT AS n_tokens,
+         round({tx.sql_quality_score('text', toks)}, 9) AS quality,
+         {sql_hash60('text')} AS content_hash
+  FROM documents
+),
+exact AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS survivor FROM meta
+)
+SELECT doc_id, lang_pred, n_tokens, quality
+FROM exact
+WHERE doc_id = survivor
+  AND quality >= {min_quality}
+  AND doc_id NOT IN (SELECT id_b FROM pairs)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=_sql_clean_corpus(),
+    headline=True,
+    tags=("pipeline", "dedup", "text", "quality"),
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end-to-end as ONE lazy plan:
+    annotate (language-ID, quality, token count, content hash) → quality
+    gate → exact-dedup survivors → MinHash-LSH near-dup removal
+    (anti-join against verified pairs, lower id survives). This is the
+    flagship use of the datapipe layer; each stage is the operator its
+    own catalog entry tests in isolation."""
+    from pyspark.sql import Window as W
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    toks = tx.tokens("text")
+    meta = docs.select(
+        "doc_id",
+        tx.lang_id(toks).alias("lang_pred"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(tx.quality_score("text"), 9).alias("quality"),
+        hash60(F.col("text")).alias("content_hash"),
+    )
+    exact = meta.withColumn(
+        "survivor", F.min("doc_id").over(W.partitionBy("content_hash"))
+    )
+    kept = exact.filter((F.col("doc_id") == F.col("survivor")) & (F.col("quality") >= 0.4))
+    cand = dd.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=4)
+    neardup = (
+        dd.jaccard_pairs(docs, cand, "text", "doc_id")
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        kept.join(neardup, "doc_id", "left_anti")
+        .select("doc_id", "lang_pred", "n_tokens", "quality")
+        .orderBy("doc_id")
+    )

@@ -166,3 +166,16 @@ def sql_sentiment_lexicon_values(alias: str = "lex") -> str:
     """DuckDB VALUES rendering of the lexicon for oracle SQL."""
     rows = ", ".join(f"('{w}', {v})" for w, v in SENTIMENT_LEXICON.items())
     return f"(VALUES {rows}) AS {alias}(word, weight)"
+
+
+def sql_quality_score(text_expr: str, toks_expr: str) -> str:
+    """DuckDB rendering of :func:`quality_score` (same fixed weights)."""
+    markers = ", ".join(
+        repr(m) for m in sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    )
+    return (
+        f"(0.4 * (len(list_filter({toks_expr}, t -> t IN ({markers})))::DOUBLE / len({toks_expr}))"
+        f" + 0.4 * least(len({toks_expr})::DOUBLE / 100.0, 1.0)"
+        f" + 0.2 * (1.0 - least(((length({text_expr}) - length(regexp_replace({text_expr}, '[^\\w\\s]', '', 'g')))::DOUBLE"
+        f" / length({text_expr})) * 4, 1.0)))"
+    )
