@@ -657,3 +657,31 @@ def streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     return run_stream_to_memory(enriched).orderBy("segment")
+
+
+@register(
+    "udf_udtf_tokenize",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS token
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t != '') AS toks
+        FROM documents WHERE doc_id < 20)
+)
+SELECT doc_id, pos, token FROM tok ORDER BY doc_id, pos
+""",
+    tags=("udf", "udtf"),
+)
+def udf_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) — one row per token with its
+    position, checked against the equivalent unnest-with-subscripts SQL.
+    Completes the §2.10 surface: scalar pandas_udf, grouped-map
+    applyInPandas, mapInPandas, stateful, and UDTF."""
+    from .datapipe.udfs import tokenize_udtf_class
+
+    Tokenize = tokenize_udtf_class()
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (
+        docs.lateralJoin(Tokenize(F.col("text").outer()))
+        .select("doc_id", "pos", "token")
+        .orderBy("doc_id", "pos")
+    )

@@ -63,3 +63,25 @@ def first_last_apply_in_pandas(
         )
 
     return df.groupBy(*group_keys).applyInPandas(fn, schema=schema)
+
+
+def tokenize_udtf_class():
+    """The engine's UDTF surface (SURVEY.md §2.10 'UDTF: available if
+    needed'): a table function emitting (position, token) per input text,
+    lazily registered so importing this module never needs a live session.
+    Matches ``posexplode(tokens(text))`` exactly — the catalog entry
+    differential-checks the UDTF path against that SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            pos = 0
+            for tok in text.strip().lower().split():
+                if tok:
+                    yield pos, tok
+                    pos += 1
+
+    return Tokenize
