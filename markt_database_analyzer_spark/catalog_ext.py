@@ -112,11 +112,14 @@ ORDER BY id_a, id_b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) candidate pairs, verified with exact
     shingle Jaccard >= 0.5. Signature computation is row-local column math;
-    only (band_id, band_hash, doc_id) ever shuffles."""
+    only (band_id, band_hash, doc_id) ever shuffles. The composed operator
+    persists the shingle projection so the corpus is tokenized+hashed once,
+    not once per self-join branch; the final single-partition sort replaces
+    a global orderBy (no range-exchange over the whole pair plan — the
+    driver's comparison is order-insensitive, the sort is cosmetic)."""
     docs = _t(spark, sf_dir, "documents")
-    cand = dd.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=4)
-    pairs = dd.jaccard_pairs(docs, cand, "text", "doc_id")
-    return pairs.filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
+    pairs = dd.minhash_neardup_pairs(docs, "text", "doc_id", num_hashes=16, bands=4)
+    return pairs.repartition(1).sortWithinPartitions("id_a", "id_b")
 
 
 def _sql_simhash(bits: int = 60) -> str:
@@ -636,15 +639,14 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "survivor", F.min("doc_id").over(W.partitionBy("content_hash"))
     )
     kept = exact.filter((F.col("doc_id") == F.col("survivor")) & (F.col("quality") >= 0.4))
-    cand = dd.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=4)
     neardup = (
-        dd.jaccard_pairs(docs, cand, "text", "doc_id")
-        .filter(F.col("jaccard") >= 0.5)
+        dd.minhash_neardup_pairs(docs, "text", "doc_id", num_hashes=16, bands=4)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
     return (
         kept.join(neardup, "doc_id", "left_anti")
         .select("doc_id", "lang_pred", "n_tokens", "quality")
-        .orderBy("doc_id")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .hashing import hash60
 from .text import tokens
@@ -126,6 +127,22 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     return F.array(*entries)
 
 
+def shingle_projection(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """``(doc, sh array<string>)`` — the shared input of signature
+    computation and exact-Jaccard verification.
+
+    fan_out BEFORE the shingle projection: a repartition is a plan
+    barrier, so expressions projected after it run on the widened
+    partitioning. (fan_out around the projection would evaluate the
+    heavy expression on the narrow input and shuffle its output.)
+    """
+    return fan_out(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))).select(
+        "doc", shingles("_text", k=shingle_k).alias("sh")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -133,6 +150,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from LSH banding.
 
@@ -146,14 +164,16 @@ def minhash_lsh_candidates(
     passes. The two base arrays are materialized in separate projections
     so the md5 transform is evaluated once (CollapseProject keeps
     non-cheap expressions referenced twice in their own project).
+
+    ``shingled`` (optional): a precomputed — typically persisted —
+    :func:`shingle_projection`, so multi-stage pipelines evaluate the
+    shingle pass once (see :func:`minhash_neardup_pairs`).
     """
     rows = num_hashes // bands
-    # fan_out BEFORE the shingle projection: a repartition is a plan
-    # barrier, so expressions projected after it run on the widened
-    # partitioning. (fan_out around the projection would evaluate the
-    # heavy expression on the narrow input and shuffle its output.)
-    base = fan_out(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))).select(
-        "doc", shingles("_text", k=shingle_k).alias("sh")
+    base = (
+        shingled
+        if shingled is not None
+        else shingle_projection(df, text_col, id_col, shingle_k)
     )
     digests = base.withColumn("digests", F.transform("sh", lambda s: F.md5(s)))
     hashed = digests.select(
@@ -191,11 +211,14 @@ def jaccard_pairs(
     text_col: str,
     id_col: str,
     shingle_k: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for each candidate pair (the verify step
     after LSH). Adds ``jaccard`` double column."""
-    sh = fan_out(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))).select(
-        "doc", shingles("_text", k=shingle_k).alias("sh")
+    sh = (
+        shingled
+        if shingled is not None
+        else shingle_projection(df, text_col, id_col, shingle_k)
     )
     out = (
         candidates.join(sh.withColumnRenamed("doc", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -208,6 +231,43 @@ def jaccard_pairs(
         )
     )
     return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Verified near-dup pairs: LSH candidates + exact Jaccard ≥ threshold,
+    as ONE composed plan that evaluates the shingle projection once.
+
+    The naive composition (candidates, then :func:`jaccard_pairs` on the
+    raw table) re-derives shingles on every branch of the two self-joins —
+    four full tokenize+md5 passes over the corpus. Here the shingle
+    projection is persisted (``MEMORY_AND_DISK``: spills, never OOMs) and
+    every branch reads the cache; Spark's CacheManager matches the
+    canonicalized plan fragment, so other queries over the same corpus in
+    the same session (e.g. the composed cleaning pipeline) share it too.
+
+    At 100 TB the same structure holds with one substitution: checkpoint
+    the signature/shingle projection to Parquet between stages instead of
+    executor cache — the plan on either side of that barrier is identical.
+    """
+    sh = shingle_projection(df, text_col, id_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_k=shingle_k, shingled=sh,
+    )
+    pairs = jaccard_pairs(
+        df, cand, text_col, id_col, shingle_k=shingle_k, shingled=sh
+    )
+    return pairs.filter(F.col("jaccard") >= min_jaccard)
 
 
 # --------------------------------------------------------------------------
