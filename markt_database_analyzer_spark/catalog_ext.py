@@ -577,13 +577,15 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with a LEARNED coarse quantizer: 3 distributed Lloyd
-    iterations (broadcast-assign / posexplode-mean re-estimate), then the
-    standard nprobe search. Recall@10 vs brute force is pinned in the
-    test layer (0.88 at sf0.01/nprobe=2 vs 0.30 for the label cells)."""
+    iterations (literal-centroid map-only assign / posexplode-mean
+    re-estimate), then the standard nprobe search probing the
+    quantizer's own centroids (the FAISS IVF contract — and it skips a
+    distributed re-estimation pass). Recall@10 vs brute force is pinned
+    in the test layer (vs 0.30 for the pre-assigned label cells)."""
     emb = _t(spark, sf_dir, "embeddings")
-    learned = sim.kmeans_cells(emb, k=10, iters=3)
+    learned, cents = sim.kmeans_model(emb, k=10, iters=3)
     queries = learned.filter(F.col("vec_id") < 10)
-    return sim.ivf_topk(learned, queries, k=5, nprobe=2, cell_col="cell")
+    return sim.ivf_topk(learned, queries, k=5, nprobe=2, cell_col="cell", centroids=cents)
 
 
 def _sql_clean_corpus(min_quality: float = 0.4) -> str:

@@ -493,19 +493,21 @@ GROUP BY o.o_orderpriority ORDER BY priority
     tags=("skew", "salting", "J1"),
 )
 def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 revenue query through operators.skew.salted_join (16 buckets,
-    deterministic hash salt) — same oracle as j1_revenue_by_priority, so
-    the gate proves salting is row-identical to the plain join. The tool
-    for hot keys a single shuffle partition can't hold (beyond what AQE
-    skew-splitting fixes at runtime)."""
-    from .operators.skew import salted_join
+    """J1 revenue query through operators.skew.salted_join_hot (16
+    buckets, deterministic hash salt, hot = keys with >5 fact rows so
+    both the salted and unsalted paths execute at every sf) — same
+    oracle as j1_revenue_by_priority, so the gate proves hot-key salting
+    is row-identical to the plain join. The tool for hot keys a single
+    shuffle partition can't hold (beyond what AQE skew-splitting fixes
+    at runtime); only hot dim rows are replicated."""
+    from .operators.skew import salted_join_hot
 
     li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "k")
     orders = (
         _t(spark, sf_dir, "orders")
         .select(F.col("o_orderkey").alias("k"), "o_orderpriority")
     )
-    j = salted_join(li, orders, on=["k"], salt_from="l_linenumber", buckets=16)
+    j = salted_join_hot(li, orders, on=["k"], salt_from="l_linenumber", buckets=16, hot_threshold=5)
     return (
         j.groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(

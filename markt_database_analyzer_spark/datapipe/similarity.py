@@ -24,6 +24,13 @@ from pyspark.sql import functions as F
 from .util import fan_out
 
 
+def _dlit(v: float) -> str:
+    """SQL DOUBLE literal with exact round-trip: repr() is the shortest
+    decimal that re-parses to the same double; the D suffix stops Spark
+    from typing it DECIMAL."""
+    return f"{float(v)!r}D"
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -101,11 +108,24 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only rows in the ``nprobe`` cells whose
     centroids are nearest each query. Output as brute_force_topk plus the
-    probed flag is implicit in the smaller candidate set."""
-    cents = ivf_centroids(corpus, cell_col, vec_col)
+    probed flag is implicit in the smaller candidate set.
+
+    ``centroids``: the coarse quantizer's own centroids, driver-side (as
+    :func:`kmeans_model` returns). FAISS-style IVF probes with the
+    centroids that DEFINE the cells; passing them skips a two-shuffle
+    distributed re-estimation pass. When absent (externally-labeled
+    cells), centroids are computed from the corpus."""
+    if centroids is not None:
+        cents = corpus.sparkSession.createDataFrame(
+            [(int(c), list(map(float, v))) for c, v in centroids],
+            "cell int, centroid array<double>",
+        )
+    else:
+        cents = ivf_centroids(corpus, cell_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
     )
@@ -204,6 +224,45 @@ def assign_cells(corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str)
     )
 
 
+def assign_cells_local(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid with the centroids
+    injected as LITERALS (model state is O(k·dims) — it belongs in the
+    plan, not in a join). The argmin is row-local column math: one
+    ``transform`` computes all k squared distances, ``array_position`` of
+    the min picks the cell. No crossJoin, no window, no shuffle — each
+    Lloyd assignment pass is map-only, which is the property that makes
+    the iteration count affordable at any corpus size.
+
+    Tie-break parity with :func:`assign_cells` (min dist, then min cell):
+    centroids are laid out in ascending cell order and ``array_position``
+    returns the first occurrence of the min.
+
+    The whole argmin is rendered as ONE SQL expression string: k·dims
+    double literals via ``F.lit`` would be k·dims py4j round trips of
+    driver time per pass (measured ~0.8 s for 10×64); ``repr(float)`` is
+    shortest-round-trip decimal, so the parsed doubles are bit-identical."""
+    ordered = sorted(cents)
+
+    def sqdist_sql(cvec: list[float]) -> str:
+        arr = ", ".join(_dlit(v) for v in cvec)
+        return (
+            f"aggregate(zip_with(cast(`{vec_col}` as array<double>), array({arr}), "
+            "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+
+    dists = "array(" + ", ".join(sqdist_sql(cvec) for _, cvec in ordered) + ")"
+    cell_ids = "array(" + ", ".join(str(int(cell)) for cell, _ in ordered) + ")"
+    best = (
+        f"element_at({cell_ids}, cast(array_position({dists}, array_min({dists})) as int))"
+    )
+    return fan_out(corpus).withColumn("cell", F.expr(best))
+
+
 def kmeans_cells(
     corpus: DataFrame,
     k: int = 10,
@@ -211,39 +270,54 @@ def kmeans_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
+    """:func:`kmeans_model` without the model — kept for callers that
+    only need the assignment column."""
+    assigned, _ = kmeans_model(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    return assigned
+
+
+def kmeans_model(
+    corpus: DataFrame,
+    k: int = 10,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Learn an IVF coarse quantizer with ``iters`` distributed Lloyd
     iterations: deterministic seeding (the k lowest-id vectors), then
-    assign (broadcast centroids, no corpus shuffle) / re-estimate
-    (posexplode + per-dimension mean) rounds. Returns the corpus with a
-    ``cell`` column — the input ``ivf_topk`` expects. Each iteration is
-    one broadcast + one aggregation; at 100 TB this is the standard
-    Spark k-means shape (MLlib's kmeans|| differs only in seeding).
+    assign (literal centroids, map-only — :func:`assign_cells_local`) /
+    re-estimate (posexplode + per-dimension mean) rounds. Returns
+    ``(assigned corpus with a cell column, centroids)`` — the quantizer
+    model ``ivf_topk`` probes with. Each iteration costs exactly one
+    aggregation shuffle (the centroid mean); at 100 TB this is the
+    standard Spark k-means shape (MLlib's kmeans|| differs only in
+    seeding).
 
     Centroids are O(k·dims) model state, so each iteration materializes
     them on the driver (``collect`` of k tiny rows) and re-injects them
-    as a literal frame — truncating the lineage that would otherwise
-    re-run every prior iteration in every consumer branch (MLlib keeps
+    as literals — truncating the lineage that would otherwise re-run
+    every prior iteration in every consumer branch (MLlib keeps
     centroids driver-side for the same reason)."""
-    spark = corpus.sparkSession
 
-    def materialize(cdf: DataFrame) -> DataFrame:
-        rows = [(int(r["cell"]), list(r["centroid"])) for r in cdf.collect()]
-        return spark.createDataFrame(rows, "cell int, centroid array<double>")
-
-    cents = materialize(
+    seed_rows = (
         corpus.orderBy(id_col)
         .limit(k)
         .select(F.col(vec_col).cast("array<double>").alias("centroid"))
-        .withColumn("cell", F.row_number().over(Window.orderBy("centroid")) - 1)
-        .select("cell", "centroid")
+        .collect()
     )
+    # cell ids by ascending centroid (lexicographic — matches Spark's
+    # array ordering), same as the historical row_number() seeding.
+    cents = [(i, list(r["centroid"])) for i, r in enumerate(sorted(seed_rows, key=lambda r: list(r["centroid"])))]
     assigned = corpus
     for i in range(iters):
-        assigned = assign_cells(corpus, cents, id_col, vec_col)
+        assigned = assign_cells_local(corpus, cents, id_col, vec_col)
         if i < iters - 1:
-            cents = materialize(ivf_centroids(assigned, cell_col="cell", vec_col=vec_col))
+            cents = [
+                (int(r["cell"]), list(r["centroid"]))
+                for r in ivf_centroids(assigned, cell_col="cell", vec_col=vec_col).collect()
+            ]
     # persist the final assignment: every IVF consumer (centroid
     # estimation, probe, scoring) branches off it, and recomputing the
     # assignment pass per branch dominates otherwise. The caller owns the
     # cache lifetime (same contract as MLlib model dataframes).
-    return assigned.persist()
+    return assigned.persist(), cents

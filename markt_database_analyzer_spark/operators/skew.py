@@ -38,3 +38,58 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
     return fact_s.join(dim_s, [*on, "_salt"], how).drop("_salt")
+
+
+def salted_join_hot(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    salt_from: str,
+    buckets: int = 16,
+    hot_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Inner equi-join with salting applied ONLY to hot keys — the
+    production form of :func:`salted_join`.
+
+    Full salting replicates the whole dim side ``buckets``× even though
+    skew by definition lives in a handful of keys. Here the fact side is
+    counted once (one map-side-combined agg whose output is one row per
+    key), keys above ``hot_threshold`` become a broadcast hot-set, and:
+
+    - fact rows on hot keys get ``hash(salt_from) % buckets``; all other
+      rows get salt 0 — via a broadcast left join against the hot-set,
+      so the fact never shuffles for the classification;
+    - dim rows on hot keys are exploded ``buckets``×; the rest pass
+      through once with salt 0.
+
+    Result is row-identical to the plain join (the oracle pins this).
+    At 100 TB the key count is the scalable way to find skew up front
+    (its output is bounded by key cardinality), dim replication cost
+    drops from ``|dim|·buckets`` to ``|hot|·buckets``, and the single
+    over-large shuffle partition that neither AQE splitting nor an
+    executor's memory could absorb is spread over ``buckets`` tasks."""
+    hot = (
+        fact.groupBy(*[F.col(c) for c in on])
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > hot_threshold)
+        .select(*on, F.lit(True).alias("_hot"))
+    )
+    fact_s = (
+        fact.join(F.broadcast(hot), on, "left")
+        .withColumn(
+            "_salt",
+            F.when(F.col("_hot"), F.pmod(F.hash(F.col(salt_from)), F.lit(buckets)))
+            .otherwise(F.lit(0)),
+        )
+        .drop("_hot")
+    )
+    dim_flagged = dim.join(F.broadcast(hot), on, "left")
+    dim_s = dim_flagged.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                F.col("_hot"), F.sequence(F.lit(0), F.lit(buckets - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    ).drop("_hot")
+    return fact_s.join(dim_s, [*on, "_salt"], "inner").drop("_salt")
