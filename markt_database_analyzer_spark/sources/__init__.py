@@ -7,5 +7,5 @@ from .readers import (  # noqa: F401
     read_table,
     register_views,
 )
-from .sinks import write_partitioned  # noqa: F401
+from .sinks import write_bucketed, write_partitioned  # noqa: F401
 from . import plots  # noqa: F401

@@ -42,3 +42,31 @@ def write_partitioned(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed, bucket-sorted table — the storage-side
+    half of the 100 TB join strategy (SURVEY §4.4): two tables bucketed
+    into the same ``num_buckets`` on the join key sort-merge-join with NO
+    exchange on either side (each task reads matching bucket files
+    directly), and bucket-pruning serves point lookups. Bucketed layout
+    must go through the catalog (``saveAsTable``) — bucket file naming is
+    table metadata; ``path`` makes it an external table so the data can
+    live outside the warehouse dir. The co-located-join property is
+    pinned in tests/test_plan_properties.py."""
+    w = (
+        df.repartition(num_buckets, *bucket_by)
+        .write.mode(mode)
+        .bucketBy(num_buckets, *bucket_by)
+        .sortBy(*bucket_by)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

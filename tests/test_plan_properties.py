@@ -79,3 +79,40 @@ def test_filter_pushdown_reaches_scan(spark):
     plan = _plan(spark, "p_filters_inlist")
     assert "PushedFilters: [" in plan
     assert "In(p_container" in plan or "In(p_brand" in plan or "IsNotNull" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """SURVEY §4.4's storage-side join strategy, pinned end-to-end: two
+    tables bucketed+sorted into the same bucket count on the join key
+    must sort-merge-join with ZERO exchanges — each task reads matching
+    bucket files directly. This is the plan that makes the fact⨝fact
+    join (lineitem⨝orders at 100 TB, where neither side broadcasts)
+    scale: the shuffle happens once at write time, then every downstream
+    join of the two tables is free."""
+    from pyspark.sql import functions as F
+
+    from markt_database_analyzer_spark.sources import read_table, write_bucketed
+
+    li = read_table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = read_table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "li_b", ["l_orderkey"], 8, path=str(tmp_path / "li_b"))
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "orders_b", ["l_orderkey"], 8, path=str(tmp_path / "orders_b"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # pin the regime bucketing exists for: neither side broadcastable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("li_b").join(spark.table("orders_b"), "l_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan, plan
+        # and it computes the right thing
+        n = j.count()
+        assert n == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
