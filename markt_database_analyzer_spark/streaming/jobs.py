@@ -99,21 +99,30 @@ def _delta_fn(
     (user_id,) = key
     last_us, last_value = state.get if state.exists else (None, None)
     for pdf in batches:
+        if not len(pdf):
+            continue
         pdf = pdf.sort_values(["us", "event_id"], kind="mergesort")
-        out_rows = []
-        for _, row in pdf.iterrows():
-            if last_us is not None:
-                out_rows.append(
-                    (
-                        user_id,
-                        int(row["event_id"]),
-                        float(row["value"]) - last_value,
-                        (int(row["us"]) - last_us) / 60_000_000.0,
-                    )
-                )
-            last_us, last_value = int(row["us"]), float(row["value"])
-        if out_rows:
-            yield pd.DataFrame(out_rows, columns=["user_id", "event_id", "delta_value", "delta_minutes"])
+        us = pdf["us"].to_numpy("int64")
+        value = pdf["value"].to_numpy("float64")
+        # lag() vectorized: previous row within the batch, with the carried
+        # state spliced in as row 0's predecessor. No per-row Python.
+        prev_us = pd.Series(us).shift()
+        prev_value = pd.Series(value).shift()
+        if last_us is not None:
+            prev_us.iloc[0] = last_us
+            prev_value.iloc[0] = last_value
+        keep = prev_us.notna().to_numpy()
+        out = pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": pdf["event_id"].to_numpy("int64"),
+                "delta_value": value - prev_value.to_numpy("float64"),
+                "delta_minutes": (us - prev_us.to_numpy("float64")) / 60_000_000.0,
+            }
+        )[keep]
+        last_us, last_value = int(us[-1]), float(value[-1])
+        if len(out):
+            yield out
     state.update((last_us, last_value))
 
 
@@ -131,20 +140,37 @@ def stateful_per_key_deltas(events: DataFrame) -> DataFrame:
     )
 
 
-def run_stream_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_stream_to_memory(
+    result: DataFrame, output_mode: str = "complete", state_partitions: int | None = 8
+) -> DataFrame:
     """Drive a streaming frame to completion over the available (static)
     input and return the materialized result as a batch DataFrame — the
-    deterministic smoke-test harness for every job above."""
+    deterministic smoke-test harness for every job above.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    stream's lifetime (restored after): a stateful query instantiates one
+    state store per shuffle partition and keeps it for the query's life,
+    so partition count is a provisioning decision per stream, not the
+    session default — 32 stores for KB of state is pure setup overhead
+    here, while a 100 TB deployment would pin it HIGHER than the batch
+    default and that choice is frozen into the checkpoint."""
+    spark = result.sparkSession
     name = f"stream_out_{next(_sink_counter)}"
-    q = (
-        result.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        q.processAllAvailable()
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return result.sparkSession.table(name)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
