@@ -652,3 +652,97 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits / corpus mixing (datapipe.sampling)
+# ---------------------------------------------------------------------------
+
+from .datapipe import sampling as sp  # noqa: E402
+
+
+@register(
+    "sample_hash_documents",
+    oracle=f"""
+SELECT doc_id
+FROM documents
+WHERE {sp.sql_gate('doc_id', seed=0)} < {int(0.1 * sp.RESOLUTION)}
+ORDER BY doc_id
+""",
+    tags=("sampling", "pipeline"),
+)
+def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% document sample, hash-gated on doc_id — no RNG,
+    so the kept set is identical on any partitioning/engine (the oracle
+    replays the gate in DuckDB) and is a SUBSET of any larger-fraction
+    sample with the same seed. Map-only: the gate fuses into the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return sp.hash_sample(docs, "doc_id", 0.1, seed=0).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "split_train_eval",
+    oracle=f"""
+SELECT CASE WHEN {sp.sql_gate('doc_id', seed=1)} < {int(0.02 * sp.RESOLUTION)}
+            THEN 'eval' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents GROUP BY split ORDER BY split
+""",
+    tags=("sampling", "pipeline"),
+)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2% eval holdout tagged by an independent hash gate (different seed
+    than any sampling gate, so split membership and sampling don't
+    correlate). Returns per-split counts + id range; the split column
+    itself is what contamination checks join against."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sp.train_eval_split(docs, "doc_id", eval_fraction=0.02, seed=1)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+def _sql_training_mix() -> str:
+    toks = tx.sql_tokens("text")
+    lang = tx.sql_lang_id(toks)
+    return f"""
+WITH lang AS (SELECT doc_id, {lang} AS lang_pred FROM documents)
+SELECT 'en' AS source, doc_id FROM lang
+WHERE lang_pred = 'en' AND {sp.sql_gate('doc_id', seed=2)} < {int(0.9 * sp.RESOLUTION)}
+UNION ALL
+SELECT 'other' AS source, doc_id FROM lang
+WHERE lang_pred <> 'en' AND {sp.sql_gate('doc_id', seed=2)} < {int(0.4 * sp.RESOLUTION)}
+ORDER BY source, doc_id
+"""
+
+
+@register(
+    "pipeline_training_mix",
+    oracle=_sql_training_mix(),
+    tags=("sampling", "pipeline", "text"),
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training mix: upsample the predicted-English slice (90%)
+    against the rest (40%) with per-source deterministic gates, union by
+    name with provenance. The standard corpus-mixing step of an LLM data
+    pipeline, expressed so each branch's gate and language filter fuse
+    into its own scan of the same table."""
+    docs = _t(spark, sf_dir, "documents")
+    lang = docs.select("doc_id", tx.lang_id(tx.tokens("text")).alias("lang_pred"))
+    mixed = sp.mix_corpora(
+        [
+            ("en", lang.filter(F.col("lang_pred") == "en"), 0.9),
+            ("other", lang.filter(F.col("lang_pred") != "en"), 0.4),
+        ],
+        id_col="doc_id",
+        seed=2,
+    )
+    return mixed.select("source", "doc_id").orderBy("source", "doc_id")

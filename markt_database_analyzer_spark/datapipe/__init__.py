@@ -12,8 +12,12 @@ LLM-data pipeline needs, all Spark-first:
 - ``hashing``    : the engine-portable 60-bit md5 hash all of the above
                    share (identical in Spark and external SQL engines, so
                    every operator stays differentially testable)
+- ``sampling``   : deterministic hash-gated sampling, train/eval splits,
+                   weighted corpus mixing (no RNG — the sample is a
+                   reproducible artifact, and subset-stable under
+                   fraction changes)
 - ``udfs``       : the engine's Pandas-UDF surface (scalar + grouped-map
                    worked examples per SURVEY.md §2.10)
 """
 
-from . import dedup, hashing, multimodal, similarity, text, udfs  # noqa: F401
+from . import dedup, hashing, multimodal, sampling, similarity, text, udfs  # noqa: F401

@@ -1,0 +1,87 @@
+"""Deterministic sampling, splits, and corpus mixing for training-data
+pipelines.
+
+`df.sample()` is seeded per-partition RNG: its output changes with
+partitioning/retries and cannot be reproduced by another engine — useless
+for dataset curation, where the sample IS the artifact. Everything here is
+**hash-gated** instead: a row is kept iff
+``hash(id) mod RESOLUTION < fraction · RESOLUTION`` with the engine-portable
+md5-60bit family (``hashing.hash60``), so
+
+- the decision is a pure row-local projection (no shuffle, no state, no
+  RNG), reproducible on any cluster size, any partitioning, any engine —
+  the DuckDB oracles replay it exactly;
+- per-row membership is STABLE under fraction changes: raising the
+  fraction only ever ADDS rows (the kept set at 10% is a subset of the
+  kept set at 20%), which is what makes incremental corpus scaling and
+  deterministic ablations possible;
+- different ``seed`` values give independent gates (seed is folded into
+  the hash input), so a train/eval split and a downsampling gate don't
+  correlate.
+
+At 100 TB each operator is a map-only filter fused into the scan —
+sampling never costs a pass of its own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import hash60, sql_hash60
+
+# 1e6 gives ppm resolution on fractions; small enough that
+# fraction*RESOLUTION stays exact in int arithmetic.
+RESOLUTION = 1_000_000
+
+
+def _gate(id_col: str, seed: int) -> Column:
+    """The row's position in [0, RESOLUTION) — uniform, deterministic."""
+    return F.pmod(hash60(F.col(id_col).cast("string"), seed=seed), F.lit(RESOLUTION))
+
+
+def sql_gate(id_expr: str, seed: int) -> str:
+    """DuckDB rendering of :func:`_gate` (pmod of a non-negative hash is
+    plain ``%``)."""
+    return f"({sql_hash60(f'CAST({id_expr} AS VARCHAR)', seed=seed)} % {RESOLUTION})"
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float, seed: int = 0) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, gated on ``hash(id)``."""
+    return df.filter(_gate(id_col, seed) < F.lit(int(fraction * RESOLUTION)))
+
+
+def train_eval_split(
+    df: DataFrame, id_col: str, eval_fraction: float = 0.01, seed: int = 1
+) -> DataFrame:
+    """Tag each row ``train``/``eval`` — the split every corpus needs
+    before dedup (eval contamination is checked AGAINST the split, so the
+    split must be reproducible everywhere)."""
+    return df.withColumn(
+        "split",
+        F.when(
+            _gate(id_col, seed) < F.lit(int(eval_fraction * RESOLUTION)), F.lit("eval")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def mix_corpora(
+    sources: list[tuple[str, DataFrame, float]], id_col: str, seed: int = 2
+) -> DataFrame:
+    """Weighted training mix: for each ``(name, df, weight)`` keep a
+    deterministic ``weight`` fraction (weight > 1 is an error — epoch-style
+    upsampling is a repeat at the data-loader, not a row-duplication job)
+    and union with a ``source`` provenance column. The union is by name,
+    so sources only need the shared columns; each branch's gate is fused
+    into its own scan."""
+    parts = []
+    for name, df, weight in sources:
+        if not 0.0 <= weight <= 1.0:
+            raise ValueError(f"weight for {name!r} must be in [0, 1], got {weight}")
+        parts.append(
+            hash_sample(df, id_col, weight, seed=seed).withColumn("source", F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -208,3 +208,47 @@ def test_ivf_recall_against_bruteforce(spark):
     # the pre-assigned labels are weak quantizers on this synthetic data
     # (recall ~0.2-0.3); three Lloyd iterations more than double that
     assert recall >= 0.6, recall
+
+
+def test_hash_sampling_properties(spark):
+    """The three properties that make hash-gated sampling a curation
+    artifact rather than an RNG draw: (1) fraction-subset stability —
+    the 10% sample is contained in the 25% sample; (2) determinism
+    across partitionings; (3) split/sample independence via seeds —
+    the gates use different hash inputs, so membership differs."""
+    from markt_database_analyzer_spark.datapipe import sampling as sp
+    from markt_database_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    s10 = {r["doc_id"] for r in sp.hash_sample(docs, "doc_id", 0.10).select("doc_id").collect()}
+    s25 = {r["doc_id"] for r in sp.hash_sample(docs, "doc_id", 0.25).select("doc_id").collect()}
+    assert s10 <= s25
+    assert 0 < len(s10) < len(s25)
+    # same gate on a different partitioning → identical membership
+    s10b = {
+        r["doc_id"]
+        for r in sp.hash_sample(docs.repartition(7), "doc_id", 0.10).select("doc_id").collect()
+    }
+    assert s10b == s10
+    split = sp.train_eval_split(docs, "doc_id", eval_fraction=0.10, seed=1)
+    ev = {r["doc_id"] for r in split.filter("split = 'eval'").select("doc_id").collect()}
+    assert ev and ev != s10  # independent gates
+
+
+def test_mix_corpora_weights_and_provenance(spark):
+    """Weighted mix keeps ~weight of each source, tags provenance, and
+    rejects upsampling weights (> 1 is a data-loader concern)."""
+    import pytest as _pytest
+
+    from markt_database_analyzer_spark.datapipe import sampling as sp
+    from markt_database_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    mixed = sp.mix_corpora([("even", a, 1.0), ("odd", b, 0.3)], id_col="doc_id")
+    counts = {r["source"]: r["count"] for r in mixed.groupBy("source").count().collect()}
+    assert counts["even"] == a.count()  # weight 1.0 keeps everything
+    assert 0 < counts["odd"] < b.count()
+    with _pytest.raises(ValueError):
+        sp.mix_corpora([("x", a, 1.5)], id_col="doc_id")
