@@ -746,3 +746,115 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=2,
     )
     return mixed.select("source", "doc_id").orderBy("source", "doc_id")
+
+
+_PACK_BUDGET = 2048
+_N_SHARDS = 4
+
+
+def _sql_pack_chunks() -> str:
+    toks = tx.sql_tokens("text")
+    shard = f"({sql_hash60('CAST(doc_id AS VARCHAR)', seed=3)} % {_N_SHARDS})"
+    return f"""
+WITH meta AS (
+  SELECT doc_id, {shard} AS shard, len({toks})::BIGINT AS n_tokens FROM documents
+),
+laid AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+  FROM meta
+)
+SELECT doc_id, shard, n_tokens, "offset",
+       "offset" // {_PACK_BUDGET} AS chunk_start,
+       ("offset" + n_tokens - 1) // {_PACK_BUDGET} AS chunk_end
+FROM laid ORDER BY shard, doc_id
+"""
+
+
+@register(
+    "pack_chunks_documents",
+    oracle=_sql_pack_chunks(),
+    tags=("packing", "pipeline"),
+)
+def pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk layout assignment: per shard (hash-gated,
+    so sharding is reproducible), documents are laid out in id order and
+    the token stream is cut every 2048 tokens; each doc learns its offset
+    and first/last chunk. One running-sum window per shard — the
+    parallelism story a single global ordering can't give."""
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select(
+        "doc_id",
+        F.pmod(hash60(F.col("doc_id").cast("string"), seed=3), F.lit(_N_SHARDS)).alias("shard"),
+        F.size(tx.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    packed = sp.pack_chunks(
+        meta, "doc_id", "n_tokens", budget=_PACK_BUDGET, shard_col=F.col("shard")
+    )
+    return packed.select(
+        "doc_id", "shard", "n_tokens", "offset", "chunk_start", "chunk_end"
+    ).orderBy("shard", "doc_id")
+
+
+def _sql_contamination(eval_ppm: int = 20_000, k: int = 5) -> str:
+    sh = dd.sql_shingles("text", k=k)
+    gate = sp.sql_gate("doc_id", seed=1)
+    return f"""
+WITH tagged AS (
+  SELECT doc_id, {sh} AS sh, ({gate} < {eval_ppm}) AS is_eval FROM documents
+),
+ev AS (
+  SELECT doc_id AS eval_id, {sql_hash60('s')} AS sh_h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM tagged WHERE is_eval) WHERE s != ''
+),
+tr AS (
+  SELECT doc_id AS train_id, {sql_hash60('s')} AS sh_h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM tagged WHERE NOT is_eval) WHERE s != ''
+)
+SELECT ev.eval_id AS eval_id, tr.train_id AS train_id, count(*) AS n_shared
+FROM ev JOIN tr USING (sh_h)
+GROUP BY 1, 2 ORDER BY eval_id, train_id
+"""
+
+
+@register(
+    "pipeline_contamination_check",
+    oracle=_sql_contamination(),
+    tags=("sampling", "dedup", "pipeline"),
+)
+def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: 5-shingle overlap between the hash-gated 2%
+    eval holdout (same gate as split_train_eval) and the train split.
+    Each side reduces to distinct (doc, shingle-hash) ints before the
+    equi-join, so the shuffle never carries text; fan-out is bounded by
+    true overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    split = sp.train_eval_split(docs, "doc_id", eval_fraction=0.02, seed=1)
+    pairs = dd.contamination_pairs(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "eval"),
+        "text",
+        "doc_id",
+        shingle_k=5,
+    )
+    return pairs.orderBy("eval_id", "train_id")
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+SELECT doc_id, round({tx.sql_repetition_score('text', k=3)}, 9) AS rep_3gram
+FROM documents ORDER BY doc_id
+""",
+    tags=("text", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: duplicate 3-gram fraction (0 = no
+    repetition), the boilerplate/looped-text gate that complements
+    quality_score. Row-local array math, no shuffle."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", F.round(tx.repetition_score("text", k=3), 9).alias("rep_3gram")
+    ).orderBy("doc_id")

@@ -382,3 +382,42 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: i
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Train/eval contamination check
+# --------------------------------------------------------------------------
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(eval_id, train_id, n_shared) for every eval document sharing at
+    least one k-shingle with a train document — the decontamination sweep
+    every benchmark holdout needs before training.
+
+    Scale shape: each side reduces to DISTINCT (doc, shingle-hash) pairs
+    — the distinct is free (shingle sets are already deduped per doc) and
+    hashing means the equi-join shuffles 8-byte ints, never shingle text.
+    Join fan-out is bounded by true overlap: a shingle appearing in t
+    train docs and e eval docs emits t·e rows for THAT shingle only, and
+    the group-by collapses them map-side. Empty/short-document sentinel
+    shingles are dropped so blank docs don't cross-match."""
+    def side(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            shingle_projection(df, text_col, id_col, shingle_k)
+            .select(F.col("doc").alias(alias), F.explode("sh").alias("s"))
+            .filter(F.col("s") != "")
+            .select(alias, hash60(F.col("s")).alias("sh_h"))
+        )
+
+    ev = side(eval_df, "eval_id")
+    tr = side(train, "train_id")
+    return (
+        ev.join(tr, "sh_h")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -85,3 +85,49 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Concat-and-chunk sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Assign each document its position in the GPT-style concat-and-chunk
+    layout: documents are laid out in ``id_col`` order, the concatenated
+    token stream is cut every ``budget`` tokens, and each document learns
+    ``offset`` (its start in the stream), ``chunk_start``/``chunk_end``
+    (the first/last training chunk it lands in; a document straddles a cut
+    iff they differ). This is assignment, not materialization — the actual
+    tensor packing happens in the data loader; what the engine owns is the
+    deterministic layout every loader shard must agree on.
+
+    One running-sum window is the whole computation. ``shard_col`` is the
+    scale path: a global ordering is single-partition (fine up to ~10⁷
+    docs), so a 100 TB corpus packs per shard — pass e.g.
+    ``pmod(hash60(id), n_shards)`` and each shard's stream is laid out
+    independently and in parallel."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col).orderBy(id_col)
+        if shard_col is not None
+        else Window.orderBy(id_col)
+    )
+    cum_prev = F.coalesce(
+        F.sum(token_count_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    out = df.withColumn("offset", cum_prev)
+    return (
+        out.withColumn("chunk_start", F.floor(F.col("offset") / budget))
+        .withColumn(
+            "chunk_end",
+            F.floor((F.col("offset") + F.col(token_count_col) - 1) / budget),
+        )
+    )

@@ -179,3 +179,47 @@ def sql_quality_score(text_expr: str, toks_expr: str) -> str:
         f" + 0.2 * (1.0 - least(((length({text_expr}) - length(regexp_replace({text_expr}, '[^\\w\\s]', '', 'g')))::DOUBLE"
         f" / length({text_expr})) * 4, 1.0)))"
     )
+
+
+# --------------------------------------------------------------------------
+# Within-document repetition
+# --------------------------------------------------------------------------
+
+def ngrams_all(col: Column | str, k: int = 3) -> Column:
+    """All k-word n-grams of a text column, duplicates KEPT (contrast
+    ``dedup.shingles``, which dedups for set semantics)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.filter(grams, lambda g: g != "")
+
+
+def sql_ngrams_all(expr: str, k: int = 3) -> str:
+    toks = sql_tokens(expr)
+    return (
+        f"list_filter(list_transform(generate_series(1, greatest(len({toks}) - {k - 1}, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')), g -> g != '')"
+    )
+
+
+def repetition_score(col: Column | str, k: int = 3) -> Column:
+    """Duplicate k-gram fraction: 1 − distinct/total (0 for docs with no
+    k-grams). High values flag boilerplate/looped text — a standard
+    pretraining quality gate alongside ``quality_score``. Pure row-local
+    array math; no shuffle."""
+    grams = ngrams_all(col, k)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total > 0, 1.0 - distinct.cast("double") / total.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def sql_repetition_score(expr: str, k: int = 3) -> str:
+    grams = sql_ngrams_all(expr, k)
+    return (
+        f"(CASE WHEN len({grams}) > 0 "
+        f"THEN 1.0 - len(list_distinct({grams}))::DOUBLE / len({grams})::DOUBLE "
+        f"ELSE 0.0 END)"
+    )
