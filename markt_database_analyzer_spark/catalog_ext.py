@@ -569,10 +569,79 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_kmeans_ivf(k: int = 10, iters: int = 3, n_queries: int = 10, topk: int = 5, nprobe: int = 2) -> str:
+    """DuckDB replay of the full learned-IVF search: deterministic seeding
+    (k lowest-id vectors, cell ids by lexicographic centroid order), then
+    ``iters`` unrolled Lloyd rounds (argmin assignment with min-cell
+    tiebreak / per-dimension mean rounded to 9 dp — the same pin the Spark
+    side applies at its collect boundary), then the nprobe search against
+    the quantizer's own centroids. Every float the two engines compare is
+    either a raw corpus value (float32→double, exact) or rounded at 9 dp,
+    so the replay is bit-portable."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (e.vec[i] - c.centroid[i]) * (e.vec[i] - c.centroid[i])))"
+    )
+
+    def assign(n: int, cents: str) -> str:
+        return f"""
+assign{n} AS (
+  SELECT vec_id, vec, cell FROM (
+    SELECT e.vec_id, e.vec, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cell) AS rn
+    FROM corpus e CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    steps = []
+    cents = "cents0"
+    for i in range(iters):
+        steps.append(assign(i, cents))
+        if i < iters - 1:
+            cents = f"cents{i + 1}"
+            steps.append(
+                f"""
+cents{i + 1} AS (
+  SELECT cell, list(cv ORDER BY pos) AS centroid FROM (
+    SELECT cell, pos, round(avg(v), 9) AS cv FROM (
+      SELECT cell, unnest(generate_series(1, 64)) AS pos, unnest(vec) AS v
+      FROM assign{i}
+    ) GROUP BY cell, pos
+  ) GROUP BY cell
+)"""
+            )
+    final_assign = f"assign{iters - 1}"
+    body = ",".join(steps)
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+seedv AS (SELECT vec FROM corpus ORDER BY vec_id LIMIT {k}),
+cents0 AS (SELECT row_number() OVER (ORDER BY vec) - 1 AS cell, vec AS centroid FROM seedv),
+{body},
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < {n_queries}),
+probed AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT q.query_id, q.qvec, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_SQL_COS.format(a='q.qvec', b='c.centroid')} DESC, c.cell) AS crank
+    FROM q CROSS JOIN {cents} c
+  ) WHERE crank <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {_SQL_COS.format(a='p.qvec', b='e.vec')} AS cos
+  FROM {final_assign} e JOIN probed p ON e.cell = p.cell
+  WHERE e.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {topk} ORDER BY query_id, rank
+"""
+
+
 @register(
     "similarity_ivf_kmeans_topk",
-    oracle=None,  # iterative float k-means is not reasonably SQL-expressible;
-    # the strong check is tests/test_datapipe.py::test_ivf_recall_against_bruteforce
+    oracle=_sql_kmeans_ivf(),
     tags=("similarity", "ann", "ivf", "kmeans"),
 )
 def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,10 +785,10 @@ def _sql_training_mix() -> str:
     return f"""
 WITH lang AS (SELECT doc_id, {lang} AS lang_pred FROM documents)
 SELECT 'en' AS source, doc_id FROM lang
-WHERE lang_pred = 'en' AND {sp.sql_gate('doc_id', seed=2)} < {int(0.9 * sp.RESOLUTION)}
+WHERE lang_pred = 'en' AND {sp.sql_gate('doc_id', seed=2, salt='en')} < {int(0.9 * sp.RESOLUTION)}
 UNION ALL
 SELECT 'other' AS source, doc_id FROM lang
-WHERE lang_pred <> 'en' AND {sp.sql_gate('doc_id', seed=2)} < {int(0.4 * sp.RESOLUTION)}
+WHERE lang_pred <> 'en' AND {sp.sql_gate('doc_id', seed=2, salt='other')} < {int(0.4 * sp.RESOLUTION)}
 ORDER BY source, doc_id
 """
 
@@ -766,9 +835,10 @@ laid AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
   FROM meta
 )
-SELECT doc_id, shard, n_tokens, "offset",
-       "offset" // {_PACK_BUDGET} AS chunk_start,
-       ("offset" + n_tokens - 1) // {_PACK_BUDGET} AS chunk_end
+SELECT doc_id, shard, n_tokens, CAST("offset" AS BIGINT) AS "offset",
+       CAST("offset" // {_PACK_BUDGET} AS BIGINT) AS chunk_start,
+       CAST(greatest("offset" // {_PACK_BUDGET},
+                     floor(("offset" + n_tokens - 1) / {_PACK_BUDGET})) AS BIGINT) AS chunk_end
 FROM laid ORDER BY shard, doc_id
 """
 

@@ -24,9 +24,9 @@ from .functions import dsum
     "pivot_status_by_priority",
     oracle="""
 SELECT o_orderpriority AS priority,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
 FROM orders GROUP BY o_orderpriority ORDER BY priority
 """,
     tags=("pivot",),
@@ -83,7 +83,7 @@ WITH gaps AS (
 ),
 sess AS (
   SELECT user_id, us,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS session_id
   FROM gaps
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -35,20 +35,30 @@ from .hashing import hash60, sql_hash60
 RESOLUTION = 1_000_000
 
 
-def _gate(id_col: str, seed: int) -> Column:
-    """The row's position in [0, RESOLUTION) — uniform, deterministic."""
-    return F.pmod(hash60(F.col(id_col).cast("string"), seed=seed), F.lit(RESOLUTION))
+def _gate(id_col: str, seed: int, salt: str | None = None) -> Column:
+    """The row's position in [0, RESOLUTION) — uniform, deterministic.
+    ``salt`` (e.g. a corpus-source name) derives an independent gate family
+    without burning a seed value."""
+    c = F.col(id_col).cast("string")
+    if salt is not None:
+        c = F.concat(F.lit(f"{salt}~"), c)
+    return F.pmod(hash60(c, seed=seed), F.lit(RESOLUTION))
 
 
-def sql_gate(id_expr: str, seed: int) -> str:
+def sql_gate(id_expr: str, seed: int, salt: str | None = None) -> str:
     """DuckDB rendering of :func:`_gate` (pmod of a non-negative hash is
     plain ``%``)."""
-    return f"({sql_hash60(f'CAST({id_expr} AS VARCHAR)', seed=seed)} % {RESOLUTION})"
+    expr = f"CAST({id_expr} AS VARCHAR)"
+    if salt is not None:
+        expr = f"('{salt}~' || {expr})"
+    return f"({sql_hash60(expr, seed=seed)} % {RESOLUTION})"
 
 
-def hash_sample(df: DataFrame, id_col: str, fraction: float, seed: int = 0) -> DataFrame:
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 0, salt: str | None = None
+) -> DataFrame:
     """Keep a deterministic ``fraction`` of rows, gated on ``hash(id)``."""
-    return df.filter(_gate(id_col, seed) < F.lit(int(fraction * RESOLUTION)))
+    return df.filter(_gate(id_col, seed, salt=salt) < F.lit(int(fraction * RESOLUTION)))
 
 
 def train_eval_split(
@@ -73,13 +83,21 @@ def mix_corpora(
     upsampling is a repeat at the data-loader, not a row-duplication job)
     and union with a ``source`` provenance column. The union is by name,
     so sources only need the shared columns; each branch's gate is fused
-    into its own scan."""
+    into its own scan.
+
+    Each source's gate is salted with its name, so two sources sharing an
+    id universe (the same corpus listed twice at different weights) draw
+    INDEPENDENT samples rather than nested kept-sets."""
+    if not sources:
+        raise ValueError("mix_corpora needs at least one (name, df, weight) source")
     parts = []
     for name, df, weight in sources:
         if not 0.0 <= weight <= 1.0:
             raise ValueError(f"weight for {name!r} must be in [0, 1], got {weight}")
         parts.append(
-            hash_sample(df, id_col, weight, seed=seed).withColumn("source", F.lit(name))
+            hash_sample(df, id_col, weight, seed=seed, salt=name).withColumn(
+                "source", F.lit(name)
+            )
         )
     out = parts[0]
     for p in parts[1:]:
@@ -124,10 +142,18 @@ def pack_chunks(
         F.lit(0).cast("bigint"),
     )
     out = df.withColumn("offset", cum_prev)
+    # chunk_end clamps at chunk_start for zero-token documents: the raw
+    # floor((offset - 1)/budget) would land BEFORE the document's own start
+    # (and Spark's floor(-1/b) = -1 vs integer-division truncation in other
+    # engines), so an empty doc is defined to occupy its start chunk only —
+    # keeping the "straddles a cut iff chunk_start != chunk_end" contract.
     return (
         out.withColumn("chunk_start", F.floor(F.col("offset") / budget))
         .withColumn(
             "chunk_end",
-            F.floor((F.col("offset") + F.col(token_count_col) - 1) / budget),
+            F.greatest(
+                F.col("chunk_start"),
+                F.floor((F.col("offset") + F.col(token_count_col) - 1) / budget),
+            ),
         )
     )

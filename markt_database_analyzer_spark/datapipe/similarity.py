@@ -312,8 +312,15 @@ def kmeans_model(
     for i in range(iters):
         assigned = assign_cells_local(corpus, cents, id_col, vec_col)
         if i < iters - 1:
+            # Re-estimated centroids are rounded to 9 dp at the collect
+            # boundary: the mean's last ulps depend on partial-agg merge
+            # order (Spark) and engine (DuckDB oracle replay), so the
+            # literals re-injected into the next assignment pass are pinned
+            # to a representation every engine reproduces exactly. Seeds
+            # are NOT rounded — they are raw corpus values (float32→double
+            # is exact everywhere).
             cents = [
-                (int(r["cell"]), list(r["centroid"]))
+                (int(r["cell"]), [round(float(v), 9) for v in r["centroid"]])
                 for r in ivf_centroids(assigned, cell_col="cell", vec_col=vec_col).collect()
             ]
     # persist the final assignment: every IVF consumer (centroid

@@ -173,11 +173,23 @@ def sql_quality_score(text_expr: str, toks_expr: str) -> str:
     markers = ", ".join(
         repr(m) for m in sorted({m for ms in LANG_MARKERS.values() for m in ms})
     )
+    # Zero guards mirror the Spark side (try_divide + coalesce → 0.0):
+    # an empty/whitespace-only doc scores exactly 0.2 in both engines
+    # instead of NULL from DuckDB's double division by zero.
+    stop_ratio = (
+        f"(CASE WHEN len({toks_expr}) > 0 THEN "
+        f"len(list_filter({toks_expr}, t -> t IN ({markers})))::DOUBLE / len({toks_expr}) "
+        f"ELSE 0.0 END)"
+    )
+    punct_ratio = (
+        f"(CASE WHEN length({text_expr}) > 0 THEN "
+        f"(length({text_expr}) - length(regexp_replace({text_expr}, '[^\\w\\s]', '', 'g')))::DOUBLE"
+        f" / length({text_expr}) ELSE 0.0 END)"
+    )
     return (
-        f"(0.4 * (len(list_filter({toks_expr}, t -> t IN ({markers})))::DOUBLE / len({toks_expr}))"
+        f"(0.4 * {stop_ratio}"
         f" + 0.4 * least(len({toks_expr})::DOUBLE / 100.0, 1.0)"
-        f" + 0.2 * (1.0 - least(((length({text_expr}) - length(regexp_replace({text_expr}, '[^\\w\\s]', '', 'g')))::DOUBLE"
-        f" / length({text_expr})) * 4, 1.0)))"
+        f" + 0.2 * (1.0 - least({punct_ratio} * 4, 1.0)))"
     )
 
 

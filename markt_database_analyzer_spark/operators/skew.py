@@ -32,7 +32,19 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``fact`` ⨝ ``dim`` on ``on`` with fact-side salting.
     ``salt_from`` is a fact column (ideally unique) whose hash spreads the
-    hot keys; result is row-identical to the plain join."""
+    hot keys; result is row-identical to the plain join.
+
+    Only fact-preserving join types are allowed: the dim side is
+    replicated ``buckets``×, so right/full outer would emit each unmatched
+    dim row once per bucket — silently wrong, hence rejected."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+               "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — dim rows are replicated "
+            f"{buckets}x, so only fact-preserving joins ({sorted(allowed)}) are "
+            "row-identical to the unsalted join"
+        )
     fact_s = fact.withColumn("_salt", F.pmod(F.hash(F.col(salt_from)), F.lit(buckets)))
     dim_s = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

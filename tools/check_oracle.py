@@ -56,6 +56,19 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     g, w = normalize(got), normalize(want)
     for c in g.columns:
         gv, wv = g[c], w[c]
+        # The driver's value hash is dtype-sensitive: DuckDB HUGEINT (any
+        # integer sum()) fetches as float64 and hash-mismatches Spark's
+        # int64 even when values are identical. Flag the class mismatch
+        # hard so it never survives to a driver run again.
+        g_int = pd.api.types.is_integer_dtype(gv)
+        w_int = pd.api.types.is_integer_dtype(wv)
+        g_f = pd.api.types.is_float_dtype(gv)
+        w_f = pd.api.types.is_float_dtype(wv)
+        if (g_int and w_f) or (g_f and w_int):
+            problems.append(
+                f"col {c}: DTYPE MISMATCH spark={gv.dtype} duckdb={wv.dtype} "
+                "(driver hash will fail — CAST the oracle column, e.g. HUGEINT sum() -> BIGINT)"
+            )
         if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(wv):
             ga = pd.to_numeric(gv, errors="coerce").to_numpy(dtype=float)
             wa = pd.to_numeric(wv, errors="coerce").to_numpy(dtype=float)
