@@ -45,13 +45,15 @@ def main() -> None:
         spark.range(0, 32, 1, 32).mapInPandas(_identity, schema="id long")
     )
 
-    # Two passes per query, report the min — steady-state numbers, not
-    # first-run codegen/GC noise.
+    # n passes per query (default 3), report the min — steady-state
+    # numbers, not first-run codegen/GC noise — so round-over-round
+    # regression comparison is meaningful.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     headline_total = 0.0
     for name, spec in REGISTRY.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.time()
             force(spec.fn(spark, sf_dir))
             best = min(best, time.time() - t0)
@@ -68,6 +70,7 @@ def main() -> None:
                 "value": round(headline_total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf,
             }
         )

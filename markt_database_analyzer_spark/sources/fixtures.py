@@ -117,3 +117,28 @@ def fixture_frames(spark: SparkSession, n_ads: int = 120, seed: int = 7) -> tupl
         spark.createDataFrame(monitor, MONITOR_RECORDS_SCHEMA),
         spark.createDataFrame(profiles, PROFILES_SCHEMA),
     )
+
+
+def write_sqlite_fixture(db_path: str, n_ads: int = 120, seed: int = 7) -> None:
+    """Materialize the fixture rows as a real ``monitoring.db`` — the
+    reference's native at-rest format (analyse.py:8: one SQLite file with
+    ``monitor_records`` and ``profiles``). Column affinities mirror the
+    reference DB: TEXT for the dirty columns, INTEGER for ids/counters."""
+    import sqlite3
+
+    monitor, profiles = generate_rows(n_ads=n_ads, seed=seed)
+    con = sqlite3.connect(db_path)
+    try:
+        con.execute(
+            "CREATE TABLE monitor_records (id INTEGER, ad_unique_id TEXT, "
+            "push_counter INTEGER, track_time TEXT, ad_age_in_minutes TEXT, views TEXT)"
+        )
+        con.execute(
+            "CREATE TABLE profiles (ad_unique_id TEXT, push_counter INTEGER, "
+            "age TEXT, profile_url TEXT, posting_time TEXT, city TEXT)"
+        )
+        con.executemany("INSERT INTO monitor_records VALUES (?,?,?,?,?,?)", monitor)
+        con.executemany("INSERT INTO profiles VALUES (?,?,?,?,?,?)", profiles)
+        con.commit()
+    finally:
+        con.close()

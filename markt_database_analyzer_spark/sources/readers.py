@@ -19,8 +19,10 @@ reader (needs the xerial sqlite-jdbc jar on the classpath):
         .option("url", "jdbc:sqlite:/path/monitoring.db")
         .option("dbtable", "monitor_records").load()
 
-The jar is not in this image, so ``read_sqlite`` gates behind a runtime
-error; everything downstream is format-agnostic DataFrames.
+The jar is not in this image, so ``read_sqlite`` falls back to a
+driver-side stdlib ``sqlite3`` read with an explicit schema (correct for
+the small operational DBs SQLite holds — see its docstring for the scale
+argument); everything downstream is format-agnostic DataFrames.
 """
 
 from __future__ import annotations
@@ -112,12 +114,41 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def read_sqlite(spark: SparkSession, db_path: str, table: str) -> DataFrame:
+def read_sqlite(
+    spark: SparkSession,
+    db_path: str,
+    table: str,
+    schema: T.StructType | None = None,
+    columns: list[str] | None = None,
+    batch_size: int = 50_000,
+) -> DataFrame:
     """Ingest edge for the reference's native format (analyse.py:8,12-15).
 
-    Requires the sqlite-jdbc driver jar on the Spark classpath; raises a
-    clear error when absent rather than failing deep inside the JVM.
-    """
+    Two strategies, tried in order:
+
+    1. **JDBC** (the cluster path): needs the xerial sqlite-jdbc jar on the
+       Spark classpath. Projection/predicates push into the JDBC scan.
+    2. **stdlib ``sqlite3`` fallback** (no jar in this image): the driver
+       reads the table in ``batch_size`` row chunks and builds a DataFrame
+       with the EXPLICIT ``schema``. ``columns`` renders a projected
+       ``SELECT`` so pruning happens inside SQLite, exactly the reference's
+       pushed-projection pattern (analyse.py:158-164, 370-375).
+
+    The fallback is driver-side by design, not a limitation to engineer
+    around: SQLite is a single-file, single-host operational format — the
+    same topology the reference reads it with — and in a 100 TB pipeline it
+    only ever appears as a small operational/dimension source. A SQLite
+    file too big to pass through the driver should be ingested ONCE to
+    parquet (``read_sqlite(...).write.parquet(...)``) and scanned
+    distributively thereafter; there is no scalable way to read one
+    B-tree file from a thousand executors.
+
+    ``schema`` is mandatory for the fallback (SQLite is dynamically typed;
+    inference would reproduce the driver-default-typing bug class the
+    SURVEY calls out). Values are coerced cell-wise with the same
+    tolerance as the JDBC driver: declared STRING columns keep whatever
+    repr SQLite holds, numeric columns pass through (dirty numerics should
+    be declared STRING and cleaned with ``functions.cleaning``)."""
     try:
         return (
             spark.read.format("jdbc")
@@ -126,11 +157,47 @@ def read_sqlite(spark: SparkSession, db_path: str, table: str) -> DataFrame:
             .option("driver", "org.sqlite.JDBC")
             .load()
         )
-    except Exception as exc:  # pragma: no cover - jar not in test image
-        raise RuntimeError(
-            "SQLite JDBC driver not on classpath; add sqlite-jdbc jar via "
-            "spark.jars to use read_sqlite"
-        ) from exc
+    except Exception:
+        if schema is None:
+            raise RuntimeError(
+                "SQLite JDBC driver not on classpath and no explicit schema "
+                "given for the sqlite3 fallback; pass schema= (inference "
+                "over a dynamically-typed file is not supported)"
+            )
+    import sqlite3
+
+    proj = ", ".join(f'"{c}"' for c in columns) if columns else "*"
+    names = [f.name for f in schema.fields]
+    if columns:
+        schema = T.StructType([f for f in schema.fields if f.name in set(columns)])
+        names = [f.name for f in schema.fields]
+    str_cols = {
+        f.name for f in schema.fields if isinstance(f.dataType, T.StringType)
+    }
+    con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
+    try:
+        cur = con.execute(f'SELECT {proj} FROM "{table}"')
+        col_idx = [d[0] for d in cur.description]
+        if set(col_idx) != set(names):
+            raise ValueError(
+                f"schema/table mismatch: table has {col_idx}, schema declares {names}"
+            )
+        order = [col_idx.index(n) for n in names]
+        rows: list[tuple] = []
+        while True:
+            batch = cur.fetchmany(batch_size)
+            if not batch:
+                break
+            for r in batch:
+                rows.append(
+                    tuple(
+                        (str(r[i]) if (r[i] is not None and names[j] in str_cols) else r[i])
+                        for j, i in enumerate(order)
+                    )
+                )
+    finally:
+        con.close()
+    return spark.createDataFrame(rows, schema)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

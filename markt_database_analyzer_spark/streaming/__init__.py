@@ -3,5 +3,6 @@ from .jobs import (  # noqa: F401
     run_stream_to_memory,
     sliding_hourly_avg,
     stateful_per_key_deltas,
+    stateful_per_key_deltas_tws,
     tumbling_counts,
 )

@@ -270,4 +270,36 @@ def test_plot_sink_collect_discipline(spark):
         has_mpl = False
     if not has_mpl:
         with pytest.raises(RuntimeError, match="matplotlib is not installed"):
-            plots.plot_rate_curve(ok, "/tmp/never.png")
+            plots.plot_rate_curve(ok, "/tmp/never.png", backend="matplotlib")
+
+
+def test_plot_sinks_render_three_figures(spark, fixtures, tmp_path):
+    """S5 end-to-end: the three reference figure shapes
+    (analyse.py:109-135, 303-351, 501-513) render to real files from the
+    small result frames of the three analyses — via matplotlib when
+    installed, the dependency-free SVG backend otherwise."""
+    from markt_database_analyzer_spark.plans import (
+        initial_rate_by_posting_hour,
+        lifetime_view_rate_curve,
+        views_gained_by_city,
+    )
+    from markt_database_analyzer_spark.sources import plots
+
+    mon, prof = fixtures
+    p1 = plots.plot_rate_curve(
+        lifetime_view_rate_curve(mon, prof), str(tmp_path / "rate_curve.svg"),
+        x="time_hours", y="smoothed_rate",
+    )
+    p2 = plots.plot_dual_axis(
+        initial_rate_by_posting_hour(mon, prof), str(tmp_path / "hourly.svg"),
+        x="posting_hour", bars="avg_rate", line="smoothed_rate",
+    )
+    p3 = plots.plot_ranking_barh(
+        views_gained_by_city(mon, prof), str(tmp_path / "cities.svg"),
+        label="city", value="avg_views_gained",
+    )
+    for p in (p1, p2, p3):
+        with open(p) as f:
+            head = f.read(200)
+        assert "<svg" in head or head.startswith("\x89PNG") is False
+        assert (tmp_path / p.split("/")[-1]).stat().st_size > 500
