@@ -394,6 +394,7 @@ def contamination_pairs(
     text_col: str,
     id_col: str,
     shingle_k: int = 5,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """(eval_id, train_id, n_shared) for every eval document sharing at
     least one k-shingle with a train document — the decontamination sweep
@@ -401,11 +402,19 @@ def contamination_pairs(
 
     Scale shape: each side reduces to DISTINCT (doc, shingle-hash) pairs
     — the distinct is free (shingle sets are already deduped per doc) and
-    hashing means the equi-join shuffles 8-byte ints, never shingle text.
-    Join fan-out is bounded by true overlap: a shingle appearing in t
-    train docs and e eval docs emits t·e rows for THAT shingle only, and
-    the group-by collapses them map-side. Empty/short-document sentinel
-    shingles are dropped so blank docs don't cross-match."""
+    hashing means the join key is an 8-byte int, never shingle text.
+    An eval holdout is a fixed-size benchmark set, orders of magnitude
+    smaller than train, so by default its (eval_id, sh_h) pairs BROADCAST
+    and the train shingles — the 100 TB side — are never shuffled at all:
+    the join is map-side against the eval hash table, and the only
+    exchange left is the group-by on matched pairs, bounded by true
+    overlap. Set ``broadcast_eval=False`` for the symmetric shuffle join
+    when the 'eval' side is itself corpus-sized (a corpus×corpus overlap
+    audit rather than a holdout sweep). Join fan-out is bounded either
+    way: a shingle in t train docs and e eval docs emits t·e rows for
+    THAT shingle only, and the group-by collapses them map-side.
+    Empty/short-document sentinel shingles are dropped so blank docs
+    don't cross-match."""
     def side(df: DataFrame, alias: str) -> DataFrame:
         return (
             shingle_projection(df, text_col, id_col, shingle_k)
@@ -416,8 +425,8 @@ def contamination_pairs(
 
     ev = side(eval_df, "eval_id")
     tr = side(train, "train_id")
+    joined = tr.join(F.broadcast(ev) if broadcast_eval else ev, "sh_h")
     return (
-        ev.join(tr, "sh_h")
-        .groupBy("eval_id", "train_id")
+        joined.groupBy("eval_id", "train_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

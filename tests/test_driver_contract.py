@@ -44,3 +44,24 @@ def test_entry_points_work_on_foreign_session():
         cwd=".",
     )
     assert "DRIVER-CONTRACT-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_driver_ordering_covers_registry_exactly():
+    """The explicit driver-run ordering must be a permutation of the
+    registry: a typo in _DRIVER_HEAD/_DRIVER_TAIL would silently drop the
+    rotation (the driver checks a prefix of queries(), so ordering IS
+    coverage). Also pins that the head's rotation candidates exist and
+    oracles stay aligned with queries."""
+    import __spark_entry__ as e
+    from markt_database_analyzer_spark.catalog import REGISTRY
+
+    names = list(e.queries().keys())
+    assert sorted(names) == sorted(REGISTRY.keys())
+    assert len(names) == len(set(names))
+    for n in e._DRIVER_HEAD + e._DRIVER_TAIL:
+        assert n in REGISTRY, f"ordering names unknown entry {n!r}"
+    # head entries really are at the front, in the declared order
+    assert names[: len(e._DRIVER_HEAD)] == e._DRIVER_HEAD
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(names)
+    assert all(isinstance(s, str) and s.strip() for s in oracles.values())
