@@ -54,7 +54,8 @@ _DRIVER_HEAD: list[str] = [
     "pivot_status_by_priority",
     "sessionize_events",
     "pack_chunks_documents",
-    # (3) oracle/semantics changed this round
+    # (3) new in r2 / oracle or semantics changed this round
+    "streaming_dedup_distinct_pairs",
     "pipeline_training_mix",
     "text_quality",
     "similarity_ivf_kmeans_topk",

@@ -475,6 +475,36 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_distinct_pairs",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+""",
+    tags=("streaming", "dedup", "state"),
+)
+def streaming_dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup — the ingestion-time analog of
+    ``exact_dedup_groups``: ``dropDuplicates`` over the stream keeps keyed
+    state of seen (user_id, event_type) pairs and emits each exactly once.
+    Only the key columns are selected, so the emitted SET is deterministic
+    (first-seen ROW attribution would depend on micro-batch arrival order
+    — that variant belongs behind event-time ordering, not in a
+    differential gate). State here is bounded by the key domain (users ×
+    event types); for unbounded keys the production form is
+    ``dropDuplicatesWithinWatermark``, which this shares a plan shape
+    with. Oracle: batch DISTINCT over the same input."""
+    from .streaming import read_events_stream, run_stream_to_memory
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    return run_stream_to_memory(stream, output_mode="append").orderBy(
+        "user_id", "event_type"
+    )
+
+
+@register(
     "text_tfidf_top_terms",
     oracle=f"""
 WITH tok AS (SELECT doc_id, unnest({tx.sql_tokens('text')}) AS term FROM documents),

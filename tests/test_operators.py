@@ -220,6 +220,13 @@ def test_write_partitioned_roundtrip_and_layout(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert back.agg(F.sum("v")).first()[0] == sum(i * 2.0 for i in range(1000))
+    # and a partition-key filter prunes at PLANNING time: the scan's
+    # PartitionFilters carry the predicate and only 1 of 3 directories
+    # is read (partitionBy exists FOR this property)
+    filtered = back.filter(F.col("part") == 1)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "part" in plan.split("PartitionFilters:")[1][:80]
+    assert filtered.count() == sum(1 for i in range(1000) if i % 3 == 1)
 
 
 def test_read_jsonl_explicit_schema_and_corrupt_lines(spark, tmp_path):

@@ -116,3 +116,48 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """The 100 TB pruning lever between broadcast and bucketing: when a
+    shuffle join's build side carries a selective predicate, Spark injects
+    a runtime bloom filter (`might_contain`) into the probe-side scan so
+    fact rows that cannot match never reach the exchange. On production
+    thresholds this fires only when the probe scan is >= 10 GB (right: at
+    toy scale the filter costs more than it saves); the test lowers the
+    thresholds to pin that the session leaves the feature ON and the plan
+    shape is injectable."""
+    from pyspark.sql import functions as F
+
+    from markt_database_analyzer_spark.sources import read_table
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = read_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = read_table(spark, SF, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
