@@ -252,3 +252,57 @@ def test_mix_corpora_weights_and_provenance(spark):
     assert 0 < counts["odd"] < b.count()
     with _pytest.raises(ValueError):
         sp.mix_corpora([("x", a, 1.5)], id_col="doc_id")
+    with _pytest.raises(ValueError):
+        sp.mix_corpora([], id_col="doc_id")
+    # per-source salted gates: the same corpus listed twice draws
+    # INDEPENDENT samples, not nested kept-sets
+    twice = sp.mix_corpora([("s1", docs, 0.3), ("s2", docs, 0.3)], id_col="doc_id")
+    s1 = {r["doc_id"] for r in twice.filter("source = 's1'").select("doc_id").collect()}
+    s2 = {r["doc_id"] for r in twice.filter("source = 's2'").select("doc_id").collect()}
+    assert s1 != s2 and not (s1 <= s2) and not (s2 <= s1)
+
+
+def test_blank_and_zero_token_edges_match_oracle(spark):
+    """ADVICE r1 edge pins, differentially: a blank/whitespace-only doc
+    scores exactly 0.2 quality in BOTH engines (not NULL), and a
+    zero-token doc packs with chunk_end == chunk_start (never -1) in BOTH
+    engines — including the offset=0 first-of-shard case where Spark's
+    floor(-1/b) and SQL integer division used to disagree."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from markt_database_analyzer_spark.datapipe import sampling as sp
+    from markt_database_analyzer_spark.datapipe import text as tx
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "ein kleines gutes dokument"), (3, "\t\n")],
+        "doc_id long, text string",
+    )
+    got = (
+        docs.select("doc_id", F.round(tx.quality_score("text"), 9).alias("q"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": ["", "   ", "ein kleines gutes dokument", "\t\n"]}))
+    want = con.execute(
+        f"SELECT doc_id, round({tx.sql_quality_score('text', tx.sql_tokens('text'))}, 9) AS q "
+        "FROM documents ORDER BY doc_id"
+    ).fetchdf()
+    assert list(got["q"]) == list(want["q"]), (got, want)
+    assert got["q"][0] == 0.2 and got["q"][3] == 0.2
+
+    # packing: first doc of the shard has 0 tokens -> offset 0, end==start
+    meta = spark.createDataFrame(
+        [(0, 0), (1, 5), (2, 0), (3, 2050)], "doc_id long, n_tokens long"
+    )
+    packed = (
+        sp.pack_chunks(meta, "doc_id", "n_tokens", budget=2048)
+        .orderBy("doc_id")
+        .collect()
+    )
+    by_id = {r["doc_id"]: r for r in packed}
+    assert by_id[0]["offset"] == 0 and by_id[0]["chunk_end"] == by_id[0]["chunk_start"] == 0
+    assert by_id[2]["chunk_end"] == by_id[2]["chunk_start"]  # zero tokens mid-stream
+    assert by_id[3]["chunk_start"] == 0 and by_id[3]["chunk_end"] == 1  # real straddle kept
