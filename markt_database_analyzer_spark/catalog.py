@@ -727,3 +727,4 @@ def headline_queries() -> dict[str, QuerySpec]:
 # modules for readability.
 from . import catalog_ext  # noqa: E402,F401  (intentional tail import)
 from . import catalog_more  # noqa: E402,F401
+from . import catalog_curate  # noqa: E402,F401

@@ -1,0 +1,569 @@
+"""Round-2 curation catalog: cluster-level dedup resolution, corpus
+rebalancing, vocabulary statistics, cross-corpus dedup, PII redaction,
+paragraph dedup, and classic TPC-H-shaped anchors — same (Spark program,
+DuckDB oracle) contract as ``catalog``.
+
+These extend the Phase-4 datapipe surface (catalog_ext) with the
+*decision* layer a production curation run needs: LSH gives pairs, this
+module turns them into per-document keep/drop verdicts; sampling gives a
+single gate, this module gives per-language rebalancing; etc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import SQL_DAVG, SQL_DSUM, register, _t
+from .catalog_ext import _sql_minhash_lsh
+from .datapipe import clustering as cl
+from .datapipe import dedup as dd
+from .datapipe import sampling as smp
+from .datapipe import similarity as sim
+from .datapipe import text as tx
+from .datapipe.util import fan_out
+from .functions import davg, dsum
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over LSH pairs)
+# --------------------------------------------------------------------------
+
+def _sql_cluster_resolve() -> str:
+    # The MinHash-LSH pair SQL (already differential-green as
+    # dedup_minhash_lsh) becomes the edge list of a recursive
+    # transitive-closure walk; min reachable id = cluster id = survivor.
+    lsh = _sql_minhash_lsh()
+    return f"""
+WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({lsh}) lsh),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+walk(id, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.id = e.dst
+),
+comp AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id),
+sized AS (
+  SELECT c.id, c.cluster_id, s.cluster_size
+  FROM comp c JOIN (
+    SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1
+  ) s USING (cluster_id)
+)
+SELECT d.doc_id AS doc_id,
+       coalesce(s.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(s.cluster_size, 1::BIGINT) AS cluster_size,
+       (d.doc_id = coalesce(s.cluster_id, d.doc_id)) AS keep
+FROM documents d LEFT JOIN sized s ON d.doc_id = s.id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_cluster_resolve",
+    oracle=_sql_cluster_resolve(),
+    headline=True,
+    tags=("dedup", "clustering", "connected-components"),
+)
+def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters → one survivor per cluster.
+
+    MinHash-LSH candidate pairs (the dedup_minhash_lsh plan) are resolved
+    into connected components by iterative min-label propagation
+    (datapipe.clustering) — each round one (int64,int64) shuffle, lineage
+    cut per round, convergence counted; the component map (tiny: only docs
+    that banded together) broadcasts back onto the corpus for the final
+    keep/drop verdict. Reference analog: the keep-first dedup of
+    analyse.py:372 generalized to fuzzy keys."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_neardup_pairs(docs, "text", "doc_id", num_hashes=16, bands=4)
+    out = cl.resolve_duplicate_clusters(docs, pairs, id_col="doc_id")
+    return out.orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Corpus rebalancing: per-language stratified sampling
+# --------------------------------------------------------------------------
+
+_STRATA = {"en": 0.3, "de": 1.0, "fr": 0.5, "es": 0.5, "zh": 0.25}
+
+
+@register(
+    "sample_stratified_lang",
+    oracle=f"""
+SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc
+FROM documents
+WHERE {smp.sql_stratified_gate('doc_id', 'lang', _STRATA, seed=3)}
+GROUP BY lang ORDER BY lang
+""",
+    tags=("sampling", "stratified"),
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: per-stratum deterministic hash gates (keep 30%
+    of English, all German, …). Map-only filter fused into the scan; each
+    stratum's sample is independent (gate hashes stratum~id)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = smp.stratified_sample(docs, "doc_id", "lang", _STRATA, seed=3)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("first_doc"))
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Global vocabulary statistics (Zipf head)
+# --------------------------------------------------------------------------
+
+@register(
+    "vocab_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({tx.sql_tokens('text')}) AS term FROM documents
+),
+counts AS (SELECT term, count(*) AS n FROM tok GROUP BY term)
+SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank
+FROM counts ORDER BY n DESC, term LIMIT 100
+""",
+    tags=("text", "vocab"),
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global top-100 vocabulary (the Zipf head every tokenizer /
+    quality audit wants). explode → map-side-combined count → TakeOrdered
+    top-k (orderBy+limit compiles to TakeOrderedAndProject — no global
+    sort); the rank window runs on the 100 surviving rows only."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(tx.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(100)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return counts.withColumn("rank", F.row_number().over(w))
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus dedup (incoming batch vs existing corpus)
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_cross_corpus",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, source, {tx.sql_fingerprint_tokenset('text')} AS fp,
+         CAST(substring(source, 4) AS INT) >= 10 AS incoming
+  FROM documents
+),
+existing AS (SELECT DISTINCT fp FROM fp WHERE NOT incoming)
+SELECT f.doc_id, f.source, (e.fp IS NOT NULL) AS dup_of_existing
+FROM fp f LEFT JOIN existing e ON f.fp = e.fp
+WHERE f.incoming
+ORDER BY f.doc_id
+""",
+    tags=("dedup", "cross-corpus"),
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: an incoming batch (sources src10+) checked
+    against the existing corpus (src0–src9) on the order-insensitive
+    token-set fingerprint. Left join on the 60-bit fingerprint — both sides
+    shuffle 8-byte keys, never text; at 100 TB the existing side is a
+    bucketed fingerprint index so the probe is shuffle-free."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        tx.fingerprint_tokenset("text").alias("fp"),
+        (F.substring("source", 4, 10).cast("int") >= 10).alias("incoming"),
+    )
+    existing = fp.filter(~F.col("incoming")).select("fp").distinct()
+    return (
+        fp.filter(F.col("incoming"))
+        .join(existing.withColumnRenamed("fp", "efp"), F.col("fp") == F.col("efp"), "left")
+        .select("doc_id", "source", F.col("efp").isNotNull().alias("dup_of_existing"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Deterministic synthetic PII injection (the corpus is synthetic and
+# PII-free, so the operator would otherwise be untested on real matches):
+# every 7th doc gets an email + IP + phone derived from its doc_id —
+# identical expressions on both engines, so the differential still bites.
+_SQL_INJECT = (
+    "(CASE WHEN doc_id % 7 = 0 THEN text || ' reach user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com or 10.1.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || '.7 tel 555-123-4567' ELSE text END)"
+)
+
+
+def _inject_pii() -> F.Column:
+    return F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 10.1."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".7 tel 555-123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+
+
+def _sql_pii_redact_entry() -> str:
+    counts = tx.sql_pii_counts("text")
+    cols = ",\n       ".join(f"{sql} AS {name}" for name, sql in counts.items())
+    return f"""
+WITH inj AS (SELECT doc_id, {_SQL_INJECT} AS text FROM documents)
+SELECT doc_id,
+       {cols},
+       md5({tx.sql_pii_redact('text')}) AS redacted_md5
+FROM inj ORDER BY doc_id
+"""
+
+
+@register(
+    "text_pii_redact",
+    oracle=_sql_pii_redact_entry(),
+    tags=("text", "pii", "redaction"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails, IPv4, phone numbers): per-kind match counts +
+    md5 of the redacted text. Row-local regexp work, whole-stage codegen,
+    patterns constrained to the Java-regex ∩ RE2 common subset so the
+    operator is engine-portable. Map-only at any scale."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    inj = docs.select("doc_id", _inject_pii().alias("text"))
+    counts = tx.pii_counts("text")
+    return inj.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        F.md5(tx.pii_redact("text")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level dedup (explode → global keep-first → reassemble)
+# --------------------------------------------------------------------------
+
+_PARA_TOKENS = 15  # synthetic corpus has no newlines; 15-token chunks play
+                   # the role of paragraphs (the operator shape is identical)
+
+
+def _sql_dedup_paragraphs() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+para AS (
+  SELECT doc_id, g AS pos,
+         array_to_string(toks[(g * {_PARA_TOKENS} + 1):((g + 1) * {_PARA_TOKENS})], ' ') AS para
+  FROM t, unnest(generate_series(0, CAST(ceil(len(toks) / {_PARA_TOKENS}.0) AS INT) - 1)) AS u(g)
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM para
+),
+rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_paras,
+         count(*) FILTER (WHERE rn = 1) AS n_kept,
+         coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS clean_text
+  FROM ranked GROUP BY doc_id
+)
+SELECT doc_id, n_paras, n_kept, md5(clean_text) AS clean_md5
+FROM rebuilt ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_paragraphs",
+    oracle=_sql_dedup_paragraphs(),
+    tags=("dedup", "paragraph"),
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup: split each doc into paragraphs, keep
+    only the globally-first occurrence of each paragraph (by doc_id, pos),
+    reassemble the surviving text in order. The classic boilerplate-removal
+    pass (headers/footers repeated across a crawl vanish everywhere but
+    their first sighting). Shuffle keys are (paragraph-hash) and (doc_id) —
+    at scale the window runs over the 60-bit paragraph hash, never full
+    text; the rebuild is a map-side-combinable sort_array(collect_list)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    n_paras = F.ceil(F.size(toks) / F.lit(_PARA_TOKENS)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda g: F.array_join(F.slice(toks, g * _PARA_TOKENS + 1, _PARA_TOKENS), " "),
+    )
+    exploded = (
+        fan_out(docs)
+        .filter(F.size(toks) > 0)
+        .select("doc_id", F.posexplode(paras).alias("pos", "para"))
+    )
+    w = Window.partitionBy("para").orderBy("doc_id", "pos")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("rn") == 1, F.struct("pos", "para"))
+                            )
+                        ),
+                        lambda s: s["para"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Outlier flagging: per-group z-score
+# --------------------------------------------------------------------------
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+WITH stats AS (
+  SELECT event_type,
+         {SQL_DAVG.format(x='value')} AS mean_v,
+         {SQL_DSUM.format(x='value * value')} AS sumsq,
+         count(value) AS n
+  FROM events GROUP BY event_type
+),
+flagged AS (
+  SELECT e.event_id, e.event_type, e.value,
+         round((e.value - s.mean_v)
+               / sqrt((s.sumsq - s.n * s.mean_v * s.mean_v) / (s.n - 1)), 9) AS z
+  FROM events e JOIN stats s USING (event_type)
+)
+SELECT event_id, event_type, value, z FROM flagged
+WHERE abs(z) > 3.0 ORDER BY event_id
+""",
+    tags=("stats", "anomaly"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier flagging (|z| > 3). Mean and variance
+    come from micro-unit-quantized sums (dsum/davg) so both engines compute
+    bit-identical doubles regardless of partitioning; the tiny per-type
+    stats frame broadcasts back onto the stream. Two passes over events —
+    at scale the stats pass is a map-side-combined agg over ~10 groups."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        davg(F.col("value")).alias("mean_v"),
+        dsum(F.col("value") * F.col("value")).alias("sumsq"),
+        F.count("value").alias("n"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.sqrt(
+        (F.col("sumsq") - F.col("n") * F.col("mean_v") * F.col("mean_v"))
+        / (F.col("n") - F.lit(1))
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 9))
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup via signed-random-projection LSH
+# --------------------------------------------------------------------------
+
+@register(
+    "similarity_srp_lsh_pairs",
+    oracle=sim.sql_srp_neardup_pairs(dim=64, min_cos=0.4),
+    tags=("similarity", "lsh", "srp"),
+)
+def similarity_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs over embeddings: 16 deterministic ±1
+    projections → 4 bands of 4 sign bits → band equi-join candidates →
+    exact-cosine verify (>= 0.4; the synthetic corpus tops out at
+    cos 0.51). The third ANN family next to IVF and cell-blocking:
+    data-independent (no training pass), so it works on a cold corpus.
+    Band joins shuffle (vid, band, code) rows only; vectors are fetched
+    for the deduped candidate set alone."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.srp_neardup_pairs(emb, "vec_id", "embedding", dim=64, min_cos=0.4)
+    return pairs.repartition(1).sortWithinPartitions("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped anchors (date ranges adapted to the testdata's 1995–2001)
+# --------------------------------------------------------------------------
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {SQL_DSUM.format(x='l_quantity')} AS sum_qty,
+       {SQL_DSUM.format(x='l_extendedprice')} AS sum_base_price,
+       {SQL_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {SQL_DSUM.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {SQL_DAVG.format(x='l_quantity')} AS avg_qty,
+       {SQL_DAVG.format(x='l_extendedprice')} AS avg_price,
+       {SQL_DAVG.format(x='l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    headline=True,
+    tags=("tpch", "aggregate"),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide-aggregate scan. One pruned scan,
+    one map-side-combined hash agg over a 6-group key — the whole query is
+    a single WholeStageCodegen span + one tiny shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+SELECT o_orderkey,
+       {SQL_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, o_orderkey
+LIMIT 10
+""",
+    tags=("tpch", "join"),
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → top-N by
+    aggregate. The customer side is filtered then broadcast; orderBy+limit
+    compiles to TakeOrderedAndProject (no global sort of the aggregate)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1997-03-15"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1997-03-15"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+SELECT n_name,
+       {SQL_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    tags=("tpch", "join"),
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the 6-table snowflake join. region→nation→supplier
+    and customer are all broadcast dims; lineitem⋈orders is the only
+    shuffle join, and AQE is free to reorder it. The c_nationkey =
+    s_nationkey 'local supplier' predicate rides the supplier broadcast."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    nat_asia = nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    supp_asia = supplier.join(
+        F.broadcast(nat_asia), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp_asia),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "tpch_q6_revenue_forecast",
+    oracle=f"""
+SELECT {SQL_DSUM.format(x='l_extendedprice * l_discount')} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("tpch", "scan"),
+)
+def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filtered-scan aggregate — the predicate-pushdown
+    litmus test. All four predicates reach the parquet reader (PushedFilters
+    pinned in test_plan_properties); no shuffle at all beyond the final
+    single-row reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -1,0 +1,139 @@
+"""Duplicate-cluster resolution: distributed connected components over
+near-dup candidate pairs.
+
+LSH / SimHash banding (datapipe.dedup) emits *pairs*; a production dedup
+pipeline needs *clusters* — the transitive closure of the pair graph — so
+exactly one canonical document survives per duplicate group (the reference
+deduplicates per-key with keep-first, ``analyse.py:372``; this is the
+graph generalization a 100 TB corpus needs once near-dup edges are fuzzy).
+
+Algorithm: iterative min-label propagation on the symmetrized edge list —
+each round every node adopts ``min(own label, neighbours' labels)``:
+
+    labels_{t+1}(v) = min(labels_t(v), min_{(u,v) in E} labels_t(u))
+
+Properties that make this the right Spark shape:
+
+- each round is ONE shuffle (edges ⋈ labels on dst, then min-groupBy) and
+  the frames carry only (int64, int64) rows — never text;
+- rounds needed = graph diameter; near-dup graphs are clique-like (every
+  member pairs with most others), so 2–3 rounds in practice. A pathological
+  chain of D near-identical docs needs D rounds — ``max_iter`` bounds it
+  and the implementation raises rather than silently returning a
+  half-merged clustering;
+- ``localCheckpoint`` truncates the lineage each round so the plan does not
+  grow (and re-execute) quadratically across iterations — same
+  materialization-barrier discipline as the Lloyd loop in
+  datapipe.similarity;
+- convergence test is a count of changed labels — one tiny action per
+  round, exactly the MLlib iterative pattern.
+
+The result is deterministic: min() over a set, no RNG, no tie-breaks.
+Cluster id = the smallest member id, so ``cluster_id`` doubles as the
+survivor key with no extra pass.
+
+For graphs with truly large diameters the published fix is large-star /
+small-star (Kiveris et al., "Connected Components in MapReduce and
+Beyond"), which converges in O(log² n) rounds; min-label propagation is
+preferred here because dedup graphs are shallow and each round is cheaper
+(no double edge materialization). SCALE.md documents the trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve the pair graph into components.
+
+    Returns one row per node appearing in any pair:
+    ``(id, cluster_id)`` where ``cluster_id`` is the minimum node id
+    reachable from ``id`` (the canonical survivor of the duplicate group).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds do not converge — a
+    correctness guard, not a soft cap: a half-propagated labelling would
+    under-merge clusters.
+    """
+    # Materialize the (usually expensive) pair plan ONCE before it fans out
+    # into both directions of the symmetrized edge list.
+    base = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    # Symmetrize so propagation flows both ways; distinct() keeps each
+    # (src, dst) once — the frame is two ints wide, the shuffle is cheap.
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+
+    # Round 0 folds the first propagation into label initialization:
+    # label(v) = min(v, min neighbour) straight off the edge list.
+    labels = edges.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("lab")
+    ).select(F.col("src").alias("id"), "lab")
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # Push every node's current label to its neighbours, then take the
+        # min of (own label, pushed labels). Join key is dst (int64).
+        pushed = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "lab")
+        )
+        new_labels = (
+            labels.unionByName(pushed)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("lab").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the pair graph has a longer path than expected — raise max_iter."
+    )
+
+
+def resolve_duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-document dedup verdict from a candidate-pair frame.
+
+    Output: ``(doc_id, cluster_id, cluster_size, keep)`` for every document
+    in ``docs``. Documents in no pair are their own singleton cluster
+    (size 1, kept). ``keep`` is true exactly for the cluster's minimum id —
+    one survivor per duplicate group.
+
+    The components frame is tiny relative to the corpus (only docs that
+    matched a band), so the join back to ``docs`` broadcasts at scale.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    comp = comp.join(sizes, "cluster_id")
+    return (
+        docs.select(F.col(id_col).cast("bigint").alias("doc_id"))
+        .join(F.broadcast(comp), F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )

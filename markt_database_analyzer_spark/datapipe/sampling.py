@@ -105,6 +105,45 @@ def mix_corpora(
     return out
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    seed: int = 3,
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. language rebalancing: keep 30%
+    of English, all of German). The gate hashes ``stratum~id`` so each
+    stratum draws an INDEPENDENT sample — rebalancing one language never
+    perturbs another's kept-set. Strata missing from ``fractions`` get
+    ``default``. Still a map-only filter fused into the scan."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in [0, 1], got {v}")
+    pos = F.pmod(
+        hash60(F.concat(F.col(stratum_col), F.lit("~"), F.col(id_col).cast("string")), seed=seed),
+        F.lit(RESOLUTION),
+    )
+    thresh = F.lit(int(default * RESOLUTION))
+    for k, v in sorted(fractions.items()):
+        thresh = F.when(F.col(stratum_col) == k, F.lit(int(v * RESOLUTION))).otherwise(thresh)
+    return df.filter(pos < thresh)
+
+
+def sql_stratified_gate(
+    id_expr: str, stratum_expr: str, fractions: dict[str, float], seed: int = 3, default: float = 0.0
+) -> str:
+    """DuckDB rendering of the :func:`stratified_sample` predicate."""
+    hashed = sql_hash60(f"({stratum_expr} || '~' || CAST({id_expr} AS VARCHAR))", seed=seed)
+    branches = " ".join(
+        f"WHEN {stratum_expr} = '{k}' THEN {int(v * RESOLUTION)}"
+        for k, v in sorted(fractions.items(), reverse=True)
+    )
+    thresh = f"(CASE {branches} ELSE {int(default * RESOLUTION)} END)"
+    return f"(({hashed} % {RESOLUTION}) < {thresh})"
+
+
 # ---------------------------------------------------------------------------
 # Concat-and-chunk sequence packing
 # ---------------------------------------------------------------------------

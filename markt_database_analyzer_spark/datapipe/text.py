@@ -235,3 +235,47 @@ def sql_repetition_score(expr: str, k: int = 3) -> str:
         f"THEN 1.0 - len(list_distinct({grams}))::DOUBLE / len({grams})::DOUBLE "
         f"ELSE 0.0 END)"
     )
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax that Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: char classes, bounded repetition, \b, \d. No
+# lookaround (RE2 has none), no backrefs. Redaction order matters (an
+# already-redacted span can't re-match); both engines apply the same order.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts on the raw text (JVM-side regexp_count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)) for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Scrub all PII kinds in PII_PATTERNS order (row-local, codegen'd)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def sql_pii_counts(expr: str) -> dict[str, str]:
+    return {
+        f"n_{name}": f"len(regexp_extract_all({expr}, '{pat}'))"
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def sql_pii_redact(expr: str) -> str:
+    for _, pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr
