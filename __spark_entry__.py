@@ -33,7 +33,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle/semantics changed this round, (4) the rest, with the most
 # expensive already-green entries last. See COVERAGE.md "driver rotation".
 _DRIVER_HEAD: list[str] = [
-    # (1) never driver-checked in r1
+    # (1a) new in r2 — no driver verdict exists yet
+    "dedup_cluster_resolve",
+    "sample_stratified_lang",
+    "vocab_top_terms",
+    "dedup_cross_corpus",
+    "text_pii_redact",
+    "dedup_paragraphs",
+    "events_anomaly_zscore",
+    "similarity_srp_lsh_pairs",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_forecast",
+    "sample_k_per_group",
+    "filter_blocklist_sources",
+    # (1b) never driver-checked in r1
     "approx_distinct_parts",
     "asof_join_last_event",
     "range_join_first_day_events",

@@ -567,3 +567,112 @@ def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-size per-group sampling (deterministic "reservoir")
+# --------------------------------------------------------------------------
+
+@register(
+    "sample_k_per_group",
+    oracle=f"""
+SELECT lang, doc_id, pos FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {smp.sql_gate('doc_id', seed=4)}, doc_id
+         ) AS pos
+  FROM documents
+) WHERE pos <= 5 ORDER BY lang, pos
+""",
+    tags=("sampling", "per-group"),
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group sampling: keep the k rows with the SMALLEST
+    deterministic hash gate per group — the RNG-free reservoir-sample
+    analog. Unlike rate gates, group sizes are fixed (k) regardless of
+    group skew; like them, it's reproducible anywhere and subset-stable
+    in k. One shuffle on the group key; rank via window (at 100 TB the
+    same result comes from groupBy + min_by(k) map-side combine)."""
+    docs = _t(spark, sf_dir, "documents")
+    gate = smp._gate("doc_id", seed=4)
+    w = Window.partitionBy("lang").orderBy(gate.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 5)
+        .select("lang", "doc_id", "pos")
+        .orderBy("lang", "pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# Blocklist filtering (anti-join)
+# --------------------------------------------------------------------------
+
+_BLOCKED_SOURCES = ("src3", "src7", "src12", "src18")
+
+
+@register(
+    "filter_blocklist_sources",
+    oracle=f"""
+SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM documents
+WHERE source NOT IN ({", ".join(repr(s) for s in _BLOCKED_SOURCES)})
+GROUP BY source ORDER BY source
+""",
+    tags=("filter", "blocklist"),
+)
+def filter_blocklist_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source blocklisting as a LEFT ANTI join against a (small)
+    blocklist frame — the shape that scales to million-entry blocklists
+    where an IN-list literal can't: the blocklist broadcasts, the corpus
+    never shuffles. (The oracle uses NOT IN; same semantics for non-null
+    keys.)"""
+    docs = _t(spark, sf_dir, "documents")
+    block = spark.createDataFrame([(s,) for s in _BLOCKED_SOURCES], "source: string")
+    return (
+        docs.join(F.broadcast(block), "source", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantile-gated quality filtering
+# --------------------------------------------------------------------------
+
+@register(
+    "filter_quality_quantile",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, round({tx.sql_quality_score('text', tx.sql_tokens('text'))}, 9) AS q
+  FROM documents
+),
+thr AS (SELECT round(quantile_cont(q, 0.25), 9) AS thr FROM q)
+SELECT lang, count(*) AS n_kept, min(thr) AS threshold
+FROM q, thr WHERE q >= thr
+GROUP BY lang ORDER BY lang
+""",
+    tags=("text", "quality", "quantile"),
+)
+def filter_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop the bottom quality quartile: exact 25th-percentile threshold
+    (linear interpolation — identical in Spark `percentile` and DuckDB
+    `quantile_cont` on DOUBLE, both rounded to the shared 9-dp grid) then
+    a broadcast 1-row threshold join. At 100 TB swap the exact percentile
+    for `approx_percentile` (t-digest sketch, map-side combinable) — the
+    gate shape is unchanged; the exact form here is what makes the entry
+    differential-testable."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "lang", F.round(tx.quality_score("text"), 9).alias("q")
+    )
+    thr = q.agg(F.round(F.percentile("q", F.lit(0.25)), 9).alias("thr"))
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .filter(F.col("q") >= F.col("thr"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("thr").alias("threshold"))
+        .orderBy("lang")
+    )

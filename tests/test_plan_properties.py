@@ -51,6 +51,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         "similarity_ivf_kmeans_topk",
         "dedup_ngram_jaccard_sample",
         "text_tfidf_top_terms",
+        # injects the 1-row exact-percentile threshold via
+        # crossJoin(broadcast(thr)) — same shape as tfidf's corpus-size N
+        "filter_quality_quantile",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
@@ -161,3 +164,67 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_tpch_q6_predicates_push_to_scan(spark):
+    """Q6 is the pushdown litmus test: all scan predicates must reach
+    PushedFilters and the scan must read only the 4 referenced columns."""
+    plan = _plan(spark, "tpch_q6_revenue_forecast")
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    assert "PushedFilters: [" in plan
+    # the toString rendering truncates the filter list; the leading
+    # IsNotNull trio + the first range predicate are enough to prove the
+    # predicates reached the reader rather than a post-scan Filter only
+    assert "IsNotNull(l_quantity)" in plan
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    assert "l_returnflag" not in scan and "l_partkey" not in scan
+
+
+def test_tpch_q5_snowflake_broadcasts_dims(spark):
+    """Q5: every dimension arm must broadcast; the only shuffle join
+    allowed is lineitem x orders."""
+    plan = _plan(spark, "tpch_q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q3_top10_uses_take_ordered(spark):
+    """Q3's ORDER BY + LIMIT must compile to TakeOrderedAndProject —
+    a global sort of the aggregate would be a scale bug."""
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "vocab_top_terms")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_srp_band_join_shuffles_skinny_codes_only(spark):
+    """The SRP band self-join must be an equi-join whose inputs carry only
+    (vid, band_id, band_code) — vectors must NOT flow through the
+    candidate-generation exchange."""
+    from markt_database_analyzer_spark.datapipe import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    mat = sim.srp_matrix(64)
+    from pyspark.sql import functions as F
+
+    vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    codes = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode(F.array(*sim.srp_band_codes(vecd, mat))).alias("band_id", "band_code"),
+    )
+    cand = codes.alias("a").join(
+        codes.alias("b"),
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_code") == F.col("b.band_code"))
+        & (F.col("a.vid") < F.col("b.vid")),
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the exchanges feeding the join must not materialize the vector column
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "embedding" not in line, line

@@ -48,6 +48,13 @@ ENTRIES = [
     "similarity_bruteforce_topk",
     "similarity_ivf_kmeans_topk",
     "pack_chunks_documents",
+    # round-2 curation layer
+    "dedup_cluster_resolve",
+    "similarity_srp_lsh_pairs",
+    "dedup_paragraphs",
+    "text_pii_redact",
+    "dedup_cross_corpus",
+    "vocab_top_terms",
 ]
 
 
