@@ -48,6 +48,8 @@ _DRIVER_HEAD: list[str] = [
     "tpch_q6_revenue_forecast",
     "sample_k_per_group",
     "filter_blocklist_sources",
+    "filter_quality_quantile",
+    "streaming_curation_gate",
     # (1b) never driver-checked in r1
     "approx_distinct_parts",
     "asof_join_last_event",

@@ -676,3 +676,43 @@ def filter_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"), F.min("thr").alias("threshold"))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming curation gate (map-only ops run unchanged on streams)
+# --------------------------------------------------------------------------
+
+@register(
+    "streaming_curation_gate",
+    oracle=f"""
+SELECT doc_id, lang,
+       len(regexp_extract_all({_SQL_INJECT}, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+       md5({tx.sql_pii_redact(_SQL_INJECT)}) AS redacted_md5
+FROM documents
+WHERE {smp.sql_stratified_gate('doc_id', 'lang', _STRATA, seed=3)}
+ORDER BY doc_id
+""",
+    tags=("streaming", "curation", "pii"),
+)
+def streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingestion-time curation gate: stratified sampling + PII
+    redaction applied to a document STREAM. Both operators are row-local
+    projections/filters, so the streaming plan is stateless (append mode,
+    no watermark, no state store) and byte-identical in semantics to the
+    batch form — which is exactly the property the oracle checks. This is
+    the shape a 100 TB/day ingest runs: gates fused into the stream scan,
+    dedup/clustering downstream on the gated survivors."""
+    from .streaming import read_documents_stream, run_stream_to_memory
+
+    docs = read_documents_stream(spark, sf_dir)
+    gated = smp.stratified_sample(docs, "doc_id", "lang", _STRATA, seed=3)
+    inj = gated.select("doc_id", "lang", _inject_pii().alias("text"))
+    out = inj.select(
+        "doc_id",
+        "lang",
+        tx.pii_counts("text")["n_email"].alias("n_email"),
+        F.md5(tx.pii_redact("text")).alias("redacted_md5"),
+    )
+    return run_stream_to_memory(out, output_mode="append", state_partitions=None).orderBy(
+        "doc_id"
+    )

@@ -3,6 +3,7 @@ from .readers import (  # noqa: F401
     PROFILES_SCHEMA,
     TESTDATA_TABLES,
     load_tables,
+    read_csv,
     read_jsonl,
     read_table,
     register_views,

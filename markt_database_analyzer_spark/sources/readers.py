@@ -218,3 +218,28 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV source with an EXPLICIT schema and corrupt-record capture —
+    same contract as :func:`read_jsonl` (no inference pass, no silent
+    type widening between runs; malformed rows land in
+    ``_corrupt_record`` instead of failing the job). Dates/timestamps
+    must be declared in the schema so parsing happens at scan time in
+    the JVM, not in a downstream cast."""
+    full_schema = schema.add("_corrupt_record", T.StringType())
+    return (
+        spark.read.schema(full_schema)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("enforceSchema", "true")
+        .csv(path)
+    )

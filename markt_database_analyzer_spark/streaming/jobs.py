@@ -47,7 +47,30 @@ EVENTS_RAW_SCHEMA = T.StructType(
     ]
 )
 
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
 _sink_counter = itertools.count()
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the documents table — the ingestion-time corpus
+    feed (file-source here; Kafka/queue in production, same plan)."""
+    from ..sources.readers import ensure_engine_conf
+
+    ensure_engine_conf(spark)
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -184,3 +184,58 @@ def test_srp_matrix_is_deterministic_and_balanced():
     for row in m1:
         pos = sum(1 for v in row if v > 0)
         assert 16 <= pos <= 48
+
+
+def test_read_csv_explicit_schema_and_corrupt_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from markt_database_analyzer_spark.sources import read_csv
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        "doc_id,score,when\n"
+        "1,2.5,2024-01-02 03:04:05\n"
+        "oops,not_a_number,nope\n"
+        "2,4.0,2024-02-03 04:05:06\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("when", T.TimestampType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema)
+    rows = df.orderBy("doc_id").collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert good[-1]["doc_id"] == 2 and good[-1]["score"] == 4.0
+    assert good[-1]["when"].year == 2024
+    assert "oops" in bad[0]["_corrupt_record"]
+
+
+def test_streaming_curation_gate_matches_batch(spark):
+    """The streaming entry's plan must be stateless append — run it on
+    sf0.001 and cross-check against the batch expression of the same
+    gates."""
+    from markt_database_analyzer_spark.catalog import REGISTRY
+    import markt_database_analyzer_spark.catalog_curate as cc
+    from markt_database_analyzer_spark.datapipe import sampling as smp
+    from markt_database_analyzer_spark.sources import read_table
+
+    got = REGISTRY["streaming_curation_gate"].fn(spark, SF_DIR).collect()
+    docs = read_table(spark, SF_DIR, "documents")
+    want = (
+        smp.stratified_sample(docs, "doc_id", "lang", cc._STRATA, seed=3)
+        .select("doc_id", "lang", cc._inject_pii().alias("text"))
+        .select(
+            "doc_id",
+            "lang",
+            tx.pii_counts("text")["n_email"].alias("n_email"),
+            F.md5(tx.pii_redact("text")).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
