@@ -50,6 +50,7 @@ _DRIVER_HEAD: list[str] = [
     "filter_blocklist_sources",
     "filter_quality_quantile",
     "streaming_curation_gate",
+    "pipeline_curate_full",
     # (1b) never driver-checked in r1
     "approx_distinct_parts",
     "asof_join_last_event",

@@ -716,3 +716,70 @@ def streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(out, output_mode="append", state_partitions=None).orderBy(
         "doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Composed curation pipeline over the r2 decision layer
+# --------------------------------------------------------------------------
+
+def _sql_pipeline_curate() -> str:
+    blocked = ", ".join(repr(s) for s in _BLOCKED_SOURCES)
+    gate = smp.sql_stratified_gate("doc_id", "lang", _STRATA, seed=3)
+    lsh = _sql_minhash_lsh(base="gated")
+    return f"""
+WITH RECURSIVE gated AS (
+  SELECT doc_id, text, lang FROM documents
+  WHERE source NOT IN ({blocked}) AND {gate}
+),
+pairs AS (SELECT id_a, id_b FROM ({lsh}) lsh),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+walk(id, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.id = e.dst
+),
+comp AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id),
+verdict AS (
+  SELECT g.doc_id, g.lang,
+         (g.doc_id = coalesce(c.cluster_id, g.doc_id)) AS keep
+  FROM gated g LEFT JOIN comp c ON g.doc_id = c.id
+)
+SELECT lang,
+       count(*) FILTER (WHERE keep) AS n_kept,
+       count(*) FILTER (WHERE NOT keep) AS n_neardup_dropped
+FROM verdict GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "pipeline_curate_full",
+    oracle=_sql_pipeline_curate(),
+    headline=True,
+    tags=("pipeline", "curation", "clustering"),
+)
+def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r2 decision layer composed end-to-end: blocklist anti-join →
+    stratified language gate (both fused into the scan) → MinHash-LSH
+    pairs on the gated survivors → connected-components cluster resolution
+    → per-language keep/drop summary. The expensive stages (signatures,
+    band joins, CC rounds) run on the post-gate corpus only — gate early,
+    cluster late is the 100 TB ordering. Each stage is the operator its
+    own catalog entry tests in isolation."""
+    docs = _t(spark, sf_dir, "documents")
+    block = spark.createDataFrame([(s,) for s in _BLOCKED_SOURCES], "source: string")
+    gated = smp.stratified_sample(
+        docs.join(F.broadcast(block), "source", "left_anti"),
+        "doc_id", "lang", _STRATA, seed=3,
+    )
+    pairs = dd.minhash_neardup_pairs(gated, "text", "doc_id", num_hashes=16, bands=4)
+    resolved = cl.resolve_duplicate_clusters(gated, pairs, id_col="doc_id")
+    return (
+        gated.select("doc_id", "lang")
+        .join(resolved.select("doc_id", "keep"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.count(F.when(~F.col("keep"), 1)).alias("n_neardup_dropped"),
+        )
+        .orderBy("lang")
+    )

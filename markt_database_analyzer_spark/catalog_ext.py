@@ -70,7 +70,7 @@ def dedup_fingerprint_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_lsh(num_hashes: int = 16, bands: int = 4, shingle_k: int = 3, min_jaccard: float = 0.5) -> str:
+def _sql_minhash_lsh(num_hashes: int = 16, bands: int = 4, shingle_k: int = 3, min_jaccard: float = 0.5, base: str = "documents") -> str:
     rows = num_hashes // bands
     sh_expr = dd.sql_shingles("text", k=shingle_k)
     mins = ",\n    ".join(
@@ -85,7 +85,7 @@ def _sql_minhash_lsh(num_hashes: int = 16, bands: int = 4, shingle_k: int = 3, m
         )
     bands_sql = "\nUNION ALL\n".join(band_selects)
     return f"""
-WITH sh AS (SELECT doc_id, {sh_expr} AS sh FROM documents),
+WITH sh AS (SELECT doc_id, {sh_expr} AS sh FROM {base}),
 sig AS (SELECT doc_id, sh, {mins} FROM sh),
 bands AS ({bands_sql}),
 cand AS (
