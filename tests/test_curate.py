@@ -239,3 +239,12 @@ def test_streaming_curation_gate_matches_batch(spark):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_cc_empty_pairs_and_resolve_all_singletons(spark):
+    empty = spark.createDataFrame([], "id_a: bigint, id_b: bigint")
+    assert cl.connected_components(empty).count() == 0
+    docs = spark.range(0, 5).select(F.col("id").alias("doc_id"))
+    out = cl.resolve_duplicate_clusters(docs, empty).collect()
+    assert len(out) == 5
+    assert all(r["keep"] and r["cluster_size"] == 1 and r["cluster_id"] == r["doc_id"] for r in out)

@@ -57,6 +57,24 @@ ENTRIES = [
     "vocab_top_terms",
 ]
 
+# Pair-generating operators re-measured on the constant-density
+# (distinct-content) replication — the set whose verbatim-replica ratios
+# are dominated by duplicate multiplicity rather than plan shape.
+# NOTE on SRP: with 4-bit bands, RANDOM pairs collide in some band at
+# ~4/16 = 25%, so candidate volume is Theta(n^2 * p_rand) regardless of
+# density — linear scaling requires band width to grow with ln(n) (the
+# standard LSH sizing), which this corpus's weak-similarity regime
+# (max cos 0.51) cannot afford recall-wise. Expect SRP to stay
+# superlinear here; the table annotation explains it.
+PAIR_ENTRIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "embedding_neardup_pairs",
+    "similarity_srp_lsh_pairs",
+    "dedup_cluster_resolve",
+    "pipeline_curate_full",
+]
+
 
 def rest(spark, path: str):
     port = spark.sparkSession.conf.get("spark.ui.port", "4040") if hasattr(spark, "sparkSession") else "4040"
@@ -78,26 +96,83 @@ def stage_metrics(spark) -> tuple[int, int, int]:
     return n, rd, wr
 
 
-def build_10x(spark) -> str:
+def build_10x(spark, distinct: bool = False) -> str:
+    """``distinct=False``: replicate rows verbatim (ids offset) — duplicate
+    multiplicity grows 10×, the adversarial direction for pair-generating
+    operators. ``distinct=True``: keep pair DENSITY constant instead —
+    replica documents get a per-replica token prefix (shingles/signatures
+    all differ → no cross-replica near-dups) and replica embeddings are
+    seeded random unit-ish vectors (near-orthogonal in 64-dim: |cos|
+    ~ N(0, 1/8), far below every threshold in use) — this isolates PLAN
+    scaling from data-property scaling."""
     from pyspark.sql import functions as F
 
     from markt_database_analyzer_spark.sources.readers import read_table
 
-    if os.path.isdir(SCRATCH):
-        shutil.rmtree(SCRATCH)
-    os.makedirs(SCRATCH)
+    scratch = SCRATCH + ("_distinct" if distinct else "")
+    if os.path.isdir(scratch):
+        shutil.rmtree(scratch)
+    os.makedirs(scratch)
     for tbl, idc in (("documents", "doc_id"), ("embeddings", "vec_id")):
         df = read_table(spark, SF_DIR, tbl)
         n = df.count()
-        parts = [
-            df.withColumn(idc, (F.col(idc) + F.lit(i * n)).cast("long")) for i in range(REPLICAS)
-        ]
+        parts = []
+        for i in range(REPLICAS):
+            p = df.withColumn(idc, (F.col(idc) + F.lit(i * n)).cast("long"))
+            if distinct and i > 0:
+                if tbl == "documents":
+                    # per-replica prefix on EVERY token (one regexp pass):
+                    # all shingles/signatures/fingerprints differ from every
+                    # other replica's, so cross-replica near-dup density is
+                    # exactly zero while per-doc compute cost is unchanged
+                    p = p.withColumn(
+                        "text",
+                        F.regexp_replace("text", r"(\S+)", f"r{i}$1"),
+                    )
+                else:
+                    # seeded pseudo-random vector per (replica, vec_id):
+                    # element e_j = (md5-hash(i|id|j) scaled to [-1, 1]);
+                    # independent draws → near-orthogonal to everything
+                    # fresh cells per replica: the corpus grows 10x AND the
+                    # cell count grows 10x (the documented IVF scale lever),
+                    # keeping per-cell pair volume constant
+                    p = p.withColumn("label", F.col("label") + F.lit(i * 1000))
+                    p = p.withColumn(
+                        "embedding",
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("embedding") - 1),
+                            lambda j: (
+                                F.pmod(
+                                    F.conv(
+                                        F.substring(
+                                            F.md5(
+                                                F.concat_ws(
+                                                    "|",
+                                                    F.lit(str(i)),
+                                                    F.col(idc).cast("string"),
+                                                    j.cast("string"),
+                                                )
+                                            ),
+                                            1,
+                                            15,
+                                        ),
+                                        16,
+                                        10,
+                                    ).cast("bigint"),
+                                    F.lit(2_000_001),
+                                )
+                                / F.lit(1_000_000.0)
+                                - F.lit(1.0)
+                            ).cast("float"),
+                        ),
+                    )
+            parts.append(p)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         # one physical file per ~n rows keeps scan parallelism comparable
-        out.repartition(REPLICAS).write.parquet(f"{SCRATCH}/{tbl}.parquet")
-    return SCRATCH
+        out.repartition(REPLICAS).write.parquet(f"{scratch}/{tbl}.parquet")
+    return scratch
 
 
 def main() -> None:
@@ -106,7 +181,15 @@ def main() -> None:
 
     spark = get_spark(
         app_name="mda-scale-evidence",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4040"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4040",
+            # the stage-diff metrics below need the status store to retain
+            # every stage for the run's lifetime — eviction mid-run makes
+            # cumulative diffs go negative
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
     )
 
     def force(df):
@@ -114,12 +197,20 @@ def main() -> None:
 
     print("building 10x replication ...", file=sys.stderr)
     big_dir = build_10x(spark)
+    print("building 10x distinct-content replication ...", file=sys.stderr)
+    big_distinct_dir = build_10x(spark, distinct=True)
 
-    rows = []
-    for name in ENTRIES:
+    def measure(names, big):
+        out = []
+        for name in names:
+            out.append(run_entry(name, big))
+            print(json.dumps(out[-1]))
+        return out
+
+    def run_entry(name, big):
         spec = REGISTRY[name]
         rec = {"entry": name}
-        for label, d in (("1x", SF_DIR), ("10x", big_dir)):
+        for label, d in (("1x", SF_DIR), ("10x", big)):
             force(spec.fn(spark, d))  # warm (codegen, footers)
             spark.catalog.clearCache()
             n0, rd0, wr0 = stage_metrics(spark)
@@ -138,8 +229,23 @@ def main() -> None:
         rec["shuffle_ratio"] = round(
             rec["10x"]["shuffle_write_mb"] / max(rec["1x"]["shuffle_write_mb"], 1e-3), 2
         )
-        rows.append(rec)
-        print(json.dumps(rec))
+        return rec
+
+    rows = measure(ENTRIES, big_dir)
+    rows_distinct = measure(PAIR_ENTRIES, big_distinct_dir)
+
+    def table(rs):
+        out = [
+            "| entry | wall 1x (s) | wall 10x (s) | ratio | stages 1x\u219210x | shuffle write 1x\u219210x (MB) | ratio |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for r in rs:
+            out.append(
+                f"| {r['entry']} | {r['1x']['wall_sec']} | {r['10x']['wall_sec']} | {r['wall_ratio']}\u00d7 "
+                f"| {r['1x']['stages']}\u2192{r['10x']['stages']} "
+                f"| {r['1x']['shuffle_write_mb']}\u2192{r['10x']['shuffle_write_mb']} | {r['shuffle_ratio']}\u00d7 |"
+            )
+        return out
 
     lines = [
         "# SCALE_EVIDENCE — measured, not asserted",
@@ -149,15 +255,8 @@ def main() -> None:
         "the adversarial direction). local[32]; stage counts and shuffle bytes from the "
         "Spark status store, diffed around each warmed run.",
         "",
-        "| entry | wall 1x (s) | wall 10x (s) | ratio | stages 1x→10x | shuffle write 1x→10x (MB) | ratio |",
-        "|---|---|---|---|---|---|---|",
     ]
-    for r in rows:
-        lines.append(
-            f"| {r['entry']} | {r['1x']['wall_sec']} | {r['10x']['wall_sec']} | {r['wall_ratio']}× "
-            f"| {r['1x']['stages']}→{r['10x']['stages']} "
-            f"| {r['1x']['shuffle_write_mb']}→{r['10x']['shuffle_write_mb']} | {r['shuffle_ratio']}× |"
-        )
+    lines += table(rows)
     lines += [
         "",
         "Reading: a wall ratio ≲ 10× on 10× data means the plan scales at worst linearly "
@@ -168,6 +267,29 @@ def main() -> None:
         "when the replication inflates true duplicate density — the pair count is a "
         "property of the data, not the plan; the shuffle columns show the join input "
         "stayed linear.",
+        "",
+        "## Constant-density 10\u00d7 (distinct-content replicas)",
+        "",
+        "Same 10\u00d7 row counts, but replicas are CONTENT-DISTINCT (per-replica "
+        "token prefixes shift every shingle; replica embeddings are seeded "
+        "near-orthogonal random vectors), so true pair density stays at the 1\u00d7 "
+        "level. This isolates PLAN scaling from data-property scaling \u2014 the "
+        "pair-generating operators must land \u2248 linear here:",
+        "",
+    ]
+    lines += table(rows_distinct)
+    lines += [
+        "",
+        "A pair-entry that is superlinear in the verbatim-replica table but "
+        "\u2248linear here is superlinear only in TRUE DUPLICATE MULTIPLICITY \u2014 "
+        "the quantity the operator exists to surface \u2014 not in corpus size; "
+        "that is the correct scaling law for dedup (output \u221d duplicates found). "
+        "Exception by design: SRP with fixed 4-bit bands admits ~25% of RANDOM "
+        "pairs as candidates, so its candidate volume is \u0398(n\u00b2\u00b7p_rand) at any "
+        "density \u2014 the standard LSH sizing grows band width with ln(n) to keep "
+        "p_rand\u00b7n\u00b2 linear; this corpus's weak-similarity regime (max cos "
+        "0.51) can't afford that recall-wise, so the entry keeps demo-sized "
+        "bands and this table documents the law instead of hiding it.",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_EVIDENCE.md"), "w") as f:
