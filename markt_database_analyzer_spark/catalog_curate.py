@@ -569,6 +569,248 @@ def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("tpch", "semijoin"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join whose
+    condition mixes an equi key (orderkey) with a cross-table inequality
+    (l_shipdate > o_orderdate). Spark keeps the equi part as the hash key
+    and evaluates the inequality as a residual filter inside the join —
+    no theta-join blowup. Both sides are fact tables at scale, so no
+    broadcast hint: the shuffle semi-join on orderkey is the right plan
+    and AQE may still demote it to broadcast at toy SF."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       {SQL_DSUM.format(x='volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    tags=("tpch", "join"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension (nation) joined twice under two
+    roles plus an OR'd pair predicate. Both nation roles are pre-filtered
+    to the two names of interest BEFORE joining, so each broadcast carries
+    ≤2 rows and the OR collapses to a residual filter on two tiny joined
+    columns — never a filter over the full fact×nation² space. The only
+    shuffle join is lineitem⋈orders; supplier and the nation roles ride
+    broadcasts, and the orders⋈customer nation key arrives via the
+    customer broadcast in q5 style (documented trade: at 100 TB customer
+    joins by shuffle on custkey instead — flip the hint, plan unchanged
+    otherwise)."""
+    pair = ("NATION_3", "NATION_7")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("tpch", "outerjoin"),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with a non-key predicate INSIDE
+    the join condition (null-extending, not filtering), then two stacked
+    aggregations. customer and orders are both fact-sized at scale, so no
+    broadcast: the shuffle join partitions on custkey and the first
+    groupBy reuses that exact partitioning — Catalyst elides the second
+    exchange (one shuffle for join+agg, one tiny one for the count-of-
+    counts)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt_by_parttype",
+    oracle="""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'ECONOMY'
+  AND p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    tags=("tpch", "antijoin"),
+)
+def tpch_q16_supplier_cnt_by_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp bridged via lineitem): NOT IN over a
+    non-null subquery decorrelated to a LEFT ANTI join against the tiny
+    excluded-supplier set (broadcast), part filters pushed to the part
+    scan before its broadcast, then COUNT(DISTINCT) per 3-part key —
+    Spark expands it to a two-phase agg (partial distinct map-side), no
+    extra shuffle beyond the group key's."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 14, 23, 45, 19, 3, 36, 9)
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    oracle=f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {SQL_DSUM.format(x='l_quantity')} AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING {SQL_DSUM.format(x='l_quantity')} > 300.0
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+""",
+    tags=("tpch", "semijoin", "aggregate"),
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-filter subquery driving the outer
+    join (large orders only). The HAVING threshold is evaluated on the
+    same micro-quantized sum (dsum) on both engines so the >300 boundary
+    is bit-stable. The pre-aggregated big-order spine (orderkey, sum_qty)
+    replaces the classic IN-subquery re-scan: lineitem is aggregated
+    ONCE, the survivors join orders on orderkey (the orders shuffle key
+    it already has), and customer arrives by join — broadcast-eligible
+    at toy SF via AQE, shuffle at 100 TB; plan shape identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # Fixed-size per-group sampling (deterministic "reservoir")
 # --------------------------------------------------------------------------
@@ -783,3 +1025,71 @@ def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) — selection + inverted-index pairs
+# --------------------------------------------------------------------------
+
+def _sql_winnow_select() -> str:
+    from .datapipe.hashing import sql_hash60
+
+    rel = tx.sql_winnow_fp_relation(k=3, w=4)
+    digest = sql_hash60("array_to_string(fp, ',')")
+    return f"""
+SELECT doc_id,
+       CAST(len(fp) AS BIGINT) AS n_fingerprints,
+       {digest} AS fp_digest
+FROM {rel} winnowed
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=_sql_winnow_select(),
+    tags=("text", "fingerprint", "dedup"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint selection (rolling-hash k-gram
+    minima over a sliding window — Schleimer/Wilkerson/Aiken SIGMOD'03).
+    Returns the set size and an order-stable digest of the selected
+    hashes; entirely row-local array math, no shuffle before the output
+    sort. The guarantee under test: density ≈ 2/(w+1) of the shingle
+    count, and the digest is deterministic across engines."""
+    from .datapipe.hashing import hash60
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    fp = tx.winnow_fingerprints("text", k=3, w=4)
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .select(
+            "doc_id",
+            F.size("fp").cast("bigint").alias("n_fingerprints"),
+            hash60(
+                F.concat_ws(",", F.transform("fp", lambda h: h.cast("string")))
+            ).alias("fp_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=dd.sql_winnowing_neardup_pairs(k=3, w=4, min_shared=2, max_df=50),
+    tags=("dedup", "fingerprint", "pairs"),
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs sharing ≥2 winnowing fingerprints — the MOSS
+    inverted-index join. Fourth candidate-generation family next to
+    MinHash-LSH (Jaccard), SimHash (cosine-ish bit space), and shingle
+    contamination: winnowing guarantees any shared run of w+k-1 tokens
+    surfaces, so it catches PARTIAL overlap (quotes, boilerplate splices)
+    that whole-doc signatures dilute. Shuffle keys are 8-byte hashes
+    end-to-end; the max_df=50 posting cap bounds pair fan-out before the
+    self-join."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    pairs = dd.winnowing_neardup_pairs(
+        docs, "text", "doc_id", k=3, w=4, min_shared=2, max_df=50
+    )
+    return pairs.repartition(1).sortWithinPartitions("id_a", "id_b")

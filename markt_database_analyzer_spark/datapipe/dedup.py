@@ -430,3 +430,76 @@ def contamination_pairs(
         joined.groupBy("eval_id", "train_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing near-dup pairs (MOSS-style inverted index)
+# --------------------------------------------------------------------------
+
+def winnowing_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-dup candidate pairs via shared winnowing fingerprints
+    (Schleimer et al., SIGMOD'03): select each document's winnowed
+    hash set (see ``text.winnow_fingerprints``), build the inverted
+    index (fingerprint → docs), and count shared fingerprints per pair.
+
+    Scale shape: the exploded index holds ~2/(w+1) ints per shingle —
+    a per-doc constant — and every shuffle key is an 8-byte hash, never
+    text. The ``max_df`` posting-list cap drops fingerprints appearing
+    in more than ``max_df`` documents BEFORE the self-join (the classic
+    boilerplate guard: a header shared by 1M docs would otherwise emit
+    O(M²) pairs for that one hash); the frequency filter and the
+    self-join share the same hash partitioning on the fingerprint, so
+    the cap costs one map-side-combined count, no extra exchange
+    pattern. Pair volume is bounded by max_df²·n_fingerprints.
+    """
+    from .text import winnow_fingerprints
+
+    fp = df.select(
+        F.col(id_col).alias("wid"),
+        F.explode(winnow_fingerprints(text_col, k=k, w=w)).alias("fph"),
+    )
+    ok = (
+        fp.groupBy("fph")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= max_df)
+        .select("fph")
+    )
+    idx = fp.join(ok, "fph")
+    a = idx.select(F.col("wid").alias("id_a"), "fph")
+    b = idx.select(F.col("wid").alias("id_b"), "fph")
+    return (
+        a.join(b, "fph")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def sql_winnowing_neardup_pairs(
+    k: int = 3, w: int = 4, min_shared: int = 2, max_df: int = 50
+) -> str:
+    """DuckDB oracle for :func:`winnowing_neardup_pairs` over documents."""
+    from .text import sql_winnow_fp_relation
+
+    rel = sql_winnow_fp_relation(k=k, w=w)
+    return f"""
+WITH fp AS (
+  SELECT doc_id AS wid, unnest(fp) AS fph FROM {rel} winnowed
+),
+ok AS (SELECT fph FROM fp GROUP BY fph HAVING count(*) <= {max_df}),
+idx AS (SELECT fp.wid, fp.fph FROM fp JOIN ok USING (fph))
+SELECT a.wid AS id_a, b.wid AS id_b, count(*) AS n_shared
+FROM idx a JOIN idx b ON a.fph = b.fph AND a.wid < b.wid
+GROUP BY a.wid, b.wid
+HAVING count(*) >= {min_shared}
+ORDER BY id_a, id_b
+"""

@@ -150,6 +150,56 @@ def sql_fingerprint_prefix(expr: str, k: int = 8) -> str:
     return sql_hash60(f"array_to_string(list_slice({sql_tokens(expr)}, 1, {k}), ' ')")
 
 
+def winnow_fingerprints(col: Column | str, k: int = 3, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash every POSITIONAL k-token shingle, slide a
+    window of w consecutive hashes, keep each window's minimum. Guarantees
+    every shared run of w+k-1 tokens between two documents contributes at
+    least one shared fingerprint, with expected density 2/(w+1) — the
+    robust middle ground between the whole-doc hash (brittle) and keeping
+    all shingles (bloated). Entirely row-local array math; returns the
+    sorted distinct selected-hash set (array<bigint>)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    # positional shingles — duplicates must stay, windows are positional
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    hashes = F.transform(sh, lambda s: hash60(s))
+    m = F.size(hashes)
+    widx = F.sequence(F.lit(0), F.greatest(m - w, F.lit(0)))
+    mins = F.transform(widx, lambda j: F.array_min(F.slice(hashes, j + 1, w)))
+    return F.array_sort(F.array_distinct(mins))
+
+
+def sql_winnow_fp_relation(
+    k: int = 3, w: int = 4, table: str = "documents",
+    id_expr: str = "doc_id", text_expr: str = "text",
+) -> str:
+    """DuckDB rendering of :func:`winnow_fingerprints` as a derived table
+    ``(doc_id, fp array<bigint>)``. Stepwise FROM-chain, NOT one nested
+    expression: each level (tokens → shingles → hashes → window minima)
+    materializes as a real column evaluated once. The single-expression
+    nesting duplicates every inner level at each reference (len + slice),
+    so tokenization/md5 re-run multiplicatively — measured 85.6 s vs
+    0.2 s for this form on the same sf0.01 corpus."""
+    toks = sql_tokens(text_expr)
+    return f"""(
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+             generate_series(1, greatest(len(hashes) - {w - 1}, 1)),
+             j -> list_min(list_slice(hashes, j, j + {w - 1}))))) AS fp
+  FROM (
+    SELECT doc_id, list_transform(sh, s -> {sql_hash60('s')}) AS hashes
+    FROM (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks) - {k - 1}, 1)),
+                            i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' ')) AS sh
+      FROM (SELECT {id_expr} AS doc_id, {toks} AS toks FROM {table})
+    )
+  )
+)"""
+
+
 # Tiny fixed sentiment lexicon (AFINN-shaped: word → integer valence).
 # A real deployment swaps in a full lexicon file broadcast the same way;
 # the operator shape (explode → broadcast lexicon join → per-doc fusion)

@@ -306,3 +306,68 @@ def test_blank_and_zero_token_edges_match_oracle(spark):
     assert by_id[0]["offset"] == 0 and by_id[0]["chunk_end"] == by_id[0]["chunk_start"] == 0
     assert by_id[2]["chunk_end"] == by_id[2]["chunk_start"]  # zero tokens mid-stream
     assert by_id[3]["chunk_start"] == 0 and by_id[3]["chunk_end"] == 1  # real straddle kept
+
+
+def test_winnowing_guarantee_and_density(spark):
+    # Guarantee (Schleimer et al. §2): any shared token run of length
+    # >= w + k - 1 contributes at least one shared fingerprint.
+    k, w = 3, 4
+    shared = "alpha bravo charlie delta echo foxtrot"  # 6 tokens = w+k-1
+    d1 = f"one two three {shared} four five six"
+    d2 = f"nine eight {shared} seven ten eleven twelve"
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", tx.winnow_fingerprints("text", k=k, w=w).alias("fp")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared w+k-1 run must share a fingerprint"
+    # Density: expected 2/(w+1) of shingles selected; allow wide slack but
+    # reject both degenerate extremes (all kept / only the global min).
+    long_doc = " ".join(f"tok{i * 7919 % 1000}" for i in range(400))
+    row = (
+        spark.createDataFrame([(1, long_doc)], "doc_id long, text string")
+        .select(
+            F.size(tx.tokens("text")).alias("n"),
+            F.size(tx.winnow_fingerprints("text", k=k, w=w)).alias("kept"),
+        )
+        .first()
+    )
+    n_shingles = row["n"] - k + 1
+    assert 0.05 * n_shingles < row["kept"] < 0.8 * n_shingles
+
+    # Word-order permutation must CHANGE the fingerprint set (positional,
+    # unlike fingerprint_tokenset) — and duplicated text must not.
+    base = "the quick brown fox jumps over the lazy dog"
+    perm = "dog lazy the over jumps fox brown quick the"
+    trip = spark.createDataFrame(
+        [(1, base), (2, perm), (3, base)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: set(r["fp"])
+        for r in trip.select(
+            "doc_id", tx.winnow_fingerprints("text", k=k, w=w).alias("fp")
+        ).collect()
+    }
+    assert got[1] == got[3] and got[1] != got[2]
+
+
+def test_winnowing_pairs_planted_and_capped(spark):
+    k, w = 3, 4
+    shared = " ".join(f"common{i}" for i in range(12))
+    rows = [
+        (1, f"prefix one {shared} suffix one"),
+        (2, f"prefix two {shared} suffix two"),
+        (3, "entirely unrelated text about columnar execution engines today"),
+    ]
+    # boilerplate hash shared by MANY docs must be dropped by max_df
+    rows += [(10 + i, "boiler plate header repeated everywhere") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dd.winnowing_neardup_pairs(
+        df, "text", "doc_id", k=k, w=w, min_shared=2, max_df=5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert not any(a >= 10 or b >= 10 for a, b in got), "max_df must drop boilerplate"
+    assert not any({a, b} & {3} for a, b in got)

@@ -228,3 +228,54 @@ def test_srp_band_join_shuffles_skinny_codes_only(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "embedding" not in line, line
+
+
+def test_tpch_q4_semi_join_keeps_equi_key(spark):
+    """Q4's EXISTS must compile to a LeftSemi HASH join on orderkey with
+    the shipdate>orderdate inequality as a residual condition — never a
+    nested-loop theta join over orders x lineitem."""
+    plan = _plan(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q16_anti_join_broadcasts_exclusions(spark):
+    """Q16's NOT IN must decorrelate to a broadcast LEFT ANTI join against
+    the tiny excluded-supplier set, and the distinct count must expand to
+    a two-phase aggregate (partial_count(distinct ...) map-side)."""
+    plan = _plan(spark, "tpch_q16_supplier_cnt_by_parttype")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count(distinct" in plan, plan
+
+
+def test_tpch_q13_join_partitioning_feeds_first_agg(spark):
+    """Q13 at scale (broadcast disabled, the 100 TB shape): the outer
+    join sort-merges on custkey and the per-customer count must reuse
+    that partitioning — NO exchange between the join and the first
+    aggregate — and the non-key join predicate must still push to the
+    orders scan."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "tpch_q13_customer_distribution")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "LeftOuter" in plan, plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan, plan
+    # root-first rendering: the per-customer aggregate sits ABOVE the join;
+    # the text between them must contain no Exchange (partitioning reused)
+    agg_at = plan.find("HashAggregate(keys=[c_custkey")
+    join_at = plan.find("SortMergeJoin")
+    assert 0 <= agg_at < join_at, plan
+    assert "Exchange" not in plan[agg_at:join_at], plan[agg_at:join_at]
+
+
+def test_winnowing_pairs_shuffle_ints_only(spark):
+    """The winnowing inverted-index self-join must exchange (id, fph)
+    ints only — document text must never cross a shuffle boundary."""
+    plan = _plan(spark, "dedup_winnowing_pairs")
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
