@@ -34,6 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # expensive already-green entries last. See COVERAGE.md "driver rotation".
 _DRIVER_HEAD: list[str] = [
     # (1a) new in r2 — no driver verdict exists yet
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_cnt_by_parttype",
+    "tpch_q18_large_volume_customer",
+    "text_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
     "dedup_cluster_resolve",
     "sample_stratified_lang",
     "vocab_top_terms",

@@ -1093,3 +1093,40 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", k=3, w=4, min_shared=2, max_df=50
     )
     return pairs.repartition(1).sortWithinPartitions("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM quality scoring (KenLM-style perplexity filter, Spark-native)
+# --------------------------------------------------------------------------
+
+@register(
+    "text_bigram_logprob",
+    oracle=None,  # set below — needs the lm module import
+    tags=("text", "lm", "quality"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-probability under an add-α bigram
+    model trained on the corpus itself — the CCNet/Gopher-style LM
+    quality gate with the KenLM role played by Spark aggregations: the
+    'model' is a hashed (bigram → count) DataFrame, scoring is a join
+    on the same 8-byte keys the count build shuffled on, and the
+    vocabulary size rides a broadcast 1-row aggregate. High-NLL docs
+    are the distributional outliers a curation gate drops."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    from .datapipe import lm
+
+    return lm.bigram_logprob_scores(docs, "text", "doc_id", alpha=0.5).orderBy("doc_id")
+
+
+def _set_lm_oracle() -> None:
+    import dataclasses
+
+    from .catalog import REGISTRY
+    from .datapipe import lm
+
+    REGISTRY["text_bigram_logprob"] = dataclasses.replace(
+        REGISTRY["text_bigram_logprob"], oracle=lm.sql_bigram_logprob_scores(alpha=0.5)
+    )
+
+
+_set_lm_oracle()
