@@ -76,12 +76,19 @@ def ensure_engine_conf(spark: SparkSession) -> None:
     every entry point works on ANY caller-provided SparkSession (the
     driver contract hands us one we didn't build):
 
-    - ``nanosAsLong``: TIMESTAMP(NANOS) parquet (the events table) is
-      unreadable in Spark 4 without it — reads throw PARQUET_TYPE_ILLEGAL;
+    - ``nanosAsLong``: TIMESTAMP(NANOS) parquet (the events table in some
+      testdata generations) is unreadable in Spark 4 without it — reads
+      throw PARQUET_TYPE_ILLEGAL;
+    - ``inferTimestampNTZ`` off: isAdjustedToUTC=false MICROS columns
+      (the current testdata generation) otherwise arrive as
+      TIMESTAMP_NTZ, which ``unix_micros`` and window/watermark APIs
+      reject — read them as plain TIMESTAMP instead (micros unchanged
+      under the UTC session timezone);
     - UTC session timezone: hour/day extractions and timestamp collection
       must agree with the UTC-naive at-rest data and external oracles.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
@@ -89,16 +96,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one at-rest Parquet table (S1). Projection after this call is
     pruned into the scan by Catalyst (S2).
 
-    Columns stored as TIMESTAMP(NANOS) arrive as nanosecond longs (see
-    session.py nanosAsLong) and are converted here to microsecond
-    timestamps with integer division — exact for the full int64 range and
-    identical to the truncation µs-precision engines apply.
+    Temporal columns are normalized to plain TIMESTAMP (µs, UTC session)
+    regardless of how the at-rest parquet spells them:
+
+    - TIMESTAMP(NANOS) → nanosecond longs (session nanosAsLong), divided
+      down to µs — exact for the full int64 range and identical to the
+      truncation µs-precision engines apply;
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ on a
+      session where a scan predates ensure_engine_conf — cast to
+      TIMESTAMP, a no-op on the stored micros under the UTC session TZ.
     """
     ensure_engine_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name in ("ts",) and field.dataType.typeName() == "long":
             df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} DIV 1000)"))
+        elif field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

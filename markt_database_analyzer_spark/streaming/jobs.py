@@ -34,18 +34,26 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
 
-# The at-rest events schema (ts stored as TIMESTAMP(NANOS) → read as long
-# nanoseconds, converted to a µs timestamp, matching sources.read_table).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# The at-rest events schema. ``ts`` has shipped in two generations of the
+# testdata — TIMESTAMP(NANOS) (readable only as long nanoseconds) and
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) (a plain µs timestamp under
+# the UTC session) — so the streaming source sniffs the at-rest type once
+# via a batch schema probe and declares the matching read schema,
+# mirroring sources.read_table's normalization.
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())
 
 DOCUMENTS_SCHEMA = T.StructType(
     [
@@ -79,12 +87,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import ensure_engine_conf
 
     ensure_engine_conf(spark)  # works on any caller-provided session
+    # One-time batch probe of the at-rest ts type (driver-side, schema
+    # only — no data read); the stream then declares the matching schema.
+    import os
+
+    at_rest = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema["ts"]
+    ts_is_long = at_rest.dataType.typeName() == "long"
+    schema = _events_raw_schema(T.LongType() if ts_is_long else T.TimestampType())
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ts_is_long:
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, width: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
