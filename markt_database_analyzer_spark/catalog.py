@@ -728,3 +728,4 @@ def headline_queries() -> dict[str, QuerySpec]:
 from . import catalog_ext  # noqa: E402,F401  (intentional tail import)
 from . import catalog_more  # noqa: E402,F401
 from . import catalog_curate  # noqa: E402,F401
+from . import catalog_tpch  # noqa: E402,F401

@@ -371,3 +371,73 @@ def test_winnowing_pairs_planted_and_capped(spark):
     assert (1, 2) in got
     assert not any(a >= 10 or b >= 10 for a, b in got), "max_df must drop boilerplate"
     assert not any({a, b} & {3} for a, b in got)
+
+
+# --------------------------------------------------------------------------
+# Bigram LM quality scoring (datapipe.lm)
+# --------------------------------------------------------------------------
+
+
+def test_bigram_logprob_matches_hand_model(spark):
+    """Replicate the add-α bigram model in pure Python on a tiny corpus and
+    pin the Spark scores to it (within the davg 1e-6 quantization)."""
+    import math
+    from collections import Counter
+
+    from markt_database_analyzer_spark.datapipe import lm
+
+    corpus = {10: "a b a b c", 20: "a b", 30: "x", 40: ""}
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    alpha = 0.5
+
+    # hand model over the whole corpus
+    def toks(t):
+        return [w for w in t.lower().split() if w]
+
+    all_bigrams = []
+    doc_bigrams = {}
+    vocab = set()
+    for did, t in corpus.items():
+        ts = toks(t)
+        vocab.update(ts)
+        bgs = [f"{ts[i]} {ts[i+1]}" for i in range(len(ts) - 1)]
+        doc_bigrams[did] = bgs
+        all_bigrams.extend(bgs)
+    c_bg = Counter(all_bigrams)
+    c_ctx = Counter(bg.split(" ")[0] for bg in all_bigrams)
+    V = len(vocab)
+
+    def nll(bg):
+        return round(
+            -math.log((c_bg[bg] + alpha) / (c_ctx[bg.split(" ")[0]] + alpha * V)), 9
+        )
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_neg_logp"])
+        for r in lm.bigram_logprob_scores(df, "text", "doc_id", alpha=alpha).collect()
+    }
+    assert set(got) == set(corpus)
+    for did, bgs in doc_bigrams.items():
+        n, avg = got[did]
+        assert n == len(bgs)
+        if not bgs:
+            assert avg is None  # unscorable docs must not fabricate a score
+        else:
+            want = sum(nll(b) for b in bgs) / len(bgs)
+            assert abs(avg - want) < 2e-6, (did, avg, want)
+
+
+def test_bigram_logprob_flags_outlier_doc(spark):
+    """A gibberish doc in a repetitive corpus lands in the high-NLL tail —
+    the property the curation gate relies on."""
+    from markt_database_analyzer_spark.datapipe import lm
+
+    common = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows = common + [(99, "zxq wvut plonk qrst uvwx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r["avg_neg_logp"]
+        for r in lm.bigram_logprob_scores(df, "text", "doc_id").collect()
+    }
+    outlier = scores.pop(99)
+    assert outlier > max(scores.values())
