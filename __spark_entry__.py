@@ -34,6 +34,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # expensive already-green entries last. See COVERAGE.md "driver rotation".
 _DRIVER_HEAD: list[str] = [
     # (1a) new in r2 — no driver verdict exists yet
+    "text_bigram_logprob",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_sleeper_accounts",
+    "semdedup_prune",
+    "sample_dsir_importance",
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q13_customer_distribution",

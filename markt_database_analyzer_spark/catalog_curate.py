@@ -1130,3 +1130,117 @@ def _set_lm_oracle() -> None:
 
 
 _set_lm_oracle()
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup over learned k-means cells (Abbas et al. 2023)
+# --------------------------------------------------------------------------
+
+def _sql_semdedup(k: int = 10, iters: int = 3, min_cos: float = 0.95) -> str:
+    from .catalog_ext import _SQL_COS, _sql_kmeans_ctes
+
+    kmeans, final_assign, _ = _sql_kmeans_ctes(k=k, iters=iters)
+    cos = _SQL_COS.format(a="a.vec", b="b.vec")
+    return f"""
+WITH RECURSIVE corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+{kmeans},
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
+    FROM {final_assign} a JOIN {final_assign} b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+  ) WHERE cos >= {min_cos}
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+walk(id, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.id = e.dst
+),
+comp AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id),
+sized AS (
+  SELECT c.id, c.cluster_id, s.cluster_size
+  FROM comp c JOIN (
+    SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1
+  ) s USING (cluster_id)
+)
+SELECT e.vec_id,
+       coalesce(s.cluster_id, e.vec_id) AS cluster_id,
+       coalesce(s.cluster_size, 1::BIGINT) AS cluster_size,
+       (e.vec_id = coalesce(s.cluster_id, e.vec_id)) AS keep
+FROM embeddings e LEFT JOIN sized s ON e.vec_id = s.id
+ORDER BY e.vec_id
+"""
+
+
+@register(
+    "semdedup_prune",
+    oracle=_sql_semdedup(),
+    tags=("curation", "dedup", "embedding", "kmeans"),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: prune semantic duplicates — cluster embeddings with the
+    learned k-means quantizer, score cosine pairs ONLY within a cell,
+    resolve the pair graph to components, keep one representative (min
+    id) per component. The published recipe composes three pieces this
+    catalog already differential-tests independently (kmeans_cells /
+    embedding_neardup_pairs / resolve_duplicate_clusters); this entry
+    pins the composition end-to-end. Scale: the corpus shuffles once per
+    Lloyd round (centroid means) and once for the cell-blocked pair
+    generation; pair scoring is quadratic only within a cell — the
+    k-means blocking is exactly what bounds it — and the component walk
+    moves 16-byte (id, label) pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = sim.kmeans_cells(emb, k=10, iters=3)
+    pairs = sim.embedding_neardup_pairs(
+        assigned, min_cos=0.95, id_col="vec_id", vec_col="embedding", cell_col="cell"
+    )
+    verdicts = cl.resolve_duplicate_clusters(emb, pairs, id_col="vec_id")
+    return verdicts.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size", "keep"
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# DSIR: importance resampling toward a target domain (Xie et al. 2023)
+# --------------------------------------------------------------------------
+
+@register(
+    "sample_dsir_importance",
+    oracle=None,  # set below — needs the lm module import
+    tags=("curation", "sampling", "lm"),
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR: select raw-pool documents whose hashed-n-gram distribution
+    looks most like a target domain (here: the 'src0' source plays the
+    in-domain corpus), by importance weight under two add-1-smoothed
+    hashed bag-of-ngrams models, with deterministic (md5-derived) Gumbel
+    top-k resampling. See datapipe.lm.dsir_importance for the scale
+    story; the whole pipeline shuffles 8-byte bucket ids and joins the
+    candidates against a broadcast ≤4096-row log-ratio table."""
+    from .datapipe import lm
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    return lm.dsir_importance(
+        docs,
+        target_pred=F.col("source") == "src0",
+        text_col="text",
+        id_col="doc_id",
+        n_buckets=4096,
+        top_n=100,
+    ).orderBy("doc_id")
+
+
+def _set_dsir_oracle() -> None:
+    import dataclasses
+
+    from .catalog import REGISTRY
+    from .datapipe import lm
+
+    REGISTRY["sample_dsir_importance"] = dataclasses.replace(
+        REGISTRY["sample_dsir_importance"],
+        oracle=lm.sql_dsir_importance("source = 'src0'", n_buckets=4096, top_n=100),
+    )
+
+
+_set_dsir_oracle()

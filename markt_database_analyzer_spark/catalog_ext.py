@@ -599,15 +599,15 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans_ivf(k: int = 10, iters: int = 3, n_queries: int = 10, topk: int = 5, nprobe: int = 2) -> str:
-    """DuckDB replay of the full learned-IVF search: deterministic seeding
-    (k lowest-id vectors, cell ids by lexicographic centroid order), then
-    ``iters`` unrolled Lloyd rounds (argmin assignment with min-cell
-    tiebreak / per-dimension mean rounded to 9 dp — the same pin the Spark
-    side applies at its collect boundary), then the nprobe search against
-    the quantizer's own centroids. Every float the two engines compare is
-    either a raw corpus value (float32→double, exact) or rounded at 9 dp,
-    so the replay is bit-portable."""
+def _sql_kmeans_ctes(k: int = 10, iters: int = 3) -> tuple[str, str, str]:
+    """Shared DuckDB replay of the distributed Lloyd iterations:
+    deterministic seeding (k lowest-id vectors, cell ids by lexicographic
+    centroid order), then ``iters`` unrolled rounds (argmin assignment
+    with min-cell tiebreak / per-dimension mean rounded to 9 dp — the
+    same pin the Spark side applies at its collect boundary). Returns
+    ``(cte_body, final_assign_name, final_cents_name)`` for composition
+    into a WITH chain (the chain must start with a ``corpus(vec_id, vec)``
+    CTE)."""
     dist = (
         "list_sum(list_transform(generate_series(1, 64), "
         "i -> (e.vec[i] - c.centroid[i]) * (e.vec[i] - c.centroid[i])))"
@@ -623,7 +623,10 @@ assign{n} AS (
   ) WHERE rn = 1
 )"""
 
-    steps = []
+    steps = [
+        f"seedv AS (SELECT vec FROM corpus ORDER BY vec_id LIMIT {k})",
+        "cents0 AS (SELECT row_number() OVER (ORDER BY vec) - 1 AS cell, vec AS centroid FROM seedv)",
+    ]
     cents = "cents0"
     for i in range(iters):
         steps.append(assign(i, cents))
@@ -640,12 +643,18 @@ cents{i + 1} AS (
   ) GROUP BY cell
 )"""
             )
-    final_assign = f"assign{iters - 1}"
-    body = ",".join(steps)
+    return ",".join(steps), f"assign{iters - 1}", cents
+
+
+def _sql_kmeans_ivf(k: int = 10, iters: int = 3, n_queries: int = 10, topk: int = 5, nprobe: int = 2) -> str:
+    """DuckDB replay of the full learned-IVF search: the shared Lloyd
+    replay (:func:`_sql_kmeans_ctes`), then the nprobe search against the
+    quantizer's own centroids. Every float the two engines compare is
+    either a raw corpus value (float32→double, exact) or rounded at 9 dp,
+    so the replay is bit-portable."""
+    body, final_assign, cents = _sql_kmeans_ctes(k=k, iters=iters)
     return f"""
 WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-seedv AS (SELECT vec FROM corpus ORDER BY vec_id LIMIT {k}),
-cents0 AS (SELECT row_number() OVER (ORDER BY vec) - 1 AS cell, vec AS centroid FROM seedv),
 {body},
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < {n_queries}),
 probed AS (

@@ -22,10 +22,10 @@ use the micro-quantized ``davg``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import davg
+from ..functions import davg, dsum
 from .hashing import hash60, sql_hash60
 from .text import sql_tokens, tokens
 
@@ -142,4 +142,190 @@ SELECT d.doc_id,
        p.avg_neg_logp
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.did
 ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., 2023)
+# --------------------------------------------------------------------------
+
+def _hash_bucket(c: Column, n_buckets: int) -> Column:
+    """Engine-portable feature hash (md5-60bit % B) of a string column,
+    usable inside higher-order-function lambdas."""
+    h = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+    return h % F.lit(n_buckets)
+
+
+def dsir_features(col: Column | str, n_buckets: int = 4096) -> Column:
+    """The DSIR feature map: word unigrams + bigrams, hashed into
+    ``n_buckets`` buckets. Bucket collisions are part of the method (the
+    hashed model IS the model), not noise to avoid."""
+    c = F.col(col) if isinstance(col, str) else col
+    feats = F.concat(tokens(c), bigrams(c))
+    return F.transform(feats, lambda t: _hash_bucket(t, n_buckets))
+
+
+def sql_dsir_features(expr: str, n_buckets: int = 4096) -> str:
+    """DuckDB rendering of :func:`dsir_features`."""
+    toks = sql_tokens(expr)
+    bgs = sql_bigrams(expr)
+    return (
+        f"list_transform(list_concat({toks}, {bgs}), "
+        f"t -> (('0x' || substring(md5(t), 1, 15))::BIGINT) % {n_buckets})"
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    top_n: int = 100,
+) -> DataFrame:
+    """DSIR importance-resampling scores: fit hashed bag-of-ngrams models
+    on the target (in-domain) slice and on the raw candidate pool, weight
+    every candidate by log p_target(x) − log p_raw(x) under add-1
+    smoothing, and Gumbel-top-k resample — the estimator of
+    "Data Selection for Language Models via Importance Resampling".
+
+    Scale shape: both models are groupBy counts over constant-size bucket
+    ids (≤ ``n_buckets`` rows each — broadcastable forever); candidate
+    scoring joins exploded bucket ids against the broadcast log-ratio
+    table; the selection threshold is a distributed top-n
+    (TakeOrderedAndProject), never a global sort. Text leaves the
+    executors only as 8-byte bucket ids.
+
+    Determinism: every ``ln`` rounds at 9 dp before any arithmetic
+    (cross-libm parity); per-doc sums are micro-quantized (``davg``
+    convention); the Gumbel noise is md5-derived from the document id, so
+    the "random" resample is bit-reproducible on any engine.
+
+    Returns one row per candidate (non-target) document:
+    ``(id, n_feats, log_w, gumbel_key, sampled)``.
+    """
+    feats = docs.select(
+        F.col(id_col).alias("did"),
+        target_pred.alias("is_target"),
+        F.explode(dsir_features(text_col, n_buckets)).alias("bucket"),
+    )
+    tgt_counts = feats.filter("is_target").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_tgt")
+    )
+    raw_counts = feats.filter(~F.col("is_target")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw")
+    )
+    # Model totals ride an unbounded window over the ≤ n_buckets count
+    # rows — constant-size state, no extra shuffle of the corpus.
+    w_all = Window.partitionBy(F.lit(1))
+    lr9 = lambda x: F.round(F.log(x), 9)  # noqa: E731
+    ratio = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .withColumn("tgt_total", F.sum(F.coalesce("c_tgt", F.lit(0))).over(w_all))
+        .withColumn("raw_total", F.sum("c_raw").over(w_all))
+        .select(
+            "bucket",
+            (
+                (lr9(F.coalesce("c_tgt", F.lit(0)) + 1) - lr9(F.col("tgt_total") + n_buckets))
+                - (lr9(F.col("c_raw") + 1) - lr9(F.col("raw_total") + n_buckets))
+            ).alias("log_ratio"),
+        )
+    )
+    cand = feats.filter(~F.col("is_target"))
+    per_doc = (
+        cand.join(F.broadcast(ratio), "bucket")
+        .groupBy("did")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            (dsum(F.col("log_ratio"))).alias("log_w"),
+        )
+    )
+    # Deterministic Gumbel(0,1) noise: u ∈ (0,1) from the id's md5-60bit.
+    scored = (
+        docs.filter(~target_pred)
+        .select(F.col(id_col).alias("did"))
+        .join(per_doc, "did", "left")
+        .select(
+            "did",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("log_w", F.lit(0.0)).alias("log_w"),
+        )
+        .withColumn(
+            "u",
+            (hash60(F.concat(F.lit("gumbel|"), F.col("did").cast("string"))) + 1).cast(
+                "double"
+            )
+            / F.lit(float(2**60 + 2)),
+        )
+        .withColumn("gumbel_key", F.col("log_w") + F.round(-F.log(-F.log(F.col("u"))), 9))
+        .drop("u")
+    )
+    # Selection threshold: n-th largest key via distributed top-n, then a
+    # broadcast 1-row scalar — never a global sort or single-ordering window.
+    thr = (
+        scored.orderBy(F.col("gumbel_key").desc(), "did")
+        .limit(top_n)
+        .agg(F.min("gumbel_key").alias("thr"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select(
+            F.col("did").alias(id_col),
+            "n_feats",
+            "log_w",
+            "gumbel_key",
+            (F.col("gumbel_key") >= F.col("thr")).alias("sampled"),
+        )
+    )
+
+
+def sql_dsir_importance(
+    target_sql_pred: str,
+    n_buckets: int = 4096,
+    top_n: int = 100,
+) -> str:
+    """DuckDB oracle for :func:`dsir_importance` over ``documents``."""
+    from ..catalog import SQL_DSUM
+
+    feats = sql_dsir_features("text", n_buckets)
+    gh = sql_hash60("('gumbel|' || CAST(did AS VARCHAR))")
+    return f"""
+WITH feats AS (
+  SELECT doc_id AS did, ({target_sql_pred}) AS is_target, unnest({feats}) AS bucket
+  FROM documents
+),
+tgt AS (SELECT bucket, count(*) AS c_tgt FROM feats WHERE is_target GROUP BY bucket),
+raw AS (SELECT bucket, count(*) AS c_raw FROM feats WHERE NOT is_target GROUP BY bucket),
+ratio AS (
+  SELECT r.bucket,
+         (round(ln(coalesce(t.c_tgt, 0) + 1), 9)
+          - round(ln((SELECT sum(coalesce(t2.c_tgt, 0)) FROM raw r2 LEFT JOIN tgt t2 USING (bucket)) + {n_buckets}), 9))
+         - (round(ln(r.c_raw + 1), 9)
+          - round(ln((SELECT sum(c_raw) FROM raw) + {n_buckets}), 9)) AS log_ratio
+  FROM raw r LEFT JOIN tgt t USING (bucket)
+),
+per_doc AS (
+  SELECT did, count(*) AS n_feats, {SQL_DSUM.format(x='log_ratio')} AS log_w
+  FROM feats JOIN ratio USING (bucket)
+  WHERE NOT is_target
+  GROUP BY did
+),
+scored AS (
+  SELECT d.doc_id AS did,
+         coalesce(p.n_feats, 0) AS n_feats,
+         coalesce(p.log_w, 0.0) AS log_w,
+         coalesce(p.log_w, 0.0)
+           + round(-ln(-ln((({gh}) + 1)::DOUBLE / {float(2**60 + 2)!r})), 9) AS gumbel_key
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.did
+  WHERE NOT ({target_sql_pred})
+),
+thr AS (
+  SELECT min(gumbel_key) AS thr FROM (
+    SELECT gumbel_key FROM scored ORDER BY gumbel_key DESC, did LIMIT {top_n}
+  )
+)
+SELECT did AS doc_id, n_feats, log_w, gumbel_key,
+       (gumbel_key >= thr.thr) AS sampled
+FROM scored, thr
+ORDER BY doc_id
 """

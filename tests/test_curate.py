@@ -248,3 +248,70 @@ def test_cc_empty_pairs_and_resolve_all_singletons(spark):
     out = cl.resolve_duplicate_clusters(docs, empty).collect()
     assert len(out) == 5
     assert all(r["keep"] and r["cluster_size"] == 1 and r["cluster_id"] == r["doc_id"] for r in out)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup + DSIR (round-2 additions)
+# --------------------------------------------------------------------------
+
+
+def test_semdedup_planted_duplicates(spark):
+    """Two identical embeddings (cosine 1.0) must land in one cluster with
+    one survivor; a far-away vector stays a kept singleton."""
+    from markt_database_analyzer_spark.datapipe import clustering as cl
+    from markt_database_analyzer_spark.datapipe import similarity as sim
+
+    base = [1.0] + [0.0] * 63
+    other = [0.0] * 63 + [1.0]
+    rows = [(1, base), (2, base), (3, other)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = sim.kmeans_cells(emb, k=2, iters=2)
+    pairs = sim.embedding_neardup_pairs(
+        assigned, min_cos=0.95, id_col="vec_id", vec_col="embedding", cell_col="cell"
+    )
+    verdicts = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in cl.resolve_duplicate_clusters(emb, pairs, id_col="vec_id").collect()
+    }
+    assert verdicts[1] == (1, True)
+    assert verdicts[2] == (1, False)
+    assert verdicts[3] == (3, True)
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Candidates that share vocabulary with the target domain must score
+    higher log-importance than candidates that don't."""
+    from markt_database_analyzer_spark.datapipe import lm
+
+    target = [(i, "tgt", "spark shuffle partition catalyst codegen") for i in range(10)]
+    likes = [(100 + i, "raw", "spark shuffle partition tuning") for i in range(5)]
+    unlikes = [(200 + i, "raw", "medieval falconry treatise chapter") for i in range(5)]
+    df = spark.createDataFrame(
+        target + likes + unlikes, "doc_id long, source string, text string"
+    )
+    out = {
+        r["doc_id"]: r["log_w"]
+        for r in lm.dsir_importance(
+            df, target_pred=F.col("source") == "tgt", top_n=5
+        ).collect()
+    }
+    assert set(out) == {100 + i for i in range(5)} | {200 + i for i in range(5)}
+    assert min(out[100 + i] for i in range(5)) > max(out[200 + i] for i in range(5))
+
+
+def test_dsir_sampled_count_and_determinism(spark):
+    """Gumbel top-n selects exactly n candidates (no boundary ties with
+    md5-derived noise) and is bit-stable across runs."""
+    from markt_database_analyzer_spark.datapipe import lm
+
+    rows = [(i, "t" if i % 3 == 0 else "r", f"word{i % 7} word{i % 5} filler text") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    run = lambda: {  # noqa: E731
+        r["doc_id"]: (r["sampled"], r["gumbel_key"])
+        for r in lm.dsir_importance(
+            df, target_pred=F.col("source") == "t", top_n=7
+        ).collect()
+    }
+    a, b = run(), run()
+    assert a == b
+    assert sum(1 for s, _ in a.values() if s) == 7

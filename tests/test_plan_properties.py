@@ -54,6 +54,16 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # injects the 1-row exact-percentile threshold via
         # crossJoin(broadcast(thr)) — same shape as tfidf's corpus-size N
         "filter_quality_quantile",
+        # injects the 1-row vocabulary-size aggregate (add-α smoothing
+        # denominator) via crossJoin(broadcast(V))
+        "text_bigram_logprob",
+        # Q15/Q22 scalar subqueries (max revenue / global avg balance)
+        # decorrelate to crossJoin(broadcast(1-row agg)) by design
+        "tpch_q15_top_supplier",
+        "tpch_q22_sleeper_accounts",
+        # DSIR selection threshold: n-th largest Gumbel key via
+        # distributed top-n, injected as crossJoin(broadcast(1-row min))
+        "sample_dsir_importance",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
