@@ -33,7 +33,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle/semantics changed this round, (4) the rest, with the most
 # expensive already-green entries last. See COVERAGE.md "driver rotation".
 _DRIVER_HEAD: list[str] = [
-    # (1a) new in r2 — no driver verdict exists yet
+    # (1) red in r1 (HUGEINT oracle typing — fixed in r2): these MUST sit
+    # inside the driver's checked prefix to convert red → green
+    "pivot_status_by_priority",
+    "sessionize_events",
+    "pack_chunks_documents",
+    # (2) oracle or semantics changed since their last green driver row
+    "streaming_dedup_distinct_pairs",
+    "pipeline_training_mix",
+    "text_quality",
+    "similarity_ivf_kmeans_topk",
+    # (3) new in r2 — no driver verdict exists yet
     "text_bigram_logprob",
     "tpch_q8_market_share",
     "tpch_q10_returned_items",
@@ -68,7 +78,7 @@ _DRIVER_HEAD: list[str] = [
     "filter_quality_quantile",
     "streaming_curation_gate",
     "pipeline_curate_full",
-    # (1b) never driver-checked in r1
+    # (4) never driver-checked in r1 (verified by local differential)
     "approx_distinct_parts",
     "asof_join_last_event",
     "range_join_first_day_events",
@@ -85,15 +95,6 @@ _DRIVER_HEAD: list[str] = [
     "grouping_sets_status_priority",
     "streaming_enrich_static_join",
     "udf_udtf_tokenize",
-    # (2) red in r1 (HUGEINT oracle typing — fixed)
-    "pivot_status_by_priority",
-    "sessionize_events",
-    "pack_chunks_documents",
-    # (3) new in r2 / oracle or semantics changed this round
-    "streaming_dedup_distinct_pairs",
-    "pipeline_training_mix",
-    "text_quality",
-    "similarity_ivf_kmeans_topk",
 ]
 
 _DRIVER_TAIL: list[str] = [

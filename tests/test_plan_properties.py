@@ -289,3 +289,49 @@ def test_winnowing_pairs_shuffle_ints_only(spark):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_tpch_q8_single_shuffle_join(spark):
+    """Q8's seven-relation snowflake must resolve to broadcasts plus at
+    most ONE shuffled join (lineitem x orders); the share is two sums in
+    one hash agg, never a pivot or a second pass."""
+    plan = _plan(spark, "tpch_q8_market_share")
+    shuffled = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert shuffled <= 1, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_tpch_q10_filters_push_and_top20_takes_ordered(spark):
+    """Q10: both selective filters reach their scans; the top-20 compiles
+    to TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "tpch_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_q19_part_disjunction_pushes_to_scan(spark):
+    """Q19: the factored part-only disjunction (brand+size arms) must
+    reach the part scan as a pushed Or predicate — the join must not see
+    unmatched brands."""
+    plan = _plan(spark, "tpch_q19_disjunctive_revenue")
+    scan = next(
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and "p_brand" in line
+    )
+    assert "Or(" in plan, plan
+    assert "p_name" not in scan and "p_retailprice" not in scan
+
+
+def test_tpch_q22_anti_join_on_keys_only(spark):
+    """Q22: the NOT EXISTS decorrelates to a LEFT ANTI join and the
+    orders side is pre-projected to its join key (no wider columns)."""
+    plan = _plan(spark, "tpch_q22_sleeper_accounts")
+    assert "LeftAnti" in plan
+    orders_scan = next(
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and "o_custkey" in line
+    )
+    assert "o_totalprice" not in orders_scan and "o_orderdate" not in orders_scan
