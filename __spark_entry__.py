@@ -54,6 +54,7 @@ _DRIVER_HEAD: list[str] = [
     "tpch_q22_sleeper_accounts",
     "semdedup_prune",
     "sample_dsir_importance",
+    "w_time_range_rolling",
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q13_customer_distribution",

@@ -687,3 +687,42 @@ def udf_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pos", "token")
         .orderBy("doc_id", "pos")
     )
+
+
+@register(
+    "w_time_range_rolling",
+    oracle="""
+SELECT user_id, event_id,
+       count(*) OVER w AS n_1h,
+       CAST(sum(CAST(round(value * 1000000.0) AS HUGEINT)) OVER w AS DOUBLE)
+         / 1000000.0 AS sum_1h
+FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+    tags=("window", "range-frame"),
+)
+def w_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user event sum — a RANGE frame over the
+    microsecond timeline (vs the catalog's row frames): the frame is
+    defined by value distance, so bursts contribute all their peers and
+    quiet hours contribute only the current row. Same quantized windowed
+    sum as running_total_per_customer for bit-stable accumulation; the
+    window shuffles once on user_id and the integer-µs ordering key makes
+    the range arithmetic exact (no interval/DST semantics in the frame)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_599_999_999, Window.currentRow)
+    )
+    q = F.round(F.col("value").cast("double") * 1_000_000.0).cast("decimal(38,0)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (F.sum(q).over(w).cast("double") / 1_000_000.0).alias("sum_1h"),
+    ).orderBy("user_id", "event_id")

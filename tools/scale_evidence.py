@@ -55,6 +55,10 @@ ENTRIES = [
     "text_pii_redact",
     "dedup_cross_corpus",
     "vocab_top_terms",
+    # round-2 second tranche
+    "text_bigram_logprob",
+    "sample_dsir_importance",
+    "semdedup_prune",
 ]
 
 # Pair-generating operators re-measured on the constant-density
