@@ -55,6 +55,7 @@ _DRIVER_HEAD: list[str] = [
     "semdedup_prune",
     "sample_dsir_importance",
     "w_time_range_rolling",
+    "streaming_interval_join",
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q13_customer_distribution",

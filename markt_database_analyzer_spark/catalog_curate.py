@@ -1244,3 +1244,40 @@ def _set_dsir_oracle() -> None:
 
 
 _set_dsir_oracle()
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join (funnel attribution)
+# --------------------------------------------------------------------------
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+SELECT l.user_id,
+       l.event_id AS l_event_id,
+       r.event_id AS r_event_id,
+       (epoch_us(r.ts) - epoch_us(l.ts)) / 60000000.0 AS lag_minutes
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'view' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts
+ AND r.ts <= l.ts + INTERVAL 30 MINUTE
+ORDER BY l.user_id, l_event_id, r_event_id
+""",
+    tags=("streaming", "join", "watermark"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join driven end-to-end: each user's view
+    events pair with their purchases within the following 30 minutes —
+    the funnel/attribution shape, and the last Structured Streaming join
+    kind the catalog was missing. Watermarks on BOTH sides plus the
+    two-sided time bound let Spark expire join state (see
+    streaming.interval_self_join); the oracle is the equivalent batch
+    self-join on static input."""
+    from .streaming import interval_self_join, read_events_stream, run_stream_to_memory
+
+    stream = interval_self_join(read_events_stream(spark, sf_dir))
+    return run_stream_to_memory(stream, output_mode="append").orderBy(
+        "user_id", "l_event_id", "r_event_id"
+    )

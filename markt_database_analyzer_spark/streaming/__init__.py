@@ -1,4 +1,5 @@
 from .jobs import (  # noqa: F401
+    interval_self_join,
     read_documents_stream,
     read_events_stream,
     run_stream_to_memory,

@@ -298,3 +298,53 @@ def run_stream_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def interval_self_join(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: pair each ``left_type`` event with the
+    same user's ``right_type`` events that follow within
+    ``within_minutes`` — the funnel/attribution shape (view→purchase).
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance in BOTH directions, so Spark can size the join state: a
+    buffered left row is droppable once the right watermark passes
+    ``l_ts + within``; an unmatched right row once the left watermark
+    passes ``r_ts``. Without the time bound the state store grows without
+    limit — the bound IS the operator's scale contract."""
+    lhs = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("l_event_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    rhs = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES"))
+    )
+    return lhs.join(rhs, cond).select(
+        "user_id",
+        "l_event_id",
+        "r_event_id",
+        ((F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 60000000.0).alias(
+            "lag_minutes"
+        ),
+    )

@@ -166,3 +166,43 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     # only the 10:00 window closed; the late 09:50 event created no window
     # and the 11:00/11:05 windows are still open (unemitted in append mode)
     assert rows == {datetime(2024, 1, 1, 10, 0, 0): 2}
+
+
+def test_interval_join_matches_batch(spark):
+    from markt_database_analyzer_spark.sources import read_table
+    from markt_database_analyzer_spark.streaming import (
+        interval_self_join,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = interval_self_join(read_events_stream(spark, SF_DIR))
+    got = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"], r["lag_minutes"])
+        for r in run_stream_to_memory(stream, output_mode="append").collect()
+    }
+    ev = read_table(spark, SF_DIR, "events")
+    lhs = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("l_event_id"), F.col("ts").alias("l_ts")
+    )
+    rhs = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = lhs.join(
+        rhs,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "user_id",
+        "l_event_id",
+        "r_event_id",
+        ((F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 60000000.0).alias("lag_minutes"),
+    )
+    want = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"], r["lag_minutes"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
