@@ -56,6 +56,8 @@ _DRIVER_HEAD: list[str] = [
     "sample_dsir_importance",
     "w_time_range_rolling",
     "streaming_interval_join",
+    "fullouter_balance_by_nation",
+    "unpivot_part_metrics",
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q13_customer_distribution",

@@ -726,3 +726,101 @@ def w_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         (F.sum(q).over(w).cast("double") / 1_000_000.0).alias("sum_1h"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "fullouter_balance_by_nation",
+    oracle="""
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(c.n_customers, 0) AS n_customers,
+       coalesce(s.n_suppliers, 0) AS n_suppliers,
+       c.c_bal AS customer_acctbal,
+       s.s_bal AS supplier_acctbal
+FROM (
+  SELECT c_nationkey AS nk, count(*) AS n_customers,
+         (CAST(SUM(CAST(round((c_acctbal) * 1000000.0) AS HUGEINT)) AS DOUBLE) / 1000000.0) AS c_bal
+  FROM customer WHERE c_acctbal > 9000.0 GROUP BY c_nationkey
+) c
+FULL OUTER JOIN (
+  SELECT s_nationkey AS nk, count(*) AS n_suppliers,
+         (CAST(SUM(CAST(round((s_acctbal) * 1000000.0) AS HUGEINT)) AS DOUBLE) / 1000000.0) AS s_bal
+  FROM supplier WHERE s_acctbal > 9000.0 GROUP BY s_nationkey
+) s USING (nk)
+ORDER BY nationkey
+""",
+    tags=("join", "outer", "setop"),
+)
+def fullouter_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one outer-join kind the catalog didn't pin
+    (Q13 covers left outer): high-balance customer vs supplier rollups
+    per nation, where either side may be absent. Aggregate-then-join
+    keeps both inputs tiny (≤ nations rows) before the outer merge;
+    null-vs-zero is explicit — counts zero-fill (absence means none),
+    balances stay NULL (absence is not a 0.0 balance)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000.0)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("customer_acctbal"),
+        )
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000.0)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum(F.col("s_acctbal")).alias("supplier_acctbal"),
+        )
+    )
+    return (
+        cust.join(supp, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            "customer_acctbal",
+            "supplier_acctbal",
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+SELECT p_partkey, metric, value
+FROM (
+  SELECT p_partkey,
+         CAST(p_size AS DOUBLE) AS size,
+         p_retailprice AS retailprice
+  FROM part WHERE p_partkey <= 200
+)
+UNPIVOT (value FOR metric IN (size, retailprice))
+ORDER BY p_partkey, metric
+""",
+    tags=("reshape", "unpivot"),
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — wide-to-long reshaping (the inverse of the pivot
+    entry): per-part metrics stacked into (metric, value) rows.
+    DataFrame.unpivot compiles to an Expand node — row-local, no shuffle,
+    output is exactly n_rows x n_metrics — so the reshape cost is pure
+    scan width at any scale."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["size", "retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("p_partkey", "metric")
