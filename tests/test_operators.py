@@ -310,3 +310,33 @@ def test_plot_sinks_render_three_figures(spark, fixtures, tmp_path):
             head = f.read(200)
         assert "<svg" in head or head.startswith("\x89PNG") is False
         assert (tmp_path / p.split("/")[-1]).stat().st_size > 500
+
+
+def test_time_range_frame_includes_peers_and_bounds(spark):
+    """RANGE frame semantics pin: rows at the same µs are peers (both in
+    frame), rows exactly at the trailing bound are in, one µs past is
+    out."""
+    from pyspark.sql import Window
+
+    rows = [
+        (1, 0, 1.0),
+        (1, 0, 2.0),            # peer of row 1 — same ordering value
+        (1, 3_599_999_999, 4.0),  # exactly at the trailing bound of t=0? no:
+                                  # frame of this row reaches back to 0 → all in
+        (1, 7_200_000_000, 8.0),  # 2h later — alone in its frame
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long, value double")
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-3_599_999_999, 0)
+    got = {
+        (r["us"], r["value"]): (r["n"], r["s"])
+        for r in df.select(
+            "us",
+            "value",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum("value").over(w).alias("s"),
+        ).collect()
+    }
+    assert got[(0, 1.0)] == (2, 3.0)           # peers share the frame
+    assert got[(0, 2.0)] == (2, 3.0)
+    assert got[(3_599_999_999, 4.0)] == (3, 7.0)  # reaches back to the peers
+    assert got[(7_200_000_000, 8.0)] == (1, 8.0)  # window expired
