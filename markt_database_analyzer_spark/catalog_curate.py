@@ -1060,9 +1060,8 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.hashing import hash60
 
     docs = fan_out(_t(spark, sf_dir, "documents"))
-    fp = tx.winnow_fingerprints("text", k=3, w=4)
     return (
-        docs.select("doc_id", fp.alias("fp"))
+        tx.winnow_fp_frame(docs, "text", "doc_id", k=3, w=4)
         .select(
             "doc_id",
             F.size("fp").cast("bigint").alias("n_fingerprints"),

@@ -460,11 +460,10 @@ def winnowing_neardup_pairs(
     the cap costs one map-side-combined count, no extra exchange
     pattern. Pair volume is bounded by max_df²·n_fingerprints.
     """
-    from .text import winnow_fingerprints
+    from .text import winnow_fp_frame
 
-    fp = df.select(
-        F.col(id_col).alias("wid"),
-        F.explode(winnow_fingerprints(text_col, k=k, w=w)).alias("fph"),
+    fp = winnow_fp_frame(df, text_col, id_col, k=k, w=w).select(
+        F.col(id_col).alias("wid"), F.explode("fp").alias("fph")
     )
     ok = (
         fp.groupBy("fph")

@@ -56,6 +56,13 @@ def get_spark(
         # converts to microsecond timestamps (identical to how µs-precision
         # engines truncate nanos).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Inferred size(e)>0 filters from explode re-evaluate computed
+        # generator expressions at the scan — see sources.readers
+        # ensure_engine_conf for the measured rationale.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     if master is not None:
         builder = builder.master(master)

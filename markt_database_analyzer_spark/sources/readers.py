@@ -90,6 +90,21 @@ def ensure_engine_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # InferFiltersFromGenerate rewrites explode(e) into Filter(size(e)>0)
+    # + explode(e) and pushes the filter to the scan. Every exploded array
+    # in this engine is expression-COMPUTED (shingles, hashes, window
+    # minima — never a stored column), so the inferred filter re-evaluates
+    # the whole generator expression once per input row with no pruning
+    # benefit; for winnowing it re-inlined the O(tokens·windows) md5 tree
+    # the staged projection exists to avoid (measured: 26 s → 0.6 s at
+    # sf0.1 with the rule excluded). Correctness is unaffected — explode
+    # of an empty array emits nothing either way.
+    rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    current = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    if not current:
+        spark.conf.set("spark.sql.optimizer.excludedRules", rule)
+    elif rule not in current:
+        spark.conf.set("spark.sql.optimizer.excludedRules", f"{current},{rule}")
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
