@@ -824,3 +824,27 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).orderBy("p_partkey", "metric")
+
+
+@register(
+    "approx_percentile_values",
+    oracle=None,  # GK sketch merge is partition-order-dependent; rows-only
+    tags=("approx", "sketch", "percentile"),
+)
+def approx_percentile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) next to their
+    exact twins — the 100 TB path for quantiles: the exact percentile
+    needs the full sorted value multiset per group, the sketch merges
+    O(1/accuracy) summaries map-side. Sketch results depend on partition
+    merge order, so the entry is rows-only; the test layer bounds the
+    rank error against the exact values."""
+    ev = _t(spark, sf_dir, "events")
+    pcts = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", pcts, 10_000).alias("approx_pcts"),
+            F.percentile("value", pcts).alias("exact_pcts"),
+        )
+        .orderBy("event_type")
+    )

@@ -340,3 +340,38 @@ def test_time_range_frame_includes_peers_and_bounds(spark):
     assert got[(0, 2.0)] == (2, 3.0)
     assert got[(3_599_999_999, 4.0)] == (3, 7.0)  # reaches back to the peers
     assert got[(7_200_000_000, 8.0)] == (1, 8.0)  # window expired
+
+
+def test_approx_percentile_rank_error_bounded(spark):
+    """percentile_approx must honor the GK guarantee: the returned element
+    sits within accuracy-bounded RANK distance of the target percentile
+    (value distance is meaningless in sparse tails, so the check is on
+    ranks in the actual per-group value multiset)."""
+    import bisect
+
+    from markt_database_analyzer_spark.catalog import REGISTRY
+    from markt_database_analyzer_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["approx_percentile_values"].fn(spark, sf).collect()
+    assert rows
+    groups = {
+        r["event_type"]: sorted(v["value"] for v in r["vals"])
+        for r in read_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.collect_list(F.struct("value")).alias("vals"))
+        .collect()
+    }
+    for r in rows:
+        vals = groups[r["event_type"]]
+        n = len(vals)
+        for p, a in zip((0.5, 0.95, 0.99), r["approx_pcts"]):
+            lo = bisect.bisect_left(vals, a)
+            hi = bisect.bisect_right(vals, a)
+            target = p * (n - 1)
+            # rank window of the returned element vs target rank; 2% slack
+            # (accuracy=10000 guarantees 1e-4; small-n discreteness adds
+            # one element of wiggle)
+            assert lo - 1 <= target + 0.02 * n and hi >= target - 0.02 * n, (
+                r["event_type"], p, a, lo, hi, target, n,
+            )
