@@ -59,6 +59,7 @@ _DRIVER_HEAD: list[str] = [
     "fullouter_balance_by_nation",
     "unpivot_part_metrics",
     "approx_percentile_values",
+    "text_gopher_rules",
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q13_customer_distribution",

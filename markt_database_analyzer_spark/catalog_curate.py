@@ -1280,3 +1280,48 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(stream, output_mode="append").orderBy(
         "user_id", "l_event_id", "r_event_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021)
+# --------------------------------------------------------------------------
+
+def _sql_gopher() -> str:
+    rules = tx.sql_gopher_rules("text", min_words=20, max_words=100_000)
+    return f"""
+SELECT doc_id,{rules},
+       (rule_word_count AND rule_mean_word_len AND rule_alpha_words
+        AND rule_symbol_ratio AND rule_stopwords) AS keep
+FROM (SELECT doc_id, text, {tx.sql_tokens('text')} AS toks FROM documents)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_gopher_rules",
+    oracle=_sql_gopher(),
+    tags=("text", "quality", "curation"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter rule set (the published heuristic gate:
+    word-count bounds, mean word length 3-10, ≥80% alphabetic words,
+    symbol-to-word ratio, ≥2 distinct stopwords) as named boolean
+    columns plus their measured inputs, with `keep` = AND of rules. A
+    production gate filters on `keep`; the entry emits every rule so a
+    curation run can audit WHICH rule rejected a document — the
+    difference between a filter and a diagnosable filter. Entirely
+    row-local expressions in whole-stage codegen; thresholds tuned only
+    where the corpus makes the published value degenerate (min_words 20:
+    the synthetic docs are 30-60 words)."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    out = docs.select(
+        "doc_id", *tx.gopher_rules("text", min_words=20, max_words=100_000)
+    )
+    keep = (
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_alpha_words")
+        & F.col("rule_symbol_ratio")
+        & F.col("rule_stopwords")
+    )
+    return out.withColumn("keep", keep).orderBy("doc_id")

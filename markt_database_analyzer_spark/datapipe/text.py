@@ -371,3 +371,65 @@ def sql_pii_redact(expr: str) -> str:
     for _, pat, token in PII_PATTERNS:
         expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
     return expr
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Table A1 subset)
+# --------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(col: Column | str, min_words: int = 50, max_words: int = 100_000) -> list[Column]:
+    """The Gopher quality-filter rules expressible on unstructured text
+    (the line-shape rules — bullet/ellipsis ratios — need line breaks the
+    corpus may not carry and live with the paragraph operators). Returns
+    named boolean columns plus their measured inputs; the curation gate
+    ANDs the booleans. All row-local array math in the Java-regex ∩ RE2
+    subset, so the DuckDB rendering is semantics-identical."""
+    toks = tokens(col)
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    mean_wl = F.when(n > 0, sum_len.cast("double") / n.cast("double"))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_ratio = F.when(n > 0, n_alpha.cast("double") / n.cast("double"))
+    n_hash = (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).cast("double")
+    symbol_ratio = F.when(n > 0, n_hash / n.cast("double"))
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    return [
+        n.alias("n_words"),
+        F.round(F.coalesce(mean_wl, F.lit(0.0)), 9).alias("mean_word_len"),
+        F.round(F.coalesce(alpha_ratio, F.lit(0.0)), 9).alias("alpha_word_ratio"),
+        F.round(F.coalesce(symbol_ratio, F.lit(0.0)), 9).alias("symbol_word_ratio"),
+        n_stop.alias("n_stopwords"),
+        (n >= min_words).alias("rule_word_count") if max_words is None else ((n >= min_words) & (n <= max_words)).alias("rule_word_count"),
+        F.coalesce((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(False)).alias("rule_mean_word_len"),
+        F.coalesce(alpha_ratio >= 0.8, F.lit(False)).alias("rule_alpha_words"),
+        F.coalesce(symbol_ratio <= 0.1, F.lit(False)).alias("rule_symbol_ratio"),
+        (n_stop >= 2).alias("rule_stopwords"),
+    ]
+
+
+def sql_gopher_rules(text_expr: str = "text", min_words: int = 50, max_words: int = 100_000) -> str:
+    """DuckDB rendering of :func:`gopher_rules` as a SELECT-list fragment
+    over a relation exposing ``{text_expr}`` (requires a ``toks`` lateral
+    computed as ``sql_tokens``)."""
+    stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+  len(toks) AS n_words,
+  round(coalesce(CASE WHEN len(toks) > 0
+    THEN CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) END, 0.0), 9) AS mean_word_len,
+  round(coalesce(CASE WHEN len(toks) > 0
+    THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(toks) END, 0.0), 9) AS alpha_word_ratio,
+  round(coalesce(CASE WHEN len(toks) > 0
+    THEN CAST(length({text_expr}) - length(replace({text_expr}, '#', '')) AS DOUBLE) / len(toks) END, 0.0), 9) AS symbol_word_ratio,
+  len(list_intersect(list_distinct(toks), [{stop}])) AS n_stopwords,
+  (len(toks) >= {min_words} AND len(toks) <= {max_words}) AS rule_word_count,
+  coalesce(CASE WHEN len(toks) > 0
+    THEN CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0 END, FALSE) AS rule_mean_word_len,
+  coalesce(CASE WHEN len(toks) > 0
+    THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(toks) >= 0.8 END, FALSE) AS rule_alpha_words,
+  coalesce(CASE WHEN len(toks) > 0
+    THEN CAST(length({text_expr}) - length(replace({text_expr}, '#', '')) AS DOUBLE) / len(toks) <= 0.1 END, FALSE) AS rule_symbol_ratio,
+  (len(list_intersect(list_distinct(toks), [{stop}])) >= 2) AS rule_stopwords"""
