@@ -60,6 +60,8 @@ _DRIVER_HEAD: list[str] = [
     "unpivot_part_metrics",
     "approx_percentile_values",
     "text_gopher_rules",
+    "text_token_stats_by_lang",
+    "embedding_quantize_sq8",
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q13_customer_distribution",

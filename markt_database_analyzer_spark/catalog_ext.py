@@ -967,3 +967,68 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.round(tx.repetition_score("text", k=3), 9).alias("rep_3gram")
     ).orderBy("doc_id")
+
+
+@register(
+    "embedding_quantize_sq8",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+mm AS (SELECT vec_id, vec, list_min(vec) AS mn, list_max(vec) AS mx FROM v),
+s AS (SELECT vec_id, vec, mn, mx, (mx - mn) / 255.0 AS scale FROM mm),
+q AS (
+  SELECT vec_id, vec, mn, scale,
+         list_transform(vec, x -> CASE WHEN scale > 0
+           THEN floor((x - mn) / scale + 0.5) ELSE 0 END) AS codes
+  FROM s
+)
+SELECT vec_id,
+       CAST(len(vec) AS INT) AS n_dims,
+       round(list_max(list_transform(generate_series(1, len(vec)),
+         i -> abs(vec[i] - (mn + codes[i] * scale)))), 9) AS max_abs_err
+FROM q
+ORDER BY vec_id
+""",
+    tags=("embedding", "quantization", "ann"),
+)
+def embedding_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings (FAISS SQ8 shape, per-vector
+    min/max codebook): encode each dimension to an 8-bit code, decode,
+    and report the max reconstruction error — the memory-bandwidth lever
+    for ANN at scale (4 bytes → 1 byte per dim means 4× more vectors per
+    scan). Staged projection (min/max/scale as named columns before the
+    per-element lambdas) so per-row scalars evaluate once, not per
+    dimension; floor(x + 0.5) instead of round() because round's
+    half-case tie-break differs across engines. Error is bounded by
+    scale/2 by construction — pinned in tests."""
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    mm = v.select(
+        "vec_id", "vec", F.array_min("vec").alias("mn"), F.array_max("vec").alias("mx")
+    )
+    s = mm.select("vec_id", "vec", "mn", ((F.col("mx") - F.col("mn")) / 255.0).alias("scale"))
+    q = s.select(
+        "vec_id",
+        "vec",
+        "mn",
+        "scale",
+        F.transform(
+            "vec",
+            lambda x: F.when(
+                F.col("scale") > 0, F.floor((x - F.col("mn")) / F.col("scale") + 0.5)
+            ).otherwise(F.lit(0)),
+        ).alias("codes"),
+    )
+    return q.select(
+        "vec_id",
+        F.size("vec").alias("n_dims"),
+        F.round(
+            F.array_max(
+                F.zip_with(
+                    "vec",
+                    F.transform("codes", lambda c: F.col("mn") + c * F.col("scale")),
+                    lambda a, b: F.abs(a - b),
+                )
+            ),
+            9,
+        ).alias("max_abs_err"),
+    ).orderBy("vec_id")

@@ -848,3 +848,55 @@ def approx_percentile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "text_token_stats_by_lang",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                t -> t != ''))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+            AS BIGINT) AS bpe_pieces,
+       round(CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+                  AS DOUBLE)
+             / sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   t -> t != ''))), 9) AS fertility
+FROM documents
+GROUP BY lang ORDER BY lang
+""",
+    tags=("text", "tokenizer", "stats"),
+)
+def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: whitespace tokens vs BPE-ish
+    pieces and their ratio (pieces per word) — the number a tokenizer
+    owner watches per language before training (high fertility = the
+    vocab underserves that language). Two row-local token counts,
+    map-side-combined integer sums, one tiny group-by shuffle."""
+    from .datapipe.text import token_count_bpe, token_count_whitespace
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count_whitespace("text").cast("long").alias("ws"),
+        token_count_bpe("text").cast("long").alias("bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_pieces"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_pieces",
+            F.round(
+                F.col("bpe_pieces").cast("double") / F.col("ws_tokens").cast("double"), 9
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

@@ -441,3 +441,22 @@ def test_bigram_logprob_flags_outlier_doc(spark):
     }
     outlier = scores.pop(99)
     assert outlier > max(scores.values())
+
+
+def test_sq8_error_bounded_by_half_scale(spark):
+    """SQ8 reconstruction error must be <= scale/2 (+1 ulp wiggle) for
+    every vector — the quantizer's defining guarantee."""
+    from markt_database_analyzer_spark.catalog import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["embedding_quantize_sq8"].fn(spark, sf).collect()
+    assert rows
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet").to_pydict()
+    spans = {
+        vid: (max(v) - min(v)) / 255.0
+        for vid, v in zip(emb["vec_id"], emb["embedding"])
+    }
+    for r in rows:
+        assert r["max_abs_err"] <= spans[r["vec_id"]] / 2 + 1e-9, r
