@@ -62,6 +62,7 @@ _DRIVER_HEAD: list[str] = [
     "text_gopher_rules",
     "text_token_stats_by_lang",
     "embedding_quantize_sq8",
+    "sample_temperature_mix",
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q13_customer_distribution",

@@ -1325,3 +1325,32 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("rule_stopwords")
     )
     return out.withColumn("keep", keep).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Temperature-based corpus rebalancing (multilingual α-sampling)
+# --------------------------------------------------------------------------
+
+@register(
+    "sample_temperature_mix",
+    oracle=smp.sql_temperature_mix("source", "doc_id", alpha=0.5, seed=11),
+    tags=("sampling", "curation", "mixing"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing: keep each source with probability ∝ n^α
+    (α=0.5), the published multilingual rebalancing rule — big sources
+    flatten, tail sources survive. Rates derive from one map-side agg
+    over ≤|sources| rows; the gate is the module's deterministic md5
+    scheme, so the sample is subset-stable and engine-reproducible.
+    Output: per-source kept counts with the applied rate."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = smp.temperature_mix(docs, "doc_id", "source", alpha=0.5, seed=11)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.any_value("rate").alias("rate"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )

@@ -25,7 +25,7 @@ sampling never costs a pass of its own.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import hash60, sql_hash60
@@ -196,3 +196,86 @@ def pack_chunks(
             ),
         )
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame, source_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Per-source keep rates for temperature-based corpus rebalancing
+    (the multilingual α-sampling rule: sample source s with probability
+    ∝ n_s^α, flattening the head and lifting the tail as α → 0).
+
+    The achievable total is scaled so the binding source keeps rate 1.0
+    (downsampling only — upsampling is a repeat-file concern, not a
+    gate). Rates round at 9 dp so the pow() lineage is engine-portable;
+    thresholds are exact ints. The whole computation runs on the
+    ≤|sources| count rows — a single map-side-combined agg plus
+    constant-size window math."""
+    w_all = Window.partitionBy(F.lit(1))
+    return (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_source"))
+        .withColumn("pw", F.pow(F.col("n_source").cast("double"), F.lit(alpha)))
+        .withColumn("w", F.col("pw") / F.sum("pw").over(w_all))
+        .withColumn("total", F.min(F.col("n_source") / F.col("w")).over(w_all))
+        .withColumn(
+            "rate",
+            F.round(
+                F.least(F.lit(1.0), (F.col("total") * F.col("w")) / F.col("n_source")), 9
+            ),
+        )
+        .withColumn("thr", F.floor(F.col("rate") * RESOLUTION).cast("long"))
+        .drop("pw", "w", "total")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    seed: int = 11,
+) -> DataFrame:
+    """Apply :func:`temperature_mix_rates` as a deterministic hash gate —
+    map-only on the corpus side (the rate table broadcasts), subset-stable
+    like every gate in this module."""
+    rates = temperature_mix_rates(df, source_col, alpha=alpha)
+    gate = F.pmod(
+        hash60(
+            F.concat(F.col(source_col), F.lit("~"), F.col(id_col).cast("string")),
+            seed=seed,
+        ),
+        F.lit(RESOLUTION),
+    )
+    return df.join(F.broadcast(rates), source_col).filter(gate < F.col("thr"))
+
+
+def sql_temperature_mix(
+    source_expr: str = "source",
+    id_expr: str = "doc_id",
+    alpha: float = 0.5,
+    seed: int = 11,
+    table: str = "documents",
+) -> str:
+    """DuckDB rendering of :func:`temperature_mix` (rates + gate)."""
+    gate = sql_hash60(f"({source_expr} || '~' || CAST({id_expr} AS VARCHAR))", seed=seed)
+    return f"""
+WITH counts AS (
+  SELECT {source_expr} AS src, count(*) AS n_source FROM {table} GROUP BY 1
+),
+rates AS (
+  SELECT src, n_source,
+         round(least(1.0,
+           (min(n_source / (pow(n_source, {alpha}) / sum_pw)) OVER ()
+            * (pow(n_source, {alpha}) / sum_pw)) / n_source), 9) AS rate
+  FROM (SELECT src, n_source, sum(pow(n_source, {alpha})) OVER () AS sum_pw FROM counts)
+),
+kept AS (
+  SELECT d.*, r.rate
+  FROM {table} d JOIN rates r ON d.{source_expr} = r.src
+  WHERE ({gate} % {RESOLUTION}) < CAST(floor(r.rate * {RESOLUTION}) AS BIGINT)
+)
+SELECT {source_expr} AS source, count(*) AS n_kept, any_value(rate) AS rate,
+       min({id_expr}) AS first_doc
+FROM kept GROUP BY 1 ORDER BY source
+"""

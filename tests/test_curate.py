@@ -315,3 +315,30 @@ def test_dsir_sampled_count_and_determinism(spark):
     a, b = run(), run()
     assert a == b
     assert sum(1 for s, _ in a.values() if s) == 7
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    """α=0.5 must strictly flatten source proportions: the biggest source's
+    kept share sits below its raw share, the smallest's above; the binding
+    source keeps everything (rate 1.0)."""
+    from markt_database_analyzer_spark.datapipe import sampling as smp
+
+    rows = [(i, f"s{0 if i % 10 else 9}") for i in range(2000)]
+    # s0: 1800 docs, s9: 200 docs
+    rows = [(i, "s0" if i % 10 else "s9") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {
+        r["source"]: r["rate"]
+        for r in smp.temperature_mix_rates(df, "source", alpha=0.5).collect()
+    }
+    assert rates["s9"] == 1.0            # smallest source is binding — keeps all
+    assert rates["s0"] < 1.0             # big source downsampled
+    kept = smp.temperature_mix(df, "doc_id", "source", alpha=0.5).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in kept}
+    raw_share = 1800 / 2000
+    kept_share = got["s0"] / (got["s0"] + got["s9"])
+    assert kept_share < raw_share        # flattened toward the tail
+    # α-weights: w ∝ sqrt(n); expected share = sqrt(1800)/(sqrt(1800)+sqrt(200))
+    import math
+    want = math.sqrt(1800) / (math.sqrt(1800) + math.sqrt(200))
+    assert abs(kept_share - want) < 0.05
