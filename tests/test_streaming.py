@@ -206,3 +206,62 @@ def test_interval_join_matches_batch(spark):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Fault-tolerance contract: a restarted query with the same
+    checkpoint continues from the committed offset — already-processed
+    files are NOT recounted, new files are. This is the exactly-once
+    story for the file source; in production the same checkpoint
+    mechanics cover executor loss mid-batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_batch(name, ids):
+        pq.write_table(pa.table({"doc_id": pa.array(ids, "int64")}), src / name)
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long").parquet(str(src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("a.parquet", [1, 2, 3])
+    run_once()
+    assert spark.read.parquet(out).count() == 3
+    write_batch("b.parquet", [4, 5])
+    run_once()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5]  # batch a not reprocessed, batch b picked up
+
+
+def test_observe_metrics_on_batch_pipeline(spark):
+    """df.observe() attaches accumulator-backed metrics to a plan without
+    a second pass — the audit hook a curation pipeline uses to count
+    rows/nulls while writing. Pinned on the batch path via collect-time
+    observation retrieval."""
+    from pyspark.sql import Observation
+
+    from markt_database_analyzer_spark.sources import read_table
+
+    obs = Observation("audit")
+    docs = read_table(spark, SF_DIR, "documents").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull() | (F.trim("text") == ""), 1).otherwise(0)).alias("n_blank"),
+    )
+    n = docs.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert 0 <= got["n_blank"] <= n
