@@ -19,10 +19,21 @@ any external system. That breaks (a) hash-based differential testing and
 portable: engines disagree systematically on double→decimal conversion
 below ~1e-10 per value, which accumulates across millions of rows.)
 
-Cost: one multiply+round per value, no extra shuffle. Semantics: values are
-quantized at 1e-6 before aggregation — document-level metrics (prices,
-counts, rates) lose nothing that survives float noise anyway. Callers that
-need raw-float semantics use plain ``F.sum``/``F.avg``.
+Cost: one multiply+round per value, no extra shuffle, and the Decimal128
+accumulation runs ~3× a native double sum per aggregate (measured on the
+Q1 anchor at sf0.1: 0.25 s native vs 0.69 s quantized for one sum — the
+whole 8-aggregate Q1 pays 2.8 s vs ~1 s). That is the deliberate price of
+bit-stable results; a deployment that prefers speed over reproducibility
+swaps ``F.sum``/``F.avg`` in with an otherwise identical plan. LONG
+accumulation of the micro-units would be ~2× faster but overflows int64
+at ~1.8e8 rows/group for price-scale values — real at 100 TB (TPC-H
+sf100's Q1 groups are ~1.5e9 rows) — so DECIMAL(38,0) is the only
+accumulator that is simultaneously exact, portable, and scale-safe.
+
+Semantics: values are quantized at 1e-6 before aggregation —
+document-level metrics (prices, counts, rates) lose nothing that survives
+float noise anyway. Callers that need raw-float semantics use plain
+``F.sum``/``F.avg``.
 """
 
 from __future__ import annotations
