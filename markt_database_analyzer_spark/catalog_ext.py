@@ -1032,3 +1032,82 @@ def embedding_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("max_abs_err"),
     ).orderBy("vec_id")
+
+
+def _sql_pq_adc(k: int = 16, m: int = 8, dims: int = 64, n_queries: int = 10, topk: int = 5) -> str:
+    """DuckDB replay of PQ encode + ADC top-k: codebook = k lowest-id
+    vectors (code = id rank), per-subspace argmin with min-code tiebreak,
+    reconstruction by code lookup, squared-L2 of raw query vs
+    reconstruction rounded at 9 dp."""
+    sub = dims // m
+
+    def dist(j: int) -> str:
+        off = j * sub
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub}), "
+            f"i -> (evec[{off} + i] - cvec[{off} + i]) * (evec[{off} + i] - cvec[{off} + i])))"
+        )
+
+    code_ctes = ",\n".join(
+        f"""code{j} AS (
+  SELECT vec_id, code AS code{j} FROM (
+    SELECT vec_id, code,
+           row_number() OVER (PARTITION BY vec_id ORDER BY {dist(j)}, code) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)"""
+        for j in range(m)
+    )
+    code_join = " JOIN ".join(
+        ["code0"] + [f"code{j} USING (vec_id)" for j in range(1, m)]
+    )
+    recon = "flatten([" + ", ".join(
+        f"(SELECT list_slice(c.vec, {j * sub + 1}, {(j + 1) * sub}) FROM codebook c WHERE c.code = codes.code{j})"
+        for j in range(m)
+    ) + "])"
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+codebook AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec
+  FROM (SELECT vec_id, vec FROM corpus ORDER BY vec_id LIMIT {k})
+),
+pairs AS (
+  SELECT e.vec_id, c.code, e.vec AS evec, c.vec AS cvec
+  FROM corpus e CROSS JOIN codebook c
+),
+{code_ctes},
+codes AS (SELECT * FROM {code_join}),
+recon AS (
+  SELECT codes.vec_id, {recon} AS rv FROM codes
+),
+q AS (SELECT vec_id AS query_id, vec AS qv FROM corpus WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, {dims}),
+           i -> (q.qv[i] - r.rv[i]) * (q.qv[i] - r.rv[i]))), 9) AS adc_dist
+  FROM recon r CROSS JOIN q
+  WHERE r.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {topk}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "similarity_pq_adc_topk",
+    oracle=_sql_pq_adc(),
+    tags=("similarity", "ann", "pq", "quantization"),
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric distance (the IVF-PQ memory
+    tier): vectors encode to m=8 sub-codes against a shared codebook,
+    queries score raw-vs-reconstruction — semantically identical to the
+    scan-time LUT sum, which is the execution detail that makes PQ scans
+    memory-bandwidth-bound instead of FLOP-bound at 100 TB. Encoding is
+    map-only (codebook as SQL literals, subvector slices staged so each
+    evaluates once); composes with the IVF probe for full IVF-PQ."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.pq_adc_topk(emb, n_queries=10, topk=5, k=16, m=8)

@@ -457,3 +457,115 @@ FROM cand c JOIN corpus ca ON c.id_a = ca.vid JOIN corpus cb ON c.id_b = cb.vid
 WHERE round(list_cosine_similarity(ca.vec, cb.vec), 9) >= {min_cos}
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + asymmetric distance (Jégou et al. 2011 shape)
+# ---------------------------------------------------------------------------
+
+def pq_codebook(
+    corpus: DataFrame, k: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic PQ codebook: the k lowest-id vectors, code = rank by
+    id. (Training elided for oracle replayability — swap in one
+    kmeans_model per subspace for trained codebooks; the encode/ADC
+    machinery below is unchanged.) O(k·dims) model state — driver-side
+    literals, the assign_cells_local contract."""
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def pq_encode_reconstruct(
+    corpus: DataFrame,
+    codebook: list[list[float]],
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to m sub-codes (argmin squared-L2 per subspace
+    against the shared codebook's subvectors, min-code tiebreak) and
+    return the RECONSTRUCTED vector next to the codes. ADC equivalence:
+    distance(query, reconstruction) == Σ_j LUT_j[code_j] — the scan-time
+    lookup-table trick is an execution detail; the semantics live here.
+
+    Map-only: codebook subvectors are rendered as one SQL literal
+    expression per subspace (k·dims doubles via repr — exact shortest
+    round-trip, no py4j literal storm); per-row subvector slices are
+    staged as named columns so each slice evaluates once, not per code."""
+    dims = len(codebook[0])
+    sub = dims // m
+    staged = fan_out(corpus).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    sub_cols = [
+        F.slice("_v", j * sub + 1, sub).alias(f"_s{j}") for j in range(m)
+    ]
+    staged = staged.select(id_col, "_v", *sub_cols)
+
+    def sq_sql(sub_col: str, cvec: list[float]) -> str:
+        arr = ", ".join(_dlit(v) for v in cvec)
+        return (
+            f"aggregate(zip_with(`{sub_col}`, array({arr}), "
+            "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+
+    code_cols, recon_parts = [], []
+    for j in range(m):
+        subvecs = [cv[j * sub : (j + 1) * sub] for cv in codebook]
+        dists = "array(" + ", ".join(sq_sql(f"_s{j}", sv) for sv in subvecs) + ")"
+        code = f"cast(array_position({dists}, array_min({dists})) as int) - 1"
+        code_cols.append(F.expr(code).alias(f"code{j}"))
+        lit_subs = ", ".join(
+            "array(" + ", ".join(_dlit(v) for v in sv) + ")" for sv in subvecs
+        )
+        recon_parts.append(f"element_at(array({lit_subs}), `code{j}` + 1)")
+    encoded = staged.select(id_col, "_v", *code_cols)
+    recon = F.expr("concat(" + ", ".join(recon_parts) + ")")
+    return encoded.select(
+        id_col, "_v", *[f"code{j}" for j in range(m)], recon.alias("recon")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    k: int = 16,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: raw query vectors scored against the
+    PQ-reconstructed corpus. The all-pairs crossJoin is the ADC scan by
+    definition (queries broadcast; at scale the same scoring runs per
+    IVF cell, composing with ivf_topk's probe exactly as IVF-PQ does)."""
+    cb = pq_codebook(corpus, k=k, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode_reconstruct(corpus, cb, m=m, id_col=id_col, vec_col=vec_col)
+    q = (
+        corpus.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("recon"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        enc.select(F.col(id_col).alias("neighbor_id"), "recon")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.round(l2, 9))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+        .orderBy("query_id", "rank")
+    )

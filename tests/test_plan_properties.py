@@ -64,6 +64,10 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # DSIR selection threshold: n-th largest Gumbel key via
         # distributed top-n, injected as crossJoin(broadcast(1-row min))
         "sample_dsir_importance",
+        # ADC scan IS reconstructed-corpus × broadcast(queries) — the
+        # all-pairs scoring PQ exists to make cheap; at scale it runs
+        # per IVF cell (IVF-PQ), same shape as similarity_ivf_topk
+        "similarity_pq_adc_topk",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
