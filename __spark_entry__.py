@@ -64,6 +64,7 @@ _DRIVER_HEAD: list[str] = [
     "embedding_quantize_sq8",
     "sample_temperature_mix",
     "similarity_pq_adc_topk",
+    "similarity_ivf_pq_topk",
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q13_customer_distribution",

@@ -1034,11 +1034,12 @@ def embedding_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _sql_pq_adc(k: int = 16, m: int = 8, dims: int = 64, n_queries: int = 10, topk: int = 5) -> str:
-    """DuckDB replay of PQ encode + ADC top-k: codebook = k lowest-id
-    vectors (code = id rank), per-subspace argmin with min-code tiebreak,
-    reconstruction by code lookup, squared-L2 of raw query vs
-    reconstruction rounded at 9 dp."""
+def _sql_pq_ctes(k: int = 16, m: int = 8, dims: int = 64) -> str:
+    """Shared DuckDB replay of PQ encode: codebook = k lowest-id vectors
+    (code = id rank), per-subspace argmin with min-code tiebreak,
+    reconstruction by code lookup. Yields CTEs ``codebook``, ``pairs``,
+    ``codes`` and ``recon(vec_id, rv)``; the chain must already define
+    ``corpus(vec_id, vec)``."""
     sub = dims // m
 
     def dist(j: int) -> str:
@@ -1065,9 +1066,7 @@ def _sql_pq_adc(k: int = 16, m: int = 8, dims: int = 64, n_queries: int = 10, to
         f"(SELECT list_slice(c.vec, {j * sub + 1}, {(j + 1) * sub}) FROM codebook c WHERE c.code = codes.code{j})"
         for j in range(m)
     ) + "])"
-    return f"""
-WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-codebook AS (
+    return f"""codebook AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec
   FROM (SELECT vec_id, vec FROM corpus ORDER BY vec_id LIMIT {k})
 ),
@@ -1079,7 +1078,15 @@ pairs AS (
 codes AS (SELECT * FROM {code_join}),
 recon AS (
   SELECT codes.vec_id, {recon} AS rv FROM codes
-),
+)"""
+
+
+def _sql_pq_adc(k: int = 16, m: int = 8, dims: int = 64, n_queries: int = 10, topk: int = 5) -> str:
+    """ADC top-k over the shared PQ replay: squared-L2 of raw query vs
+    reconstruction, rounded at 9 dp."""
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+{_sql_pq_ctes(k=k, m=m, dims=dims)},
 q AS (SELECT vec_id AS query_id, vec AS qv FROM corpus WHERE vec_id < {n_queries}),
 scored AS (
   SELECT q.query_id, r.vec_id AS neighbor_id,
@@ -1111,3 +1118,68 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluates once); composes with the IVF probe for full IVF-PQ."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.pq_adc_topk(emb, n_queries=10, topk=5, k=16, m=8)
+
+
+def _sql_ivf_pq(
+    k_cells: int = 10,
+    iters: int = 3,
+    nprobe: int = 2,
+    k_codes: int = 16,
+    m: int = 8,
+    dims: int = 64,
+    n_queries: int = 10,
+    topk: int = 5,
+) -> str:
+    """DuckDB replay of full IVF-PQ: the shared Lloyd replay restricts
+    each query to its nprobe nearest cells (cosine to the quantizer's own
+    centroids), the shared PQ replay supplies reconstructions, ADC scores
+    raw-query-vs-reconstruction within probed cells only."""
+    kmeans, final_assign, cents = _sql_kmeans_ctes(k=k_cells, iters=iters)
+    pq = _sql_pq_ctes(k=k_codes, m=m, dims=dims)
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+{kmeans},
+{pq},
+q AS (SELECT vec_id AS query_id, vec AS qv FROM corpus WHERE vec_id < {n_queries}),
+probed AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_SQL_COS.format(a='q.qv', b='c.centroid')} DESC, c.cell) AS crank
+    FROM q CROSS JOIN {cents} c
+  ) WHERE crank <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, {dims}),
+           i -> (p.qv[i] - r.rv[i]) * (p.qv[i] - r.rv[i]))), 9) AS adc_dist
+  FROM {final_assign} a
+  JOIN recon r ON a.vec_id = r.vec_id
+  JOIN probed p ON a.cell = p.cell
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {topk}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "similarity_ivf_pq_topk",
+    oracle=_sql_ivf_pq(),
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ — the billion-scale ANN tier assembled from pieces
+    this catalog differential-tests independently (learned k-means
+    quantizer / FAISS-style probe / PQ encode / ADC scoring): the coarse
+    index bounds candidates per query, the product code bounds bytes per
+    candidate. Probe and codebook both live as broadcast/literal model
+    state; the corpus-side work is one map-only encode plus the
+    cell-restricted ADC join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_pq_topk(
+        emb, n_queries=10, topk=5, k_cells=10, iters=3, nprobe=2, k_codes=16, m=8
+    )

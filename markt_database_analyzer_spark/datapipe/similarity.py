@@ -486,6 +486,7 @@ def pq_encode_reconstruct(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector to m sub-codes (argmin squared-L2 per subspace
     against the shared codebook's subvectors, min-code tiebreak) and
@@ -501,12 +502,13 @@ def pq_encode_reconstruct(
     sub = dims // m
     staged = fan_out(corpus).select(
         F.col(id_col),
+        *extra_cols,
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     sub_cols = [
         F.slice("_v", j * sub + 1, sub).alias(f"_s{j}") for j in range(m)
     ]
-    staged = staged.select(id_col, "_v", *sub_cols)
+    staged = staged.select(id_col, *extra_cols, "_v", *sub_cols)
 
     def sq_sql(sub_col: str, cvec: list[float]) -> str:
         arr = ", ".join(_dlit(v) for v in cvec)
@@ -525,10 +527,10 @@ def pq_encode_reconstruct(
             "array(" + ", ".join(_dlit(v) for v in sv) + ")" for sv in subvecs
         )
         recon_parts.append(f"element_at(array({lit_subs}), `code{j}` + 1)")
-    encoded = staged.select(id_col, "_v", *code_cols)
+    encoded = staged.select(id_col, *extra_cols, "_v", *code_cols)
     recon = F.expr("concat(" + ", ".join(recon_parts) + ")")
     return encoded.select(
-        id_col, "_v", *[f"code{j}" for j in range(m)], recon.alias("recon")
+        id_col, *extra_cols, "_v", *[f"code{j}" for j in range(m)], recon.alias("recon")
     )
 
 
@@ -559,6 +561,66 @@ def pq_adc_topk(
     scored = (
         enc.select(F.col(id_col).alias("neighbor_id"), "recon")
         .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.round(l2, 9))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    k_cells: int = 10,
+    iters: int = 3,
+    nprobe: int = 2,
+    k_codes: int = 16,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVF-PQ: the learned coarse quantizer restricts the scan to
+    ``nprobe`` cells per query, and within those cells queries score
+    against PQ reconstructions (ADC). This is the standard billion-scale
+    ANN memory tier — the coarse index bounds candidates, the product
+    code bounds bytes/candidate — composed verbatim from kmeans_model,
+    pq_encode_reconstruct, and the FAISS-style probe (rank cells by
+    cosine to the quantizer's own centroids)."""
+    assigned, cents = kmeans_model(corpus, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    cb = pq_codebook(corpus, k=k_codes, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode_reconstruct(
+        assigned, cb, m=m, id_col=id_col, vec_col=vec_col, extra_cols=("cell",)
+    )
+    cents_df = corpus.sparkSession.createDataFrame(
+        [(int(c), list(map(float, v))) for c, v in cents],
+        "cell int, centroid array<double>",
+    )
+    q = corpus.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.col("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(cents_df))
+        .withColumn("ccos", cosine(F.col("qv"), F.col("centroid")))
+        .withColumn("crank", F.row_number().over(probe_w))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("recon"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        enc.select(F.col(id_col).alias("neighbor_id"), "cell", "recon")
+        .join(F.broadcast(probed), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("adc_dist", F.round(l2, 9))
     )

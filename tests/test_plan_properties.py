@@ -68,6 +68,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # all-pairs scoring PQ exists to make cheap; at scale it runs
         # per IVF cell (IVF-PQ), same shape as similarity_ivf_topk
         "similarity_pq_adc_topk",
+        # IVF-PQ probe crossJoins queries × the broadcast k-row centroid
+        # set (same principled shape as similarity_ivf_kmeans_topk)
+        "similarity_ivf_pq_topk",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
