@@ -65,6 +65,7 @@ _DRIVER_HEAD: list[str] = [
     "sample_temperature_mix",
     "similarity_pq_adc_topk",
     "similarity_ivf_pq_topk",
+    "pipeline_quality_curate",
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q13_customer_distribution",

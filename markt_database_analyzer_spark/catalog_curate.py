@@ -1354,3 +1354,134 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Composed quality pipeline: rules → LM gate → dedup → temperature mix
+# --------------------------------------------------------------------------
+
+def _sql_pipeline_quality() -> str:
+    from .datapipe import lm
+    from .datapipe.hashing import sql_hash60
+    from .datapipe.sampling import RESOLUTION
+
+    rules = tx.sql_gopher_rules("text", min_words=20, max_words=100_000)
+    lm_scores = lm.sql_bigram_logprob_scores(alpha=0.5, table="g1")
+    gate = sql_hash60("(source || '~' || CAST(doc_id AS VARCHAR))", seed=11)
+    return f"""
+WITH g1 AS (
+  SELECT doc_id, lang, source, text FROM (
+    SELECT doc_id, lang, source, text,{rules}
+    FROM (SELECT doc_id, lang, source, text, {tx.sql_tokens('text')} AS toks FROM documents)
+  ) WHERE rule_word_count AND rule_mean_word_len AND rule_alpha_words
+      AND rule_symbol_ratio AND rule_stopwords
+),
+lm_scores AS ({lm_scores}),
+thr AS (SELECT quantile_cont(avg_neg_logp, 0.9) AS thr FROM lm_scores),
+g2 AS (
+  SELECT g1.doc_id, g1.lang, g1.source, g1.text
+  FROM g1 JOIN lm_scores s ON g1.doc_id = s.doc_id, thr
+  WHERE s.avg_neg_logp IS NOT NULL AND s.avg_neg_logp <= thr.thr
+),
+g3 AS (
+  SELECT doc_id, lang, source FROM (
+    SELECT g2.*, (doc_id = min(doc_id) OVER (PARTITION BY {sql_hash60('text')})) AS keep
+    FROM g2
+  ) WHERE keep
+),
+counts AS (SELECT source AS src, count(*) AS n_source FROM g3 GROUP BY 1),
+rates AS (
+  SELECT src,
+         round(least(1.0,
+           (min(n_source / (pow(n_source, 0.5) / sum_pw)) OVER ()
+            * (pow(n_source, 0.5) / sum_pw)) / n_source), 9) AS rate
+  FROM (SELECT src, n_source, sum(pow(n_source, 0.5)) OVER () AS sum_pw FROM counts)
+),
+g4 AS (
+  SELECT g3.* FROM g3 JOIN rates r ON g3.source = r.src
+  WHERE ({gate} % {RESOLUTION}) < CAST(floor(r.rate * {RESOLUTION}) AS BIGINT)
+),
+i AS (SELECT lang, count(*) AS n_input FROM documents GROUP BY 1),
+c1 AS (SELECT lang, count(*) AS n_rules FROM g1 GROUP BY 1),
+c2 AS (SELECT lang, count(*) AS n_lm FROM g2 GROUP BY 1),
+c3 AS (SELECT lang, count(*) AS n_dedup FROM g3 GROUP BY 1),
+c4 AS (SELECT lang, count(*) AS n_final FROM g4 GROUP BY 1)
+SELECT i.lang, i.n_input,
+       coalesce(c1.n_rules, 0) AS n_rules,
+       coalesce(c2.n_lm, 0) AS n_lm,
+       coalesce(c3.n_dedup, 0) AS n_dedup,
+       coalesce(c4.n_final, 0) AS n_final
+FROM i LEFT JOIN c1 USING (lang) LEFT JOIN c2 USING (lang)
+       LEFT JOIN c3 USING (lang) LEFT JOIN c4 USING (lang)
+ORDER BY lang
+"""
+
+
+@register(
+    "pipeline_quality_curate",
+    oracle=_sql_pipeline_quality(),
+    headline=True,
+    tags=("pipeline", "curation", "lm", "quality"),
+)
+def pipeline_quality_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern pretraining-data recipe composed end-to-end (the
+    FineWeb/RedPajama stage ordering): Gopher heuristic rules → bigram-LM
+    perplexity gate at the p90 threshold (model trained on the rule
+    survivors — garbage never pollutes the counts) → exact dedup
+    keep-first → temperature (α=0.5) source rebalancing, reported as a
+    per-language funnel. Stage order is the 100 TB ordering: the cheap
+    row-local rules run in the scan, the LM model is built only over
+    survivors, dedup shuffles 8-byte hashes of the doubly-gated corpus,
+    and the mix gate is map-only. Every stage is the operator its own
+    catalog entry differential-tests in isolation."""
+    from .datapipe import lm
+    from .datapipe.hashing import hash60
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    base_cols = ["doc_id", "lang", "source", "text"]
+    g1 = (
+        docs.select(*base_cols, *tx.gopher_rules("text", min_words=20, max_words=100_000))
+        .filter(
+            F.col("rule_word_count")
+            & F.col("rule_mean_word_len")
+            & F.col("rule_alpha_words")
+            & F.col("rule_symbol_ratio")
+            & F.col("rule_stopwords")
+        )
+        .select(*base_cols)
+    )
+    scores = lm.bigram_logprob_scores(g1, "text", "doc_id", alpha=0.5)
+    thr = scores.agg(F.percentile("avg_neg_logp", F.lit(0.9)).alias("thr"))
+    g2 = (
+        g1.join(
+            scores.filter(F.col("avg_neg_logp").isNotNull()).select("doc_id", "avg_neg_logp"),
+            "doc_id",
+        )
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("avg_neg_logp") <= F.col("thr"))
+        .select(*base_cols)
+    )
+    w = Window.partitionBy("h")
+    g3 = (
+        g2.withColumn("h", hash60(F.col("text")))
+        .withColumn("minid", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("minid"))
+        .select("doc_id", "lang", "source")
+    )
+    g4 = smp.temperature_mix(g3, "doc_id", "source", alpha=0.5, seed=11)
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("lang").agg(F.count(F.lit(1)).alias(name))
+
+    out = (
+        cnt(docs, "n_input")
+        .join(cnt(g1, "n_rules"), "lang", "left")
+        .join(cnt(g2, "n_lm"), "lang", "left")
+        .join(cnt(g3, "n_dedup"), "lang", "left")
+        .join(cnt(g4, "n_final"), "lang", "left")
+    )
+    return out.select(
+        "lang",
+        "n_input",
+        *[F.coalesce(c, F.lit(0)).alias(c) for c in ("n_rules", "n_lm", "n_dedup", "n_final")],
+    ).orderBy("lang")

@@ -109,8 +109,10 @@ def bigram_logprob_scores(
     )
 
 
-def sql_bigram_logprob_scores(alpha: float = 0.5) -> str:
-    """DuckDB oracle for :func:`bigram_logprob_scores` over documents."""
+def sql_bigram_logprob_scores(alpha: float = 0.5, table: str = "documents") -> str:
+    """DuckDB oracle for :func:`bigram_logprob_scores` over ``table``
+    (any relation exposing doc_id + text — composable as a nested-WITH
+    subquery inside a larger pipeline oracle)."""
     from ..catalog import SQL_DAVG
 
     bgs = sql_bigrams("text")
@@ -119,13 +121,13 @@ def sql_bigram_logprob_scores(alpha: float = 0.5) -> str:
     return f"""
 WITH bg AS (
   SELECT doc_id AS did, {bgh} AS bgh, {ctxh} AS ctxh
-  FROM (SELECT doc_id, unnest({bgs}) AS bg FROM documents)
+  FROM (SELECT doc_id, unnest({bgs}) AS bg FROM {table})
 ),
 c_bg AS (SELECT bgh, count(*) AS c_bg FROM bg GROUP BY bgh),
 c_ctx AS (SELECT ctxh, count(*) AS c_ctx FROM bg GROUP BY ctxh),
 vocab AS (
   SELECT count(DISTINCT term) AS v
-  FROM (SELECT unnest({sql_tokens('text')}) AS term FROM documents)
+  FROM (SELECT unnest({sql_tokens('text')}) AS term FROM {table})
 ),
 scored AS (
   SELECT bg.did,
@@ -140,7 +142,7 @@ per_doc AS (
 SELECT d.doc_id,
        coalesce(p.n_bigrams, 0) AS n_bigrams,
        p.avg_neg_logp
-FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.did
+FROM {table} d LEFT JOIN per_doc p ON d.doc_id = p.did
 ORDER BY d.doc_id
 """
 

@@ -71,6 +71,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # IVF-PQ probe crossJoins queries × the broadcast k-row centroid
         # set (same principled shape as similarity_ivf_kmeans_topk)
         "similarity_ivf_pq_topk",
+        # composed pipeline inherits the 1-row scalar broadcasts of its
+        # stages (LM vocab size, p90 NLL threshold)
+        "pipeline_quality_curate",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
