@@ -66,6 +66,7 @@ _DRIVER_HEAD: list[str] = [
     "similarity_pq_adc_topk",
     "similarity_ivf_pq_topk",
     "pipeline_quality_curate",
+    "dedup_substring_spans",
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q13_customer_distribution",

@@ -1485,3 +1485,25 @@ def pipeline_quality_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_input",
         *[F.coalesce(c, F.lit(0)).alias(c) for c in ("n_rules", "n_lm", "n_dedup", "n_final")],
     ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022 shape)
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_substring_spans",
+    oracle=dd.sql_substring_dup_spans(k=10),
+    tags=("dedup", "substring", "spans"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication audit: per-document fraction of token
+    positions covered by a 10-token run that also appears in another
+    document — the "Deduplicating Training Data Makes Language Models
+    Better" signal, which trims boilerplate SPANS instead of dropping
+    whole documents (whole-doc methods dilute partial overlap; this is
+    the complement to winnowing's candidate pairs). Positional k-gram
+    hashing plays the suffix-array role: the inverted index shuffles
+    (doc, hash) int pairs, the interval-union sweep is row-local."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    return dd.substring_dup_spans(docs, "text", "doc_id", k=10).orderBy("doc_id")

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .hashing import hash60
+from .hashing import hash60, sql_hash60
 from .text import tokens
 from .util import fan_out
 
@@ -501,4 +501,128 @@ FROM idx a JOIN idx b ON a.fph = b.fph AND a.wid < b.wid
 GROUP BY a.wid, b.wid
 HAVING count(*) >= {min_shared}
 ORDER BY id_a, id_b
+"""
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact-substring duplication audit (the "Deduplicating Training Data
+    Makes Language Models Better" shape, suffix-array role played by
+    positional k-gram hashing): mark every token position covered by a
+    k-token run that also appears in ANOTHER document, and report the
+    per-document duplicated-token fraction — the signal used to trim
+    boilerplate spans rather than drop whole documents.
+
+    Scale shape: positional shingle hashes are staged named columns (the
+    winnow_fp_frame lesson — each level evaluates once per row);
+    cross-document frequency is a distinct-(doc,hash) count, so the
+    inverted index shuffles 16-byte rows; the interval-union sweep is
+    row-local array math over each doc's sorted duplicate positions.
+    Output: (id, n_tokens, n_dup_positions, covered_tokens,
+    dup_fraction)."""
+    from .text import tokens
+
+    toks = tokens(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("_ss_toks") - k),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_ss_toks"), i + 1, k)),
+    )
+    staged = (
+        df.select(F.col(id_col).alias("sid"), toks.alias("_ss_toks"))
+        .withColumn("_n_tokens", F.size("_ss_toks"))
+        .filter(F.col("_n_tokens") >= k)
+        .select("sid", "_n_tokens", sh.alias("_ss_sh"))
+        .select(
+            "sid",
+            "_n_tokens",
+            F.transform("_ss_sh", lambda s: hash60(s)).alias("_ss_h"),
+        )
+    )
+    pos = staged.select(
+        "sid", F.posexplode("_ss_h").alias("pos", "h")
+    )
+    cross_doc = (
+        pos.select("sid", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    dup_pos = pos.join(cross_doc, "h").select("sid", "pos").distinct()
+    starts = dup_pos.groupBy("sid").agg(
+        F.array_sort(F.collect_list("pos")).alias("ps")
+    )
+    covered = F.aggregate(
+        F.zip_with(
+            F.col("ps"),
+            F.concat(F.slice(F.col("ps"), 2, 1_000_000), F.array(F.lit(None).cast("int"))),
+            lambda cur, nxt: F.when(nxt.isNull(), F.lit(k)).otherwise(
+                F.least(F.lit(k), nxt - cur)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    per_doc = starts.select(
+        "sid",
+        F.size("ps").alias("n_dup_positions"),
+        covered.alias("covered_tokens"),
+    )
+    return (
+        df.select(F.col(id_col).alias("sid"), F.size(tokens(text_col)).alias("n_tokens"))
+        .join(per_doc, "sid", "left")
+        .select(
+            F.col("sid").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_positions", F.lit(0)).alias("n_dup_positions"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                9,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def sql_substring_dup_spans(k: int = 10, table: str = "documents") -> str:
+    """DuckDB oracle for :func:`substring_dup_spans`."""
+    from .text import sql_tokens
+
+    toks = sql_tokens("text")
+    h = sql_hash60("array_to_string(list_slice(toks, i, i + {0}), ' ')".format(k - 1))
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM {table}),
+sh AS (
+  SELECT doc_id, i - 1 AS pos, {h} AS h
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {k - 1})) AS i
+    FROM t WHERE len(toks) >= {k}
+  )
+),
+cross_doc AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM sh)
+  GROUP BY h HAVING count(*) >= 2
+),
+dup AS (SELECT DISTINCT doc_id, pos FROM sh JOIN cross_doc USING (h)),
+starts AS (SELECT doc_id, list_sort(list(pos)) AS ps FROM dup GROUP BY doc_id),
+per_doc AS (
+  SELECT doc_id, len(ps) AS n_dup_positions,
+         list_sum(list_transform(generate_series(1, len(ps)),
+           i -> CASE WHEN i < len(ps) THEN least({k}, ps[i + 1] - ps[i]) ELSE {k} END))
+           AS covered_tokens
+  FROM starts
+)
+SELECT d.doc_id,
+       len({toks}) AS n_tokens,
+       coalesce(p.n_dup_positions, 0) AS n_dup_positions,
+       CAST(coalesce(p.covered_tokens, 0) AS INT) AS covered_tokens,
+       round(CAST(coalesce(p.covered_tokens, 0) AS DOUBLE) / len({toks}), 9) AS dup_fraction
+FROM {table} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
 """

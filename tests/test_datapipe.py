@@ -495,3 +495,26 @@ def test_pq_adc_recall_against_exact(spark):
     # quantization), plus a recall floor well above random (5/n ≈ 0.10).
     assert float(np.mean(sel_ratio)) < 0.85, sel_ratio
     assert total > 0 and hits / total >= 0.15, (hits, total)
+
+
+def test_substring_spans_interval_union(spark):
+    """Planted shared 12-token run between two docs: with k=10 the shared
+    run contributes 3 duplicate shingle starts covering exactly 12 tokens
+    (interval union, not 3*k); a doc with no cross-doc run reports 0."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    d1 = f"aa bb cc {shared} dd ee"
+    d2 = f"{shared} xx yy zz ww vv qq rr tt uu"
+    d3 = "totally different content " + " ".join(f"u{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_dup_positions"], r["covered_tokens"], r["n_tokens"])
+        for r in dd.substring_dup_spans(df, "text", "doc_id", k=10).collect()
+    }
+    # d1: shared run occupies positions 3..14 (0-based); duplicate 10-gram
+    # starts at 3,4,5 -> union [3,15) = 12 tokens
+    assert out[1] == (3, 12, 17)
+    # d2: run at positions 0..11 -> starts 0,1,2 -> union [0,12) = 12
+    assert out[2] == (3, 12, 21)
+    assert out[3] == (0, 0, 13)
