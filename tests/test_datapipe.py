@@ -518,3 +518,35 @@ def test_substring_spans_interval_union(spark):
     # d2: run at positions 0..11 -> starts 0,1,2 -> union [0,12) = 12
     assert out[2] == (3, 12, 21)
     assert out[3] == (0, 0, 13)
+
+
+def test_substring_span_union_random_positions(spark):
+    """The interval-union sweep must equal a brute-force union for random
+    duplicate-position sets (one job, 200 random rows, fixed seed)."""
+    import random
+
+    k = 10
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        n = rng.randint(1, 30)
+        ps = sorted(rng.sample(range(0, 120), n))
+        covered = len({p + d for p in ps for d in range(k)})
+        rows.append((i, ps, covered))
+    df = spark.createDataFrame(
+        [(i, ps) for i, ps, _ in rows], "id long, ps array<int>"
+    )
+    sweep = F.aggregate(
+        F.zip_with(
+            F.col("ps"),
+            F.concat(F.slice(F.col("ps"), 2, 1_000_000), F.array(F.lit(None).cast("int"))),
+            lambda cur, nxt: F.when(nxt.isNull(), F.lit(k)).otherwise(
+                F.least(F.lit(k), nxt - cur)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", sweep.alias("c")).collect()}
+    want = {i: covered for i, _, covered in rows}
+    assert got == want
