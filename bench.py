@@ -63,8 +63,18 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    print(
-        json.dumps(
+
+    # The driver captures a bounded tail of stdout and parses the last
+    # line as JSON; the full 114-query map overflows that buffer (r1/r2
+    # both recorded "parsed": null). The ONE printed line therefore
+    # carries only the headline queries; the complete per-query map goes
+    # to BENCH_FULL.json next to this script for the judge/round diffs.
+    headline = {n: timings[n] for n, s in REGISTRY.items() if s.headline}
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_sec",
                 "value": round(headline_total, 3),
@@ -72,6 +82,24 @@ def main() -> None:
                 "queries": timings,
                 "runs": runs,
                 "sf": sf,
+                "n_queries": len(timings),
+                "all_queries_total_sec": round(sum(timings.values()), 3),
+            },
+            f,
+            indent=1,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(headline_total, 3),
+                "unit": "sec",
+                "queries": headline,
+                "runs": runs,
+                "sf": sf,
+                "n_queries": len(timings),
+                "all_queries_total_sec": round(sum(timings.values()), 3),
+                "full": "BENCH_FULL.json",
             }
         )
     )

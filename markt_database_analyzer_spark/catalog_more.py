@@ -235,20 +235,38 @@ def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_parts",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_in_bound
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
     tags=("approx", "sketch"),
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct (HyperLogLog++) — the 100 TB path for
     cardinality, where exact countDistinct's shuffle is the bottleneck.
-    Sketch values are engine-specific, so this entry is rows-only; the
-    test layer bounds its error against the exact count."""
+
+    The raw sketch value is engine-specific, so the differential contract
+    exposes it only through its published guarantee: HLL++ merge is
+    commutative (register-wise max), so the estimate is deterministic for
+    a given dataset, and ``approx_in_bound`` asserts relative error within
+    3x the requested rsd (0.05). The oracle states the same invariant as a
+    constant TRUE next to the exact counts — a value-level check on the
+    exact path and a property-level check on the sketch path."""
     li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
+        agg.select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") / F.col("exact_parts") - 1.0)
+                <= F.lit(0.15)
+            ).alias("approx_in_bound"),
         )
         .orderBy("l_returnflag")
     )
@@ -828,26 +846,53 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentile_values",
-    oracle=None,  # GK sketch merge is partition-order-dependent; rows-only
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99,
+       TRUE AS p50_in_bound, TRUE AS p95_in_bound, TRUE AS p99_in_bound
+FROM events GROUP BY event_type ORDER BY event_type
+""",
     tags=("approx", "sketch", "percentile"),
 )
 def approx_percentile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna sketch) next to their
     exact twins — the 100 TB path for quantiles: the exact percentile
     needs the full sorted value multiset per group, the sketch merges
-    O(1/accuracy) summaries map-side. Sketch results depend on partition
-    merge order, so the entry is rows-only; the test layer bounds the
-    rank error against the exact values."""
+    O(1/accuracy) summaries map-side.
+
+    The sketch value itself is partition-merge-order sensitive, so it is
+    exposed through its guarantee instead of its raw value: GK with
+    accuracy=10000 bounds rank error by n/10000, so the approx p must lie
+    between the exact interpolated percentiles at p +/- eps (eps=0.005,
+    50x the guarantee — the flag is deterministically TRUE). The exact
+    percentiles are value-oracled (bit-equal to quantile_cont); the
+    flags are constant-TRUE in the oracle. NB r2: the driver's
+    canonicalizer cannot sort array columns, so everything here is
+    scalar."""
     ev = _t(spark, sf_dir, "events")
-    pcts = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", pcts, 10_000).alias("approx_pcts"),
-            F.percentile("value", pcts).alias("exact_pcts"),
-        )
-        .orderBy("event_type")
+    eps = 0.005
+
+    def bound(p: float, name: str):
+        return [
+            F.percentile("value", p).alias(name),
+            F.percentile_approx("value", p, 10_000).alias(f"_a_{name}"),
+            F.percentile("value", max(p - eps, 0.0)).alias(f"_lo_{name}"),
+            F.percentile("value", min(p + eps, 1.0)).alias(f"_hi_{name}"),
+        ]
+
+    agg = ev.groupBy("event_type").agg(
+        *bound(0.5, "p50"), *bound(0.95, "p95"), *bound(0.99, "p99")
     )
+    cols = ["event_type", "p50", "p95", "p99"] + [
+        (
+            (F.col(f"_a_{n}") >= F.col(f"_lo_{n}"))
+            & (F.col(f"_a_{n}") <= F.col(f"_hi_{n}"))
+        ).alias(f"{n}_in_bound")
+        for n in ("p50", "p95", "p99")
+    ]
+    return agg.select(*cols).orderBy("event_type")
 
 
 @register(

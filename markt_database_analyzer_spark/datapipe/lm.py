@@ -217,13 +217,20 @@ def dsir_importance(
     raw_counts = feats.filter(~F.col("is_target")).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("c_raw")
     )
-    # Model totals ride an unbounded window over the ≤ n_buckets count
-    # rows — constant-size state, no extra shuffle of the corpus.
+    # Model totals: raw_total rides an unbounded window over the
+    # ≤ n_buckets count rows — constant-size state, no extra shuffle of
+    # the corpus. tgt_total must be the GLOBAL target feature mass
+    # (including buckets absent from the raw pool — the published add-1
+    # estimator's T), so it is a separate 1-row aggregate broadcast in,
+    # NOT a window over the raw-joined frame.
     w_all = Window.partitionBy(F.lit(1))
     lr9 = lambda x: F.round(F.log(x), 9)  # noqa: E731
+    tgt_total = tgt_counts.agg(
+        F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("tgt_total")
+    )
     ratio = (
         raw_counts.join(tgt_counts, "bucket", "left")
-        .withColumn("tgt_total", F.sum(F.coalesce("c_tgt", F.lit(0))).over(w_all))
+        .crossJoin(F.broadcast(tgt_total))
         .withColumn("raw_total", F.sum("c_raw").over(w_all))
         .select(
             "bucket",
@@ -301,7 +308,7 @@ raw AS (SELECT bucket, count(*) AS c_raw FROM feats WHERE NOT is_target GROUP BY
 ratio AS (
   SELECT r.bucket,
          (round(ln(coalesce(t.c_tgt, 0) + 1), 9)
-          - round(ln((SELECT sum(coalesce(t2.c_tgt, 0)) FROM raw r2 LEFT JOIN tgt t2 USING (bucket)) + {n_buckets}), 9))
+          - round(ln((SELECT coalesce(sum(c_tgt), 0) FROM tgt) + {n_buckets}), 9))
          - (round(ln(r.c_raw + 1), 9)
           - round(ln((SELECT sum(c_raw) FROM raw) + {n_buckets}), 9)) AS log_ratio
   FROM raw r LEFT JOIN tgt t USING (bucket)

@@ -499,6 +499,13 @@ def pq_encode_reconstruct(
     round-trip, no py4j literal storm); per-row subvector slices are
     staged as named columns so each slice evaluates once, not per code."""
     dims = len(codebook[0])
+    if dims % m != 0:
+        # a silent truncation here would reconstruct m*(dims//m) elements,
+        # null-pad the downstream zip_with against the full-length query,
+        # and turn the ADC top-k into a NULL-ordered arbitrary pick
+        raise ValueError(
+            f"PQ requires dims % m == 0 (got dims={dims}, m={m})"
+        )
     sub = dims // m
     staged = fan_out(corpus).select(
         F.col(id_col),

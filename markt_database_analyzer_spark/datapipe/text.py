@@ -380,7 +380,9 @@ def sql_pii_redact(expr: str) -> str:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_rules(col: Column | str, min_words: int = 50, max_words: int = 100_000) -> list[Column]:
+def gopher_rules(
+    col: Column | str, min_words: int = 50, max_words: int | None = 100_000
+) -> list[Column]:
     """The Gopher quality-filter rules expressible on unstructured text
     (the line-shape rules — bullet/ellipsis ratios — need line breaks the
     corpus may not carry and live with the paragraph operators). Returns
@@ -411,11 +413,19 @@ def gopher_rules(col: Column | str, min_words: int = 50, max_words: int = 100_00
     ]
 
 
-def sql_gopher_rules(text_expr: str = "text", min_words: int = 50, max_words: int = 100_000) -> str:
+def sql_gopher_rules(
+    text_expr: str = "text", min_words: int = 50, max_words: int | None = 100_000
+) -> str:
     """DuckDB rendering of :func:`gopher_rules` as a SELECT-list fragment
     over a relation exposing ``{text_expr}`` (requires a ``toks`` lateral
-    computed as ``sql_tokens``)."""
+    computed as ``sql_tokens``). ``max_words=None`` drops the upper bound
+    in BOTH renderings (mirrors :func:`gopher_rules`)."""
     stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    wc_rule = (
+        f"(len(toks) >= {min_words})"
+        if max_words is None
+        else f"(len(toks) >= {min_words} AND len(toks) <= {max_words})"
+    )
     return f"""
   len(toks) AS n_words,
   round(coalesce(CASE WHEN len(toks) > 0
@@ -425,7 +435,7 @@ def sql_gopher_rules(text_expr: str = "text", min_words: int = 50, max_words: in
   round(coalesce(CASE WHEN len(toks) > 0
     THEN CAST(length({text_expr}) - length(replace({text_expr}, '#', '')) AS DOUBLE) / len(toks) END, 0.0), 9) AS symbol_word_ratio,
   len(list_intersect(list_distinct(toks), [{stop}])) AS n_stopwords,
-  (len(toks) >= {min_words} AND len(toks) <= {max_words}) AS rule_word_count,
+  {wc_rule} AS rule_word_count,
   coalesce(CASE WHEN len(toks) > 0
     THEN CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0 END, FALSE) AS rule_mean_word_len,
   coalesce(CASE WHEN len(toks) > 0

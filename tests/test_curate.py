@@ -323,7 +323,6 @@ def test_temperature_mix_flattens_distribution(spark):
     source keeps everything (rate 1.0)."""
     from markt_database_analyzer_spark.datapipe import sampling as smp
 
-    rows = [(i, f"s{0 if i % 10 else 9}") for i in range(2000)]
     # s0: 1800 docs, s9: 200 docs
     rows = [(i, "s0" if i % 10 else "s9") for i in range(2000)]
     df = spark.createDataFrame(rows, "doc_id long, source string")

@@ -355,6 +355,21 @@ def test_approx_percentile_rank_error_bounded(spark):
     sf = "/root/testdata/sf0.001"
     rows = REGISTRY["approx_percentile_values"].fn(spark, sf).collect()
     assert rows
+    # the catalog entry exposes the guarantee as deterministic flags
+    # (r2: driver canonicalizer can't sort array columns, so the entry
+    # is all-scalar now) — every flag must hold
+    for r in rows:
+        assert r["p50_in_bound"] and r["p95_in_bound"] and r["p99_in_bound"], r
+    # and the raw sketch still honors the GK RANK guarantee, checked
+    # directly against the per-group value multiset
+    pcts = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    approx = {
+        r["event_type"]: r["a"]
+        for r in read_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.percentile_approx("value", pcts, 10_000).alias("a"))
+        .collect()
+    }
     groups = {
         r["event_type"]: sorted(v["value"] for v in r["vals"])
         for r in read_table(spark, sf, "events")
@@ -362,10 +377,10 @@ def test_approx_percentile_rank_error_bounded(spark):
         .agg(F.collect_list(F.struct("value")).alias("vals"))
         .collect()
     }
-    for r in rows:
-        vals = groups[r["event_type"]]
+    for et, approx_vals in approx.items():
+        vals = groups[et]
         n = len(vals)
-        for p, a in zip((0.5, 0.95, 0.99), r["approx_pcts"]):
+        for p, a in zip((0.5, 0.95, 0.99), approx_vals):
             lo = bisect.bisect_left(vals, a)
             hi = bisect.bisect_right(vals, a)
             target = p * (n - 1)
@@ -373,5 +388,5 @@ def test_approx_percentile_rank_error_bounded(spark):
             # (accuracy=10000 guarantees 1e-4; small-n discreteness adds
             # one element of wiggle)
             assert lo - 1 <= target + 0.02 * n and hi >= target - 0.02 * n, (
-                r["event_type"], p, a, lo, hi, target, n,
+                et, p, a, lo, hi, target, n,
             )
