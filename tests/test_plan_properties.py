@@ -57,10 +57,12 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # injects the 1-row vocabulary-size aggregate (add-α smoothing
         # denominator) via crossJoin(broadcast(V))
         "text_bigram_logprob",
-        # Q15/Q22 scalar subqueries (max revenue / global avg balance)
-        # decorrelate to crossJoin(broadcast(1-row agg)) by design
+        # Q15/Q22/Q11 scalar subqueries (max revenue / global avg balance /
+        # global mean part value) decorrelate to crossJoin(broadcast(1-row
+        # agg)) by design
         "tpch_q15_top_supplier",
         "tpch_q22_sleeper_accounts",
+        "tpch_q11_important_stock",
         # DSIR selection threshold: n-th largest Gumbel key via
         # distributed top-n, injected as crossJoin(broadcast(1-row min))
         "sample_dsir_importance",
@@ -345,3 +347,56 @@ def test_tpch_q22_anti_join_on_keys_only(spark):
         if "FileScan parquet" in line and "o_custkey" in line
     )
     assert "o_totalprice" not in orders_scan and "o_orderdate" not in orders_scan
+
+
+def test_tpch_q2_correlated_min_decorrelates_once(spark):
+    """Q2: the correlated min-cost subquery must run as ONE per-part
+    aggregate joined back (two HashAggregate pairs total: offers and
+    best), with the supplier->nation->region leg fully broadcast."""
+    plan = _plan(spark, "tpch_q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    # offers agg (partial+final) + best agg (partial+final) + nothing more
+    # on the fact path; a re-evaluated correlation would add aggregates
+    assert plan.count("HashAggregate") <= 8, plan
+
+
+def test_tpch_q9_single_fact_shuffle(spark):
+    """Q9: part/supplier/nation all broadcast; the only exchange on the
+    fact path is lineitem x orders and the final group-by."""
+    plan = _plan(spark, "tpch_q9_product_profit")
+    shuffled = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert shuffled <= 1, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_tpch_q12_filters_push_to_scan(spark):
+    """Q12: the flag IN-list and ship-year filters prune the lineitem
+    scan; the cross-table lateness predicate stays a residual join
+    filter (it cannot push below the join)."""
+    plan = _plan(spark, "tpch_q12_shipmode_priority")
+    assert "In(l_returnflag" in plan, plan
+
+
+def test_tpch_q20_threshold_reuses_grouping(spark):
+    """Q20: the per-part threshold aggregates OVER the (part, supplier)
+    sums — the second agg's key is a prefix of the first's, so no join
+    shape may degenerate to nested-loop and the part filter must reach
+    the part scan pushed."""
+    plan = _plan(spark, "tpch_q20_potential_promotion")
+    assert "StringEndsWith(p_name,widget)" in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_tpch_q21_no_fact_self_join(spark):
+    """Q21: both EXISTS decorrelate into ONE per-order distinct-supplier
+    aggregate joined back — the lineitem relation is scanned for the
+    late set and the per-order stats, never paired row-to-row with
+    itself (no more than 2 lineitem scans, no cartesian shapes)."""
+    plan = _plan(spark, "tpch_q21_waiting_supplier")
+    li_scans = sum(
+        1
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and "l_orderkey" in line
+    )
+    assert li_scans <= 2, plan
+    assert "CartesianProduct" not in plan
