@@ -62,7 +62,7 @@ _DRIVER_HEAD: list[str] = [
     "sample_dsir_importance",
     "approx_distinct_parts",
     "text_gopher_rules",
-    # (4) new in r3 — no driver verdict exists yet (appended as built)
+    # (4) new in r3 — no driver verdict exists yet
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
@@ -70,12 +70,12 @@ _DRIVER_HEAD: list[str] = [
     "tpch_q20_potential_promotion",
     "tpch_q21_waiting_supplier",
     "dedup_url_canonical",
-    "bloom_filter_join_lineitem",
     "streaming_dedup_within_watermark",
-    "pack_chunks_best_fit",
-    "sample_reservoir_per_group",
+    "pack_sequences_bucketed",
+    "sample_weighted_reservoir",
     "text_entropy_quality",
     "pysource_range_catalog",
+    "gapfill_interpolate_hourly",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",

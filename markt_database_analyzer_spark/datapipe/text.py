@@ -443,3 +443,105 @@ def sql_gopher_rules(
   coalesce(CASE WHEN len(toks) > 0
     THEN CAST(length({text_expr}) - length(replace({text_expr}, '#', '')) AS DOUBLE) / len(toks) <= 0.1 END, FALSE) AS rule_symbol_ratio,
   (len(list_intersect(list_distinct(toks), [{stop}])) >= 2) AS rule_stopwords"""
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (near-dup prevention for web corpora: the same page
+# re-crawled under scheme/www/tracking-param/fragment variants must
+# collapse to one canonical key before content dedup even runs)
+# --------------------------------------------------------------------------
+
+_TRACKING_PARAM = "^(utm_[a-z]+|fbclid|gclid)="
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a URL: fragment stripped, utm_*/fbclid/gclid
+    query params removed, scheme dropped, leading ``www.`` dropped, host
+    lowercased, default :80/:443 port dropped, single trailing slash
+    dropped. Pure row-local expression work in the Java-regex ∩ RE2
+    subset, so :func:`sql_canonical_url` is semantics-identical."""
+    c = F.col(col) if isinstance(col, str) else col
+    defrag = F.regexp_replace(c, "#.*", "")
+    query = F.regexp_extract(defrag, r"\?(.*)", 1)
+    base = F.regexp_replace(defrag, r"\?.*", "")
+    base = F.regexp_replace(base, "^https?://", "")
+    host = F.regexp_extract(base, "^[^/]+", 0)
+    rest = F.substring(base, F.length(host) + 1, F.lit(1 << 20))
+    host_c = F.regexp_replace(
+        F.regexp_replace(F.lower(host), r"^www\.", ""), ":(80|443)$", ""
+    )
+    rest_c = F.regexp_replace(rest, "/$", "")
+    kept_q = F.array_join(
+        F.filter(F.split(query, "&"), lambda p: ~p.rlike(_TRACKING_PARAM) & (p != "")),
+        "&",
+    )
+    return F.concat(
+        host_c, rest_c, F.when(kept_q != "", F.concat(F.lit("?"), kept_q)).otherwise(F.lit(""))
+    )
+
+
+def sql_canonical_url(expr: str) -> str:
+    """DuckDB rendering of :func:`canonical_url`."""
+    defrag = f"regexp_replace({expr}, '#.*', '')"
+    query = f"coalesce(regexp_extract({defrag}, '\\?(.*)', 1), '')"
+    base = f"regexp_replace(regexp_replace({defrag}, '\\?.*', ''), '^https?://', '')"
+    host = f"coalesce(regexp_extract({base}, '^[^/]+', 0), '')"
+    rest = f"substr({base}, length({host}) + 1)"
+    host_c = (
+        f"regexp_replace(regexp_replace(lower({host}), '^www\\.', ''), ':(80|443)$', '')"
+    )
+    rest_c = f"regexp_replace({rest}, '/$', '')"
+    kept_q = (
+        f"array_to_string(list_filter(string_split({query}, '&'), "
+        f"p -> NOT regexp_matches(p, '{_TRACKING_PARAM}') AND p != ''), '&')"
+    )
+    return (
+        f"({host_c} || {rest_c} || "
+        f"CASE WHEN {kept_q} != '' THEN '?' || {kept_q} ELSE '' END)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Shannon-entropy quality signals (low char entropy = repeated-character
+# spam; low word entropy = boilerplate/keyword stuffing — standard corpus
+# quality heuristics next to the Gopher rules)
+# --------------------------------------------------------------------------
+
+def _entropy(items: Column) -> Column:
+    """Shannon entropy (bits) of the multiset in an array column —
+    row-local: O(n x distinct) comparisons, bounded by alphabet/typical
+    vocab size per document. Each p*log2(p) term rounds at 9 dp before
+    the sum (cross-libm parity, same convention as the LM operators)."""
+    n = F.size(items)
+    distinct = F.array_distinct(items)
+    term = lambda c: F.round(  # noqa: E731
+        (F.size(F.filter(items, lambda x: x == c)).cast("double") / n.cast("double"))
+        * F.log2(F.size(F.filter(items, lambda x: x == c)).cast("double") / n.cast("double")),
+        9,
+    )
+    total = F.aggregate(
+        F.transform(distinct, term), F.lit(0.0).cast("double"), lambda acc, x: acc + x
+    )
+    return F.when(n > 0, F.round(-total, 9)).otherwise(F.lit(0.0))
+
+
+def sql_entropy(items_expr: str) -> str:
+    """DuckDB rendering of :func:`_entropy` over a list expression."""
+    p = f"(CAST(len(list_filter(its, x -> x = c)) AS DOUBLE) / len(its))"
+    return f"""(
+  SELECT CASE WHEN len(its) > 0
+    THEN round(-list_sum(list_transform(list_distinct(its),
+         c -> round({p} * log2({p}), 9))), 9)
+    ELSE 0.0 END
+  FROM (SELECT {items_expr} AS its)
+)"""
+
+
+def char_items(col: Column | str) -> Column:
+    """Character array of a string (empty entries removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, ""), lambda x: x != "")
+
+
+def sql_char_items(expr: str) -> str:
+    return f"list_filter(string_split({expr}, ''), x -> x != '')"
