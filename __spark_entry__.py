@@ -76,6 +76,13 @@ _DRIVER_HEAD: list[str] = [
     "text_entropy_quality",
     "pysource_range_catalog",
     "gapfill_interpolate_hourly",
+    "cdc_snapshot_diff",
+    "join_set_similarity_prefix",
+    "regression_by_key",
+    "events_funnel_stages",
+    "events_cohort_retention",
+    "histogram_equi_depth",
+    "profile_table_stats",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",

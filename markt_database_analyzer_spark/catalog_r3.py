@@ -438,3 +438,509 @@ def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.select(
         "event_type", "hour_ts", "avg_value", interp.alias("interp_value")
     ).orderBy("event_type", "hour_ts")
+
+
+# --------------------------------------------------------------------------
+# CDC snapshot diff (SCD/changelog extraction via full outer join)
+# --------------------------------------------------------------------------
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+WITH snap_a AS (
+  SELECT o_orderkey, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 10 != 3
+),
+snap_b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 10 != 0
+)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'I'
+            WHEN b.o_orderkey IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       a.price AS old_price, b.price AS new_price
+FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR a.price != b.price
+ORDER BY o_orderkey
+""",
+    tags=("cdc", "join", "changelog"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog extraction between two keyed snapshots — the
+    engine-side form of SCD/merge pipelines: FULL OUTER join on the key,
+    classify INSERT (new side only) / DELETE (old side only) / UPDATE
+    (both, payload differs), drop unchanged rows. Snapshots are derived
+    deterministically from orders (old drops %10==3 keys, new drops
+    %10==0 and bumps %7 prices) so both engines replay the same fixture.
+    At 100 TB: one co-partitioned shuffle on the key (bucketed snapshots
+    make it exchange-free — sources/sinks.py write_bucketed), and the
+    changelog is the only output that moves downstream."""
+    orders = _t(spark, sf_dir, "orders")
+    snap_a = (
+        orders.filter(F.col("o_orderkey") % 10 != 3)
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
+    )
+    snap_b = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        # +100.0 is exact in binary64 (a 2-dp rounding of a product
+        # would hit Spark's decimal-string HALF_UP vs DuckDB's binary
+        # rounding divergence)
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    return (
+        joined.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+            F.when(F.col("a.o_orderkey").isNull(), F.lit("I"))
+            .when(F.col("b.o_orderkey").isNull(), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("a.price").alias("old_price"),
+            F.col("b.price").alias("new_price"),
+        )
+        .filter(
+            F.col("old_price").isNull()
+            | F.col("new_price").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set-similarity join with prefix filtering (AllPairs/PPJoin family)
+# --------------------------------------------------------------------------
+
+_JACCARD_T = 0.9  # similarity threshold (rational 9/10 — integer math)
+
+
+@register(
+    "join_set_similarity_prefix",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({tx.sql_tokens('text')}) AS ts FROM documents
+),
+dfx AS (
+  SELECT tok, count(*) AS df FROM (SELECT doc_id, unnest(ts) AS tok FROM toks)
+  GROUP BY tok
+),
+exploded AS (
+  SELECT doc_id, unnest(ts) AS tok FROM toks
+),
+ordered AS (
+  SELECT e.doc_id, list(e.tok ORDER BY d.df, e.tok) AS ts
+  FROM exploded e JOIN dfx d ON e.tok = d.tok
+  GROUP BY e.doc_id
+),
+prefixed AS (
+  SELECT doc_id, ts, len(ts) AS n,
+         list_slice(ts, 1, len(ts) - ((9 * len(ts) + 9) // 10) + 1) AS prefix
+  FROM ordered
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, unnest(prefix) AS tok FROM prefixed) a
+  JOIN (SELECT doc_id, unnest(prefix) AS tok FROM prefixed) b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b,
+         len(list_intersect(ta.ts, tb.ts)) AS inter,
+         ta.n + tb.n - len(list_intersect(ta.ts, tb.ts)) AS uni
+  FROM cand
+  JOIN prefixed ta ON id_a = ta.doc_id
+  JOIN prefixed tb ON id_b = tb.doc_id
+)
+SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / uni, 9) AS jaccard
+FROM verified
+WHERE inter * 10 >= 9 * uni
+ORDER BY id_a, id_b
+""",
+    tags=("similarity", "join", "dedup", "prefix-filter"),
+)
+def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (token-set Jaccard >= 0.9) with the
+    AllPairs/PPJoin prefix filter: order each document's distinct tokens
+    by GLOBAL document frequency (rarest first — the order that makes
+    prefixes selective), keep only the first n - ceil(t*n) + 1 tokens,
+    and candidate pairs must share a PREFIX token (theorem: any pair
+    above threshold must). The candidate join shuffles (token, doc_id)
+    pairs of rare tokens only; the exact Jaccard verify runs on the
+    candidate set alone, and the threshold compare is integer
+    (inter*10 >= 6*uni) — no float boundary. The prefix-length ceil is
+    integer-exact ((6n+9)//10) on both engines. This is the exact
+    counterpart of the probabilistic MinHash entry: same output
+    contract, no recall loss, for thresholds where prefixes stay
+    selective."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.array_distinct(tx.tokens("text")).alias("ts"))
+    dfx = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # order tokens rarest-first: join each token to its df, sort by
+    # (df, token) via struct sort, project the token back out
+    exploded = toks.select("doc_id", F.explode("ts").alias("tok")).join(
+        F.broadcast(dfx), "tok"
+    )
+    ordered = exploded.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("df").alias("d"), F.col("tok").alias("t")))),
+            lambda s: s["t"],
+        ).alias("ts")
+    )
+    n = F.size("ts")
+    prefix_len = n - ((F.lit(9) * n + 9).cast("long") / 10).cast("int") + 1
+    prefixed = ordered.select(
+        "doc_id", "ts", n.alias("n"), F.slice("ts", 1, prefix_len).alias("prefix")
+    )
+    pa = prefixed.select(F.col("doc_id").alias("id_a"), F.explode("prefix").alias("tok"))
+    pb = prefixed.select(F.col("doc_id").alias("id_b"), F.explode("prefix").alias("tok"))
+    cand = (
+        pa.join(pb, (pa["tok"] == pb["tok"]) & (pa["id_a"] < pb["id_b"]))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = prefixed.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"), F.col("n").alias("n_a"))
+    tb = prefixed.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"), F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    uni = F.col("n_a") + F.col("n_b") - inter
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            uni.alias("uni"),
+        )
+        .filter(F.col("inter") * 10 >= F.lit(9) * F.col("uni"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter").cast("double") / F.col("uni"), 9).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-key OLS regression (closed-form, two-pass centered sums)
+# --------------------------------------------------------------------------
+
+@register(
+    "regression_by_key",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, epoch(ts) / 3600.0 AS x, value AS y FROM events
+),
+means AS (
+  SELECT event_type,
+         {SQL_DAVG.format(x='x')} AS xbar,
+         {SQL_DAVG.format(x='y')} AS ybar,
+         count(*) AS n
+  FROM pts GROUP BY event_type
+),
+centered AS (
+  SELECT p.event_type,
+         {SQL_DSUM.format(x='(p.x - m.xbar) * (p.y - m.ybar)')} AS sxy,
+         {SQL_DSUM.format(x='(p.x - m.xbar) * (p.x - m.xbar)')} AS sxx,
+         min(m.xbar) AS xbar, min(m.ybar) AS ybar, min(m.n) AS n
+  FROM pts p JOIN means m USING (event_type)
+  GROUP BY p.event_type
+)
+SELECT event_type, n,
+       round(sxy / sxx, 9) AS slope,
+       round(ybar - (sxy / sxx) * xbar, 6) AS intercept
+FROM centered
+ORDER BY event_type
+""",
+    tags=("regression", "aggregate", "analytics"),
+)
+def regression_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (value vs time) via the
+    closed-form centered sums — the general form of the reference's
+    two-point slope (analyse.py:263-270): slope = Σ(dx·dy)/Σ(dx²) with
+    dx, dy centered on per-group means. Two passes: a tiny per-key mean
+    aggregate broadcast back into the fact scan, then one hash agg of
+    quantized products — no window, no sort, O(1) state per group, which
+    is why this scales where per-group curve fitting loops cannot.
+    Centering keeps products small (hours-from-mean, not epoch-hours),
+    so the 1e-6 quantization grid carries the full signal."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        (F.col("ts").cast("double") / 3600.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    means = pts.groupBy("event_type").agg(
+        davg(F.col("x")).alias("xbar"),
+        davg(F.col("y")).alias("ybar"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dx = F.col("x") - F.col("xbar")
+    dy = F.col("y") - F.col("ybar")
+    centered = (
+        pts.join(F.broadcast(means), "event_type")
+        .groupBy("event_type")
+        .agg(
+            dsum(dx * dy).alias("sxy"),
+            dsum(dx * dx).alias("sxx"),
+            F.min("xbar").alias("xbar"),
+            F.min("ybar").alias("ybar"),
+            F.min("n").alias("n"),
+        )
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    return centered.select(
+        "event_type",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round(F.col("ybar") - slope * F.col("xbar"), 6).alias("intercept"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel analysis (staged conditional minima)
+# --------------------------------------------------------------------------
+
+@register(
+    "events_funnel_stages",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_view_click_purchase,
+       round((SELECT count(*) FROM p) * 1.0
+             / (SELECT count(*) FROM v), 9) AS full_funnel_rate
+""",
+    tags=("funnel", "analytics", "join"),
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase, strictly increasing
+    event time): each stage is a conditional-min aggregate over users who
+    completed the previous stage, joined back — three key-partitioned
+    aggs over progressively SHRINKING user sets, never a per-user sort
+    or session reconstruction. The stage frames are user_id keyed
+    (broadcastable until the final counts); at 100 TB each stage's
+    filter pushes its event_type to the scan, so stage k reads only its
+    own event partition if the table is type-partitioned."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    counts = (
+        n_users.crossJoin(F.broadcast(v.agg(F.count(F.lit(1)).alias("n_view"))))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click"))))
+        .crossJoin(
+            F.broadcast(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+        )
+    )
+    return counts.select(
+        "n_users",
+        "n_view",
+        "n_view_click",
+        "n_view_click_purchase",
+        F.round(
+            F.col("n_view_click_purchase") * F.lit(1.0) / F.col("n_view"), 9
+        ).alias("full_funnel_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention matrix
+# --------------------------------------------------------------------------
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) // 7 AS BIGINT)
+           AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day, week_offset, count(*) AS n_users
+FROM activity
+GROUP BY cohort_day, week_offset
+ORDER BY cohort_day, week_offset
+""",
+    tags=("cohort", "analytics", "window"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    once per (cohort, weeks-since-cohort) cell. The first-seen frame is
+    one min-aggregate on user_id (broadcast back into the fact); the
+    distinct-per-cell dedup shuffles (user, cohort, week) triples only.
+    The classic product-analytics query, expressed so the heavy table is
+    touched exactly twice with no window over the raw events."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(
+                F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")) / 7
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (ntile)
+# --------------------------------------------------------------------------
+
+@register(
+    "histogram_equi_depth",
+    oracle="""
+WITH tiled AS (
+  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT bucket, count(*) AS n, min(value) AS lo, max(value) AS hi
+FROM tiled GROUP BY bucket ORDER BY bucket
+""",
+    tags=("histogram", "window", "analytics"),
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram via ntile over a total order —
+    the value-distribution summary whose bucket POPULATIONS are equal
+    and bucket WIDTHS carry the density signal (complement of the
+    fixed-width B1/B2 binning family). The tiebreak on event_id makes
+    the tiling deterministic. ntile's single total order is the fixture
+    form; at 100 TB the same buckets come from percentile cuts
+    (percentile_approx boundaries as a broadcast literal, then a
+    map-only bucket assignment) — the published scalable equi-depth
+    path, same output contract."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Table profiling (per-column stats in one pass)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "profile_table_stats",
+    oracle=f"""
+WITH agg AS (
+  SELECT count(*) AS n_rows,
+  {", ".join(
+      f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}, "
+      f"min({c}) AS mn_{c}, max({c}) AS mx_{c}" for c in _PROFILE_COLS
+  )}
+  FROM lineitem
+)
+{" UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, n_rows, n_rows - nn_{c} AS n_nulls, "
+    f"nd_{c} AS n_distinct, mn_{c} AS min_value, mx_{c} AS max_value FROM agg"
+    for c in _PROFILE_COLS
+)}
+ORDER BY col_name
+""",
+    tags=("profiling", "aggregate", "analytics"),
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling (the engine-side `df.describe`):
+    count/nulls/distinct/min/max for every numeric lineitem column in a
+    SINGLE aggregate over one scan, then an explode of the 1-row result
+    into one row per column. The multi-column countDistinct expands the
+    agg (Spark's Expand operator) but still reads the table once — the
+    difference between profiling in one job and one job per column. At
+    100 TB the exact distinct counts swap for approx_count_distinct
+    (approx_distinct_parts pattern) without changing the output
+    contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_value"),
+                F.col(f"mx_{c}").alias("max_value"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    )

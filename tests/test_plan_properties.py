@@ -63,6 +63,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         "tpch_q15_top_supplier",
         "tpch_q22_sleeper_accounts",
         "tpch_q11_important_stock",
+        # funnel stage counts are four 1-row aggregates crossJoined into
+        # the single output row — same scalar-broadcast idiom
+        "events_funnel_stages",
         # DSIR selection threshold: n-th largest Gumbel key via
         # distributed top-n, injected as crossJoin(broadcast(1-row min))
         "sample_dsir_importance",

@@ -187,3 +187,110 @@ def test_pack_sequences_capacity_and_determinism(spark):
         cap = 512 // bucket
         assert sorted(slots) == list(range(len(slots)))
         assert len(slots) <= cap
+
+
+def test_cdc_snapshot_diff_op_classes(spark):
+    """Every %10==3 key is an INSERT, every %10==0 key a DELETE, every
+    surviving %7==0 key an UPDATE with new = old + 100; no unchanged
+    rows leak into the changelog."""
+    from markt_database_analyzer_spark.catalog import REGISTRY
+
+    rows = REGISTRY["cdc_snapshot_diff"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        k = r["o_orderkey"]
+        if r["op"] == "I":
+            assert k % 10 == 3 and r["old_price"] is None
+        elif r["op"] == "D":
+            assert k % 10 == 0 and r["new_price"] is None
+        else:
+            assert r["op"] == "U" and k % 7 == 0
+            assert abs(r["new_price"] - r["old_price"] - 100.0) < 1e-9
+
+
+def test_prefix_filter_join_equals_brute_force(spark):
+    """The prefix filter must be LOSSLESS: pairs from the filtered join
+    equal the brute-force all-pairs Jaccard>=0.9 set on a small frame."""
+    from itertools import combinations
+
+    from markt_database_analyzer_spark.catalog import REGISTRY
+    from markt_database_analyzer_spark.sources import read_table
+    from markt_database_analyzer_spark.datapipe import text as tx
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["join_set_similarity_prefix"].fn(spark, sf).collect()
+    }
+    docs = {
+        r["doc_id"]: set(r["ts"])
+        for r in read_table(spark, sf, "documents")
+        .select("doc_id", F.array_distinct(tx.tokens("text")).alias("ts"))
+        .collect()
+    }
+    want = set()
+    for a, b in combinations(sorted(docs), 2):
+        inter = len(docs[a] & docs[b])
+        uni = len(docs[a] | docs[b])
+        if inter * 10 >= 9 * uni:
+            want.add((a, b))
+    assert got == want
+
+
+def test_histogram_equi_depth_balanced(spark):
+    from markt_database_analyzer_spark.catalog import REGISTRY
+
+    rows = REGISTRY["histogram_equi_depth"].fn(spark, "/root/testdata/sf0.001").collect()
+    counts = [r["n"] for r in rows]
+    assert len(counts) == 10
+    assert max(counts) - min(counts) <= 1          # equal depth
+    lows = [r["lo"] for r in rows]
+    assert lows == sorted(lows)                    # ordered buckets
+
+
+def test_regression_recovers_planted_slope(spark):
+    """OLS on a planted line y = 3x + 7 (exact doubles) must recover
+    slope/intercept to the rounding grid."""
+    from pyspark.sql import functions as F
+    from markt_database_analyzer_spark.functions import davg, dsum
+
+    df = spark.createDataFrame(
+        [(float(i), 3.0 * i + 7.0) for i in range(100)], "x double, y double"
+    ).withColumn("event_type", F.lit("k"))
+    means = df.groupBy("event_type").agg(
+        davg(F.col("x")).alias("xbar"), davg(F.col("y")).alias("ybar")
+    )
+    dx = F.col("x") - F.col("xbar")
+    dy = F.col("y") - F.col("ybar")
+    got = (
+        df.join(F.broadcast(means), "event_type")
+        .groupBy("event_type")
+        .agg(dsum(dx * dy).alias("sxy"), dsum(dx * dx).alias("sxx"),
+             F.min("xbar").alias("xbar"), F.min("ybar").alias("ybar"))
+        .select(
+            (F.col("sxy") / F.col("sxx")).alias("slope"),
+            (F.col("ybar") - (F.col("sxy") / F.col("sxx")) * F.col("xbar")).alias("b"),
+        )
+        .first()
+    )
+    assert abs(got["slope"] - 3.0) < 1e-6 and abs(got["b"] - 7.0) < 1e-4
+
+
+def test_funnel_monotone(spark):
+    from markt_database_analyzer_spark.catalog import REGISTRY
+
+    r = REGISTRY["events_funnel_stages"].fn(spark, "/root/testdata/sf0.001").first()
+    assert r["n_users"] >= r["n_view"] >= r["n_view_click"] >= r["n_view_click_purchase"]
+    assert 0.0 <= r["full_funnel_rate"] <= 1.0
+
+
+def test_profile_stats_consistency(spark):
+    from markt_database_analyzer_spark.catalog import REGISTRY
+
+    rows = REGISTRY["profile_table_stats"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert {r["col_name"] for r in rows} == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    }
+    for r in rows:
+        assert r["n_nulls"] >= 0 and r["n_distinct"] <= r["n_rows"]
+        assert r["min_value"] <= r["max_value"]
