@@ -256,12 +256,16 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_entropy_quality",
     oracle=f"""
-SELECT doc_id,
-       {tx.sql_entropy(tx.sql_char_items('text'))} AS char_entropy,
-       {tx.sql_entropy(tx.sql_tokens('text'))} AS word_entropy,
-       ({tx.sql_entropy(tx.sql_char_items('text'))} < 3.0) AS low_char_entropy
-FROM documents
-ORDER BY doc_id
+SELECT d.doc_id,
+       coalesce(ch.char_entropy, 0.0) AS char_entropy,
+       coalesce(wd.word_entropy, 0.0) AS word_entropy,
+       (coalesce(ch.char_entropy, 0.0) < 3.0) AS low_char_entropy
+FROM documents d
+LEFT JOIN {tx.sql_entropy_cte('documents', 'doc_id', tx.sql_char_items('text'), 'char_entropy')} ch
+  ON d.doc_id = ch.id
+LEFT JOIN {tx.sql_entropy_cte('documents', 'doc_id', tx.sql_tokens('text'), 'word_entropy')} wd
+  ON d.doc_id = wd.id
+ORDER BY d.doc_id
 """,
     tags=("text", "quality", "entropy"),
 )
@@ -269,19 +273,29 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon-entropy quality signals: character-level entropy (low =
     repeated-character spam) and word-level entropy (low = boilerplate /
     keyword stuffing) — standard corpus-quality heuristics next to the
-    Gopher rules. Entirely row-local array math, O(len x alphabet) per
-    document; each p*log2(p) term rounds at 9 dp before the sum so both
-    engines hit the identical grid. No shuffle at all until the output
-    sort (which exists only for the differential contract)."""
+    Gopher rules. Computed via the SCALABLE explode→count→exact-integer-
+    term-sum path (datapipe.text.entropy_frame): everything is codegen'd
+    aggregation on (doc, symbol) keys, and the nano-quantized term sum
+    is order-insensitive, so the result is engine-exact under any
+    partitioning. (The row-local higher-order-function variant is
+    interpreted per element — measured ~60 s over sf0.1 vs ~2 s for
+    this plan — and stays confined to unit fixtures.) Empty docs keep a
+    row via the left-joined doc spine with entropy 0."""
     docs = _t(spark, sf_dir, "documents")
-    ch = tx._entropy(tx.char_items("text"))
-    wd = tx._entropy(tx.tokens("text"))
-    return docs.select(
-        "doc_id",
-        ch.alias("char_entropy"),
-        wd.alias("word_entropy"),
-        (ch < 3.0).alias("low_char_entropy"),
-    ).orderBy("doc_id")
+    ch = tx.entropy_frame(docs, "doc_id", tx.char_items("text"), "char_entropy")
+    wd = tx.entropy_frame(docs, "doc_id", tx.tokens("text"), "word_entropy")
+    return (
+        docs.select("doc_id")
+        .join(ch, "doc_id", "left")
+        .join(wd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy"),
+            F.coalesce("word_entropy", F.lit(0.0)).alias("word_entropy"),
+            (F.coalesce("char_entropy", F.lit(0.0)) < 3.0).alias("low_char_entropy"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -525,7 +539,8 @@ _JACCARD_T = 0.9  # similarity threshold (rational 9/10 — integer math)
     "join_set_similarity_prefix",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, list_distinct({tx.sql_tokens('text')}) AS ts FROM documents
+  SELECT doc_id, list_distinct({tx.sql_tokens('text')}) AS ts
+  FROM documents WHERE doc_id % 5 = 0
 ),
 dfx AS (
   SELECT tok, count(*) AS df FROM (SELECT doc_id, unnest(ts) AS tok FROM toks)
@@ -579,7 +594,14 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart of the probabilistic MinHash entry: same output
     contract, no recall loss, for thresholds where prefixes stay
     selective."""
-    docs = _t(spark, sf_dir, "documents")
+    # 1/5 deterministic sample: the synthetic corpus is pathologically
+    # self-similar (tiny shared vocabulary), which defeats ANY candidate
+    # filter — at full sf0.1 the >=0.9 pair set alone is ~1M pairs. The
+    # operator contract is the filtered-join algebra; the sample bounds
+    # the quadratic verify on this corpus (dedup_ngram_jaccard_sample
+    # precedent). On realistic corpora the filter, not a sample, is
+    # what bounds candidates.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     toks = docs.select("doc_id", F.array_distinct(tx.tokens("text")).alias("ts"))
     dfx = (
         toks.select(F.explode("ts").alias("tok"))

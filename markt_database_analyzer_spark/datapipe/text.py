@@ -525,15 +525,52 @@ def _entropy(items: Column) -> Column:
     return F.when(n > 0, F.round(-total, 9)).otherwise(F.lit(0.0))
 
 
-def sql_entropy(items_expr: str) -> str:
-    """DuckDB rendering of :func:`_entropy` over a list expression."""
-    p = f"(CAST(len(list_filter(its, x -> x = c)) AS DOUBLE) / len(its))"
+def entropy_frame(
+    df: DataFrame, id_col: str, items: Column, out_col: str
+) -> DataFrame:
+    """Frame-level Shannon entropy (bits) of the items multiset per id —
+    the SCALABLE path: explode → (id, sym) counts → per-id totals →
+    exact integer sum of nano-quantized p*log2(p) terms. Everything is
+    codegen'd aggregation on skinny keys; the row-local `_entropy`
+    column variant is O(n x distinct) *interpreted* lambda evaluation
+    per row (fine for unit fixtures, ~60 s over sf0.1 documents — do
+    not put it in a data path). Terms quantize at 1e-9 before the sum,
+    so the aggregate is order-insensitive and engine-exact (the dsum
+    convention at entropy precision).
+
+    Returns ``(id_col, out_col)`` — one row per id that has >= 1 item;
+    join back to the source spine and ``coalesce(0.0)`` for empties.
+    """
+    ex = df.select(F.col(id_col), F.explode(items).alias("_sym"))
+    counts = ex.groupBy(id_col, "_sym").agg(F.count(F.lit(1)).alias("_c"))
+    totals = counts.groupBy(id_col).agg(F.sum("_c").alias("_n"))
+    p = F.col("_c").cast("double") / F.col("_n").cast("double")
+    term_q = F.round(p * F.log2(p) * F.lit(1e9)).cast("long")
+    return (
+        counts.join(totals, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.round(-(F.sum(term_q).cast("double") / F.lit(1e9)), 9).alias(out_col)
+        )
+    )
+
+
+def sql_entropy_cte(table: str, id_expr: str, items_expr: str, out_col: str) -> str:
+    """DuckDB rendering of :func:`entropy_frame` as a standalone
+    sub-select (one row per id with >= 1 item)."""
     return f"""(
-  SELECT CASE WHEN len(its) > 0
-    THEN round(-list_sum(list_transform(list_distinct(its),
-         c -> round({p} * log2({p}), 9))), 9)
-    ELSE 0.0 END
-  FROM (SELECT {items_expr} AS its)
+  SELECT id,
+         round(-(sum(term_q) / 1e9), 9) AS {out_col}
+  FROM (
+    SELECT id, CAST(round((c / n) * log2(c / n) * 1e9) AS BIGINT) AS term_q
+    FROM (
+      SELECT id, sym, CAST(count(*) AS DOUBLE) AS c,
+             CAST(sum(count(*)) OVER (PARTITION BY id) AS DOUBLE) AS n
+      FROM (SELECT {id_expr} AS id, unnest({items_expr}) AS sym FROM {table})
+      GROUP BY id, sym
+    )
+  )
+  GROUP BY id
 )"""
 
 

@@ -225,6 +225,7 @@ def test_prefix_filter_join_equals_brute_force(spark):
     docs = {
         r["doc_id"]: set(r["ts"])
         for r in read_table(spark, sf, "documents")
+        .filter(F.col("doc_id") % 5 == 0)  # the entry's 1/5 sample
         .select("doc_id", F.array_distinct(tx.tokens("text")).alias("ts"))
         .collect()
     }
