@@ -83,6 +83,14 @@ _DRIVER_HEAD: list[str] = [
     "events_cohort_retention",
     "histogram_equi_depth",
     "profile_table_stats",
+    "scd2_user_state_history",
+    "rollup_hier_timegrain",
+    "sketch_countmin_freq",
+    "join_fuzzy_blocked",
+    "text_bpe_pair_merge",
+    "text_pmi_collocations",
+    "agg_incremental_maintenance",
+    "layout_zorder_stats",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",
