@@ -91,6 +91,12 @@ _DRIVER_HEAD: list[str] = [
     "text_pmi_collocations",
     "agg_incremental_maintenance",
     "layout_zorder_stats",
+    "search_bm25_topk",
+    "index_inverted_postings",
+    "filter_bloom_semijoin",
+    "join_interval_overlap",
+    "embeddings_standardize_dims",
+    "stats_chi2_lang_source",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",
