@@ -97,6 +97,10 @@ _DRIVER_HEAD: list[str] = [
     "join_interval_overlap",
     "embeddings_standardize_dims",
     "stats_chi2_lang_source",
+    "graph_pagerank_bipartite",
+    "assoc_rules_parts",
+    "dq_constraint_suite",
+    "stats_mad_by_event_type",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",

@@ -732,3 +732,4 @@ from . import catalog_tpch  # noqa: E402,F401
 from . import catalog_r3  # noqa: E402,F401
 from . import catalog_r3b  # noqa: E402,F401
 from . import catalog_r3c  # noqa: E402,F401
+from . import catalog_r3d  # noqa: E402,F401
