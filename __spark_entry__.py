@@ -101,6 +101,10 @@ _DRIVER_HEAD: list[str] = [
     "assoc_rules_parts",
     "dq_constraint_suite",
     "stats_mad_by_event_type",
+    "w_ewma_smoothed",
+    "growth_cumulative_users",
+    "segment_rfm_customers",
+    "udf_grouped_agg_gini",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",
