@@ -105,6 +105,11 @@ _DRIVER_HEAD: list[str] = [
     "growth_cumulative_users",
     "segment_rfm_customers",
     "udf_grouped_agg_gini",
+    "streaming_foreachbatch_upsert",
+    "ts_seasonal_index_how",
+    "events_markov_transitions",
+    "text_readability",
+    "paths_top_sequences",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",

@@ -348,3 +348,77 @@ def interval_self_join(
             "lag_minutes"
         ),
     )
+
+
+def run_foreachbatch_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    files_per_trigger: int = 1,
+    n_source_files: int = 4,
+) -> DataFrame:
+    """``foreachBatch`` idempotent-upsert sink: maintain a per-event-type
+    (n, total) aggregate across micro-batches by MERGING each batch's
+    partial aggregate into a versioned parquet state store — the
+    production pattern for sinks without native streaming support
+    (JDBC, object stores): read current state, union the batch partial,
+    re-aggregate, write state v+1. Distributive aggregates on the
+    micro-unit grid merge exactly, so the final state equals the batch
+    recompute REGARDLESS of how the stream was chopped into batches —
+    which is what the catalog oracle (a plain GROUP BY over the same
+    rows) hash-proves.
+
+    The static events table is re-laid-out as ``n_source_files`` parquet
+    files and streamed with ``maxFilesPerTrigger=1`` so the upsert path
+    genuinely executes multiple merge rounds (a single-file source would
+    collapse to one batch). Each batch writes a NEW state version and
+    epoch-tagged directory — re-running a failed batch overwrites its
+    own output (idempotent), never double-counts.
+    """
+    import os
+    import shutil
+
+    from ..functions import dsum
+    from ..sources.readers import ensure_engine_conf, read_table
+
+    ensure_engine_conf(spark)
+    shutil.rmtree(work_dir, ignore_errors=True)
+    src_dir = os.path.join(work_dir, "source")
+    read_table(spark, sf_dir, "events").select("event_type", "value").repartition(
+        n_source_files
+    ).write.mode("overwrite").parquet(src_dir)
+
+    state: dict[str, str] = {"path": ""}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total")
+        )
+        if state["path"]:
+            prev = spark.read.parquet(state["path"])
+            partial = (
+                prev.unionByName(partial)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n").alias("n"),
+                    dsum(F.col("total")).alias("total"),
+                )
+            )
+        new_path = os.path.join(work_dir, f"state_v{batch_id}")
+        partial.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(state["path"])
+    return final
