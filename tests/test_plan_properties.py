@@ -79,6 +79,20 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # composed pipeline inherits the 1-row scalar broadcasts of its
         # stages (LM vocab size, p90 NLL threshold)
         "pipeline_quality_curate",
+        # r3 tranches: the same 1-row scalar-broadcast idiom —
+        # corpus totals (PMI/BM25), marginal totals + dof (chi2),
+        # basket count (assoc rules), vertex count (PageRank), the
+        # metrics×RI single-row merge (DQ suite), the global-mean
+        # normalizer (seasonal index), and the reference-date broadcast
+        # (RFM). Every one is a broadcast of an exactly-1-row aggregate.
+        "text_pmi_collocations",
+        "search_bm25_topk",
+        "stats_chi2_lang_source",
+        "assoc_rules_parts",
+        "graph_pagerank_bipartite",
+        "dq_constraint_suite",
+        "ts_seasonal_index_how",
+        "segment_rfm_customers",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
