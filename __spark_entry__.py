@@ -110,6 +110,9 @@ _DRIVER_HEAD: list[str] = [
     "events_markov_transitions",
     "text_readability",
     "paths_top_sequences",
+    "sql_recursive_tree_depth",
+    "f_variant_props_shred",
+    "pysource_stream_counts",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",

@@ -17,9 +17,20 @@ partition planning, per-partition iterators — is the production surface.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 LANGS = ("en", "de", "fr", "es", "zh")
+
+
+def _row(doc_id: int):
+    # shared row recipe for the batch and streaming readers: computed
+    # from doc_id alone (location-independent; exact binary64, no libm)
+    return (doc_id, LANGS[doc_id % len(LANGS)], (doc_id % 97) / 97.0)
 
 
 class SyntheticDocsDataSource(DataSource):
@@ -37,6 +48,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(self.options)
 
 
 class SyntheticDocsReader(DataSourceReader):
@@ -58,6 +72,31 @@ class SyntheticDocsReader(DataSourceReader):
                 LANGS[doc_id % len(LANGS)],
                 (doc_id % 97) / 97.0,  # exact in binary64 — no libm
             )
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the custom source (Spark 4
+    ``SimpleDataSourceStreamReader``): offsets are row positions, each
+    micro-batch advances the cursor by ``batch`` rows until ``n`` —
+    the offset-tracking/replay contract a queue-backed feed implements.
+    ``readBetweenOffsets`` regenerates any offset range exactly
+    (deterministic rows), which is what makes checkpoint recovery and
+    batch replay safe."""
+
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 1000))
+        self.batch = int(options.get("batch", 250))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = int(start["pos"])
+        end = min(pos + self.batch, self.n)
+        return iter([_row(i) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_row(i) for i in range(int(start["pos"]), int(end["pos"]))])
 
 
 def register_synthetic_docs(spark) -> None:

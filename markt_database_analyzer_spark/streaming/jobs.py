@@ -265,7 +265,10 @@ def stateful_per_key_deltas_tws(events: DataFrame) -> DataFrame:
 
 
 def run_stream_to_memory(
-    result: DataFrame, output_mode: str = "complete", state_partitions: int | None = 8
+    result: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
+    available_now: bool = True,
 ) -> DataFrame:
     """Drive a streaming frame to completion over the available (static)
     input and return the materialized result as a batch DataFrame — the
@@ -284,13 +287,17 @@ def run_stream_to_memory(
     try:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        q = (
+        writer = (
             result.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
-            .trigger(availableNow=True)
-            .start()
         )
+        # Python stream sources (SimpleDataSourceStreamReader) don't
+        # implement Trigger.AvailableNow — drive them with the default
+        # micro-batch trigger and processAllAvailable instead
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
         try:
             q.processAllAvailable()
         finally:
