@@ -113,6 +113,10 @@ _DRIVER_HEAD: list[str] = [
     "sql_recursive_tree_depth",
     "f_variant_props_shred",
     "pysource_stream_counts",
+    "sample_balanced_classes",
+    "events_changepoint_cusum",
+    "intervals_open_orders_daily",
+    "parts_abc_pareto",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",
