@@ -117,6 +117,8 @@ _DRIVER_HEAD: list[str] = [
     "events_changepoint_cusum",
     "intervals_open_orders_daily",
     "parts_abc_pareto",
+    "growth_rolling_engagement",
+    "embeddings_pca_power_component",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",
