@@ -93,6 +93,14 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         "dq_constraint_suite",
         "ts_seasonal_index_how",
         "segment_rfm_customers",
+        # the min-class target (balanced sampling), revenue total
+        # (pareto), corpus max-day (rolling engagement), and the
+        # broadcast unit-vector / norm frames (power iteration) are all
+        # exactly-1-row broadcasts as well
+        "sample_balanced_classes",
+        "parts_abc_pareto",
+        "growth_rolling_engagement",
+        "embeddings_pca_power_component",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
@@ -417,3 +425,38 @@ def test_tpch_q21_no_fact_self_join(spark):
     )
     assert li_scans <= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A fact table partitioned on the join key must be pruned at
+    runtime by a selective broadcast dim (DPP): the fact scan carries a
+    dynamicpruning subquery in its partition filters, so at 100 TB a
+    one-month dim filter touches one month of fact files, not the whole
+    table. This is free from Catalyst ONLY if the layout partitions on
+    the join key — which is the write-side discipline
+    sources/sinks.write_partitioned exists to enforce."""
+    from pyspark.sql import functions as F
+
+    from markt_database_analyzer_spark.sources.readers import read_table
+
+    fact_dir = f"{tmp_path}/fact_by_month"
+    (
+        read_table(spark, "/root/testdata/sf0.01", "orders")
+        .withColumn("omonth", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.partitionBy("omonth")
+        .mode("overwrite")
+        .parquet(fact_dir)
+    )
+    dim = spark.createDataFrame(
+        [("1995-03", 1), ("1995-04", 0)], "omonth string, flag int"
+    )
+    fact = spark.read.parquet(fact_dir)
+    joined = (
+        fact.join(F.broadcast(dim).filter(F.col("flag") == 1), "omonth")
+        .groupBy("omonth")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = joined.collect()
+    assert len(rows) == 1 and rows[0].omonth == "1995-03" and rows[0].n > 0
