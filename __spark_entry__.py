@@ -119,6 +119,10 @@ _DRIVER_HEAD: list[str] = [
     "parts_abc_pareto",
     "growth_rolling_engagement",
     "embeddings_pca_power_component",
+    "join_star_denormalize",
+    "pipeline_analytics_daily",
+    "stats_winsorized_mean",
+    "er_fuzzy_canonicalize",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",
