@@ -624,10 +624,26 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixed = ordered.select(
         "doc_id", "ts", n.alias("n"), F.slice("ts", 1, prefix_len).alias("prefix")
     )
-    pa = prefixed.select(F.col("doc_id").alias("id_a"), F.explode("prefix").alias("tok"))
-    pb = prefixed.select(F.col("doc_id").alias("id_b"), F.explode("prefix").alias("tok"))
+    pa = prefixed.select(
+        F.col("doc_id").alias("id_a"), F.col("n").alias("na"),
+        F.explode("prefix").alias("tok"),
+    )
+    pb = prefixed.select(
+        F.col("doc_id").alias("id_b"), F.col("n").alias("nb"),
+        F.explode("prefix").alias("tok"),
+    )
+    # PPJoin length filter, applied INSIDE the candidate join: J >= 0.9
+    # implies 9*max(|a|,|b|) <= 10*min(|a|,|b|), so size-mismatched pairs
+    # are pruned before the distinct/verify. Lossless for the >= t
+    # output set (J <= min/max), hence the oracle is unchanged.
     cand = (
-        pa.join(pb, (pa["tok"] == pb["tok"]) & (pa["id_a"] < pb["id_b"]))
+        pa.join(
+            pb,
+            (pa["tok"] == pb["tok"])
+            & (pa["id_a"] < pb["id_b"])
+            & (pa["na"] * 10 >= pb["nb"] * 9)
+            & (pb["nb"] * 10 >= pa["na"] * 9),
+        )
         .select("id_a", "id_b")
         .distinct()
     )
