@@ -124,6 +124,7 @@ _DRIVER_HEAD: list[str] = [
     "stats_winsorized_mean",
     "er_fuzzy_canonicalize",
     "text_bpe_train_merges",
+    "rank_distribution_window",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",

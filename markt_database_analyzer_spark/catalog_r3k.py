@@ -146,3 +146,45 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# Distribution-position window functions (percent_rank / cume_dist)
+# --------------------------------------------------------------------------
+
+@register(
+    "rank_distribution_window",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(percent_rank() OVER w, 9) AS pct_rank,
+       round(cume_dist() OVER w, 9) AS cume,
+       CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS group_n
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_custkey, pct_rank, o_orderkey
+""",
+    tags=("window", "ranking", "distribution"),
+)
+def rank_distribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist — the distribution-position pair that
+    completes the ranking-function suite (rank_lead_ntile covers
+    rank/dense_rank/lead/lag/ntile): relative standing of each order
+    inside its customer's spend distribution, plus the unordered
+    count(*) OVER partition frame. The ordering carries the orderkey
+    tiebreak so both rational positions ((rank-1)/(n-1), peers/n) are
+    computed over an identical total order and round-9 identically."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wp = Window.partitionBy("o_custkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 9).alias("cume"),
+            F.count(F.lit(1)).over(wp).cast("bigint").alias("group_n"),
+        )
+        .orderBy("o_custkey", "pct_rank", "o_orderkey")
+    )
