@@ -125,6 +125,8 @@ _DRIVER_HEAD: list[str] = [
     "er_fuzzy_canonicalize",
     "text_bpe_train_merges",
     "rank_distribution_window",
+    "sql_lateral_topk_per_customer",
+    "agg_mode_by_user",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",
