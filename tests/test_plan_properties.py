@@ -101,6 +101,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         "parts_abc_pareto",
         "growth_rolling_engagement",
         "embeddings_pca_power_component",
+        # BPE: each merge step broadcasts the 1-row argmax pair into the
+        # vocabulary rewrite
+        "text_bpe_train_merges",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
