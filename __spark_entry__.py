@@ -127,6 +127,7 @@ _DRIVER_HEAD: list[str] = [
     "rank_distribution_window",
     "sql_lateral_topk_per_customer",
     "agg_mode_by_user",
+    "growth_rolling_wau_hll",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",

@@ -90,3 +90,73 @@ def agg_mode_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling WAU via HLL datasketches (the documented scale path)
+# --------------------------------------------------------------------------
+
+@register(
+    "growth_rolling_wau_hll",
+    oracle="""
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau_exact
+  FROM days d JOIN du u
+    ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+  GROUP BY 1
+)
+SELECT day, wau_exact, TRUE AS in_bound FROM wau ORDER BY day
+""",
+    tags=("sketch", "hll", "growth"),
+)
+def growth_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling WAU by MERGED HLL sketches — the constant-state scale
+    path that growth_rolling_engagement documents: one HLL sketch per
+    (user-serving) day cell, hll_union_agg over each trailing window,
+    hll_sketch_estimate at the end. Sketch merge is register-wise max —
+    commutative and associative — so the estimate is deterministic
+    under any partitioning, and per-day state is ~2^12 registers no
+    matter how many users exist (the exact plan's distinct-count state
+    grows with cardinality). The driver-checked contract follows the
+    sketch-entry convention: the exact window count plus the published
+    error guarantee as a value column (estimate within 5%+5 of exact —
+    lgK=12's 3-sigma envelope), since no external engine can replay
+    Spark's datasketches registers bit-for-bit."""
+    du = (
+        _t(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    max_day = days.agg(F.max("day").alias("max_day"))
+    targets = (
+        du.crossJoin(F.broadcast(max_day))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.least(
+                        F.col("day") + F.expr("INTERVAL 6 DAY"), F.col("max_day")
+                    ),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("tday"),
+            "user_id",
+        )
+        .join(days.select(F.col("day").alias("tday")), "tday")
+    )
+    est = targets.groupBy("tday").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+        F.countDistinct("user_id").alias("wau_exact"),
+    )
+    bound = F.greatest(F.round(F.col("wau_exact") * 0.05), F.lit(5.0))
+    return (
+        est.select(
+            F.col("tday").alias("day"),
+            "wau_exact",
+            (F.abs(F.col("est") - F.col("wau_exact")) <= bound).alias("in_bound"),
+        )
+        .orderBy("day")
+    )
