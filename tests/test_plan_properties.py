@@ -104,6 +104,8 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # BPE: each merge step broadcasts the 1-row argmax pair into the
         # vocabulary rewrite
         "text_bpe_train_merges",
+        # rolling WAU (exact and HLL) broadcast the 1-row corpus max-day
+        "growth_rolling_wau_hll",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
