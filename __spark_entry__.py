@@ -128,6 +128,13 @@ _DRIVER_HEAD: list[str] = [
     "sql_lateral_topk_per_customer",
     "agg_mode_by_user",
     "growth_rolling_wau_hll",
+    "text_c4_line_filters",
+    "text_ccnet_buckets",
+    "stats_welch_ttest",
+    "stats_corr_matrix",
+    "graph_triangle_count",
+    "sql_group_by_all",
+    "sample_epoch_upsample",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",

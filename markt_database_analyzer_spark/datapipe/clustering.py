@@ -137,3 +137,81 @@ def resolve_duplicate_clusters(
         )
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+def triangle_stats(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Exact triangle count + global clustering coefficient of an
+    undirected graph, via degree-ordered orientation (the standard
+    distributed algorithm: Suri & Vassilvitskii 2011 / Cohen 2009).
+
+    Input is any (u, v) pair frame; self-loops are dropped and edges are
+    normalized to one undirected row. Every edge is oriented from its
+    lower endpoint to its higher endpoint under the total order
+    ``(degree, node_id)``; a wedge (b, c) anchored at a is generated only
+    from the *oriented* adjacency, so each triangle is produced exactly
+    once and the per-node fan-out is bounded by the oriented out-degree
+    — O(sqrt(m)) on any graph, which is what keeps the wedge join from
+    exploding on power-law degree skew at 100 TB (a celebrity node with
+    degree 1e7 contributes 0 wedges as anchor of its heavy side; the
+    orientation pushes all its edges inbound). Both joins are equi-joins
+    on node ids; the tuple comparison is a join residual, never a
+    cartesian. No global window anywhere — the (degree, id) order is
+    compared pairwise, not materialized as a rank.
+
+    Returns one row: n_nodes, n_edges, n_wedges (all open wedges,
+    sum d(d-1)/2), n_triangles, global_clustering = 3T/W round 9.
+    """
+    e = (
+        edges.select(F.col(u).alias("x"), F.col(v).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("node", "x").withColumnRenamed("deg", "dx"), "x")
+        .join(deg.withColumnRenamed("node", "y").withColumnRenamed("deg", "dy"), "y")
+    )
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    o = ed.select(
+        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("a"),
+        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("b"),
+        F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("db"),
+    )
+    o1 = o.select(F.col("a"), F.col("b").alias("w1"), F.col("db").alias("d1"))
+    o2 = o.select(F.col("a"), F.col("b").alias("w2"), F.col("db").alias("d2"))
+    wedges = o1.join(o2, "a").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("w1") < F.col("w2")))
+    )
+    tri = wedges.join(
+        o.select(F.col("a").alias("w1"), F.col("b").alias("w2")), ["w1", "w2"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / F.lit(2)).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        base.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.nullif(F.col("n_wedges").cast("double"), F.lit(0.0)),
+                9,
+            ).alias("global_clustering"),
+        )
+    )

@@ -582,3 +582,39 @@ def char_items(col: Column | str) -> Column:
 
 def sql_char_items(expr: str) -> str:
     return f"list_filter(string_split({expr}, ''), x -> x != '')"
+
+
+# --------------------------------------------------------------------------
+# C4-style line filters (Raffel et al. 2020, §2.2 "Colossal Clean Crawled
+# Corpus" cleaning rules) — the line-level heuristic gate every web-crawl
+# curation pipeline starts with. Reference parity target: the reference has
+# no text layer at all; this extends its cleaning stage (analyse.py:155-171,
+# null/blank drops) to the published line-rule set. Row-local, codegen
+# end-to-end, usable inside higher-order lambdas.
+# --------------------------------------------------------------------------
+
+_C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_line_keep(line: Column) -> Column:
+    """C4 keep-predicate for one line: (1) ends in terminal punctuation,
+    (2) has >= 3 words, (3) no curly brace (code), (4) no 'lorem ipsum'.
+    Works on plain and lambda columns."""
+    last = line.substr(F.length(line), F.lit(1))
+    words = F.size(F.filter(F.split(line, r"\s+"), lambda t: t != ""))
+    return (
+        last.isin(*_C4_TERMINAL)
+        & (words >= F.lit(3))
+        & ~line.contains("{")
+        & ~F.lower(line).contains("lorem ipsum")
+    )
+
+
+def sql_c4_line_keep(expr: str) -> str:
+    """DuckDB rendering of :func:`c4_line_keep` (same four rules)."""
+    return (
+        f"(right({expr}, 1) IN ('.', '!', '?', '\"')"
+        f" AND len(list_filter(regexp_split_to_array({expr}, '\\s+'), t -> t != '')) >= 3"
+        f" AND NOT contains({expr}, '{{')"
+        f" AND NOT contains(lower({expr}), 'lorem ipsum'))"
+    )

@@ -106,6 +106,11 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         "text_bpe_train_merges",
         # rolling WAU (exact and HLL) broadcast the 1-row corpus max-day
         "growth_rolling_wau_hll",
+        # CCNet buckets inherit the LM scorer's 1-row vocab-size broadcast
+        "text_ccnet_buckets",
+        # triangle stats stitch three 1-row aggregates (nodes/edges/
+        # triangles) into the single output row — the funnel idiom
+        "graph_triangle_count",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
