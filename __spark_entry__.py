@@ -135,6 +135,13 @@ _DRIVER_HEAD: list[str] = [
     "graph_triangle_count",
     "sql_group_by_all",
     "sample_epoch_upsample",
+    "stats_ks_test",
+    "stats_mannwhitney_u",
+    "ts_autocorrelation",
+    "embeddings_silhouette_simplified",
+    "stats_weighted_median",
+    "udf_map_in_arrow",
+    "pivot_dynamic_event_types",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",

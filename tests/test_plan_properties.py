@@ -111,6 +111,10 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # triangle stats stitch three 1-row aggregates (nodes/edges/
         # triangles) into the single output row — the funnel idiom
         "graph_triangle_count",
+        # KS broadcasts the 1-row (n1, n2) totals into the ECDF frame;
+        # ACF broadcasts the 1-row series mean — both the scalar idiom
+        "stats_ks_test",
+        "ts_autocorrelation",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
