@@ -142,6 +142,12 @@ _DRIVER_HEAD: list[str] = [
     "stats_weighted_median",
     "udf_map_in_arrow",
     "pivot_dynamic_event_types",
+    "events_kaplan_meier",
+    "stats_bootstrap_ci",
+    "ts_stl_residual_outliers",
+    "stats_boxplot_by_event_type",
+    "dedup_minhash_jaccard_estimate",
+    "sql_pipe_syntax_revenue",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",

@@ -743,3 +743,4 @@ from . import catalog_r3k  # noqa: E402,F401
 from . import catalog_r3l  # noqa: E402,F401
 from . import catalog_r3m  # noqa: E402,F401
 from . import catalog_r3n  # noqa: E402,F401
+from . import catalog_r3o  # noqa: E402,F401

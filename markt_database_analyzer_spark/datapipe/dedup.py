@@ -626,3 +626,26 @@ SELECT d.doc_id,
 FROM {table} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 ORDER BY d.doc_id
 """
+
+
+def km_signatures(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc, sig) MinHash signature frame over a
+    :func:`shingle_projection` — the K-M family exactly as
+    :func:`minhash_lsh_candidates` derives it (one md5 per shingle, two
+    56-bit bases, members h1 + i*h2), exposed standalone so estimators
+    can compare signature components without rebuilding the LSH plan."""
+    digests = shingled.withColumn("digests", F.transform("sh", lambda s: F.md5(s)))
+    hashed = digests.select(
+        "doc",
+        F.transform("digests", lambda d: F.conv(F.substring(d, 1, 14), 16, 10).cast("bigint")).alias("h1"),
+        F.transform("digests", lambda d: F.conv(F.substring(d, 15, 14), 16, 10).cast("bigint")).alias("h2"),
+    )
+
+    def member(i: int) -> Column:
+        if i == 0:
+            return F.array_min(F.col("h1"))
+        return F.array_min(F.zip_with("h1", "h2", lambda a, b: a + F.lit(i) * b))
+
+    return hashed.select(
+        "doc", F.array(*[member(i) for i in range(num_hashes)]).alias("sig")
+    )

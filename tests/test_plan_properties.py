@@ -115,6 +115,10 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # ACF broadcasts the 1-row series mean — both the scalar idiom
         "stats_ks_test",
         "ts_autocorrelation",
+        # KM broadcasts the 1-row corpus max-day; STL broadcasts the
+        # 1-row residual sigma — the same scalar idiom
+        "events_kaplan_meier",
+        "ts_stl_residual_outliers",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
