@@ -148,6 +148,11 @@ _DRIVER_HEAD: list[str] = [
     "stats_boxplot_by_event_type",
     "dedup_minhash_jaccard_estimate",
     "sql_pipe_syntax_revenue",
+    "graph_link_prediction",
+    "sample_kcenter_coreset",
+    "pipeline_multimodal_pairs",
+    "text_keyword_rake",
+    "events_attribution_last_touch",
     # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",

@@ -638,3 +638,83 @@ def ivf_pq_topk(
         .select("query_id", "neighbor_id", "adc_dist", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Greedy k-center (Gonzalez 1985) — the coreset-selection primitive of the
+# data-pruning literature (select maximally-spread exemplars; every point
+# is within the final max radius of some center, a 2-approximation of the
+# optimal k-center cover).
+# --------------------------------------------------------------------------
+
+def _qdist_expr(vec_col: str, cvec: list[float]) -> str:
+    """One SQL expression: nano-quantized squared L2 distance of
+    ``vec_col`` to a literal centroid — per-TERM integer quantization so
+    the sum is an order-free exact-integer reduction (the PCA/PageRank
+    discipline), rendered as a single string to avoid k·dims py4j
+    literal round trips (see assign_cells_local)."""
+    arr = ", ".join(_dlit(v) for v in cvec)
+    return (
+        f"aggregate(zip_with(cast(`{vec_col}` as array<double>), array({arr}), "
+        "(x, y) -> cast(round((x - y) * (x - y) * 1e9) as bigint)), "
+        "cast(0 as bigint), (acc, t) -> acc + t)"
+    )
+
+
+def kcenter_select(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8
+) -> DataFrame:
+    """Greedy k-center selection. Seed = min id; each further center is
+    the point FARTHEST (max min-distance, ties to min id) from the
+    selected set. Returns one row per center: (rank, id, chosen_dq =
+    its min-distance when selected, n_assigned, max_radius_q over its
+    cell) — the coverage audit a pruning run reports.
+
+    Execution shape: per step, ONE map-only column (quantized distance
+    to the newly selected literal centroid), a least() fold into the
+    running min-distance, and a 1-row argmax collect — k tiny driver
+    rows total, the MLlib/kmeans_cells shape. Assignment reassigns on
+    STRICT improvement, so ties keep the earlier center in both
+    engines. At scale, persist the base projection once; each step is a
+    single scan."""
+    rows = df.select(
+        F.col(id_col).alias("pid"), F.col(vec_col).alias("vec")
+    )
+    seed = rows.orderBy("pid").limit(1).collect()[0]
+    picks = [(0, seed["pid"], 0)]
+    cvec = [float(v) for v in seed["vec"]]
+    cur = rows.select(
+        "pid",
+        "vec",
+        F.expr(_qdist_expr("vec", cvec)).alias("mind"),
+        F.lit(0).alias("arank"),
+    )
+    for i in range(1, k):
+        far = cur.orderBy(F.desc("mind"), F.asc("pid")).limit(1).collect()[0]
+        picks.append((i, far["pid"], far["mind"]))
+        cvec = [float(v) for v in far["vec"]]
+        nd = F.expr(_qdist_expr("vec", cvec))
+        cur = cur.select(
+            "pid",
+            "vec",
+            F.when(nd < F.col("mind"), nd).otherwise(F.col("mind")).alias("mind"),
+            F.when(nd < F.col("mind"), F.lit(i)).otherwise(F.col("arank")).alias("arank"),
+        )
+    stats = cur.groupBy("arank").agg(
+        F.count(F.lit(1)).alias("n_assigned"), F.max("mind").alias("max_radius_q")
+    )
+    spark = df.sparkSession
+    sel = spark.createDataFrame(
+        [(r, int(p), int(d)) for r, p, d in picks], "rank int, pid bigint, chosen_dq bigint"
+    )
+    return (
+        sel.join(stats, sel["rank"] == stats["arank"], "left")
+        .select(
+            "rank",
+            F.col("pid").alias(id_col),
+            "chosen_dq",
+            F.coalesce("n_assigned", F.lit(0)).alias("n_assigned"),
+            F.coalesce("max_radius_q", F.lit(0)).alias("max_radius_q"),
+        )
+        .orderBy("rank")
+    )
