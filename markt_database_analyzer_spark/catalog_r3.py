@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .catalog import SQL_DAVG, SQL_DSUM, register, _t
 from .datapipe import sampling as smp
@@ -621,9 +622,26 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.size("ts")
     prefix_len = n - ((F.lit(9) * n + 9).cast("long") / 10).cast("int") + 1
+    # Persisted: both candidate-join sides and nothing else consume this
+    # frame; without persist the df-join + sort-agg subtree runs twice
+    # (the shingle-projection precedent at catalog_ext.py:116). Constant
+    # bytes/doc (ids + bounded token arrays), MEMORY_AND_DISK spills.
     prefixed = ordered.select(
         "doc_id", "ts", n.alias("n"), F.slice("ts", 1, prefix_len).alias("prefix")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Cost discipline, measured at sf0.1 (1k docs / 31-token vocab / 141k
+    # candidate pairs / ~1M raw prefix collisions):
+    #  - the candidate join must carry IDS ONLY. Shipping the token
+    #    arrays through it shuffles ~500 MB of duplicate matches (every
+    #    pair collides on up to prefix_len^2 tokens) — 5.5s.
+    #  - the Jaccard compare must not sit where Catalyst can sink it
+    #    into the candidate join condition: there array_intersect is
+    #    re-evaluated per collision probe, interpreted — 45s.
+    #  - the verify arrays come from `toks`, NOT `prefixed`: the
+    #    df-rarest-first ORDERING only matters for prefix selection, and
+    #    re-deriving plain token sets is one pruned scan (no df join, no
+    #    sort agg), broadcast (<= corpus-distinct sets) onto the 141k
+    #    deduped pairs — intersect runs once per pair, in codegen.
     pa = prefixed.select(
         F.col("doc_id").alias("id_a"), F.col("n").alias("na"),
         F.explode("prefix").alias("tok"),
@@ -634,8 +652,8 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # PPJoin length filter, applied INSIDE the candidate join: J >= 0.9
     # implies 9*max(|a|,|b|) <= 10*min(|a|,|b|), so size-mismatched pairs
-    # are pruned before the distinct/verify. Lossless for the >= t
-    # output set (J <= min/max), hence the oracle is unchanged.
+    # are pruned before the dedup/verify. Lossless for the >= t output
+    # set (J <= min/max), hence the oracle is unchanged.
     cand = (
         pa.join(
             pb,
@@ -647,13 +665,13 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    ta = prefixed.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"), F.col("n").alias("n_a"))
-    tb = prefixed.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"), F.col("n").alias("n_b"))
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"))
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
-    uni = F.col("n_a") + F.col("n_b") - inter
+    uni = F.size("ts_a") + F.size("ts_b") - inter
     return (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
+        cand.join(F.broadcast(ta), "id_a")
+        .join(F.broadcast(tb), "id_b")
         .select(
             "id_a",
             "id_b",
