@@ -119,6 +119,17 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # 1-row residual sigma — the same scalar idiom
         "events_kaplan_meier",
         "ts_stl_residual_outliers",
+        # Naive Bayes scores every test token against ALL langs (5-row
+        # prior frame) plus the 1-row vocab-size scalar — both broadcast
+        "classify_naive_bayes_langid",
+        # Benford broadcasts the 1-row digit-total; quantile
+        # normalization broadcasts the 1-row pooled order-statistic
+        # vector — the scalar idiom
+        "stats_benford_digits",
+        "stats_quantile_normalize",
+        # PAV's cubic enumeration is inequality self-joins of a 24-row
+        # hourly aggregate — bounded-grid broadcast NLJ by design
+        "iso_regression_pav",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
