@@ -130,6 +130,13 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # PAV's cubic enumeration is inequality self-joins of a 24-row
         # hourly aggregate — bounded-grid broadcast NLJ by design
         "iso_regression_pav",
+        # info gain broadcasts the 1-row corpus total + the 5-row lang
+        # totals onto the vocab grid; PSI broadcasts the 1-row decile
+        # edge array; grid clustering stitches the 1-row noise totals —
+        # all the scalar idiom
+        "text_info_gain",
+        "dq_psi_drift",
+        "cluster_grid_density",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
