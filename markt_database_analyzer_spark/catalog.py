@@ -747,3 +747,4 @@ from . import catalog_r3o  # noqa: E402,F401
 from . import catalog_r3p  # noqa: E402,F401
 from . import catalog_r3q  # noqa: E402,F401
 from . import catalog_r3r  # noqa: E402,F401
+from . import catalog_r3s  # noqa: E402,F401

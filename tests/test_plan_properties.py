@@ -137,6 +137,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         "text_info_gain",
         "dq_psi_drift",
         "cluster_grid_density",
+        # theta-pairing joins the 5-row per-type sketch summaries on an
+        # inequality (type_a < type_b) — a bounded broadcast NLJ
+        "sketch_kmv_intersection",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
