@@ -140,6 +140,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # theta-pairing joins the 5-row per-type sketch summaries on an
         # inequality (type_a < type_b) — a bounded broadcast NLJ
         "sketch_kmv_intersection",
+        # BFS stitches the 1-row total/reached aggregates into the
+        # unreached row — the funnel scalar idiom
+        "graph_bfs_distance",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
