@@ -244,11 +244,15 @@ def _sql_grid_density() -> str:
         "CAST(floor(CAST(round(CAST(embedding[{i}] AS DOUBLE) * 1000000.0) AS BIGINT)"
         f" / CAST({_GRID_EPS_MICRO} AS DOUBLE)) AS BIGINT)"
     )
+    # AS MATERIALIZED: without it DuckDB inlines each single-reference
+    # CTE, nesting the whole chain into one expression whose shared
+    # prefixes re-evaluate per round — measured 505s vs ~2s materialized
+    # (the SQL mirror of the Spark side's localCheckpoint discipline).
     labs = ["lab0"]
     prop = []
     for r in range(1, _GRID_CC_ROUNDS + 1):
         prop.append(
-            f"lab{r} AS (SELECT n.src AS cid, min(l.lab) AS lab "
+            f"lab{r} AS MATERIALIZED (SELECT n.src AS cid, min(l.lab) AS lab "
             f"FROM nbr n JOIN lab{r-1} l ON l.cid = n.dst GROUP BY n.src)"
         )
         labs.append(f"lab{r}")
@@ -261,13 +265,13 @@ dense AS (
   SELECT cx, cy, CAST(count(*) AS BIGINT) AS npts
   FROM pts GROUP BY cx, cy HAVING count(*) >= {_GRID_MINPTS}
 ),
-ids AS (
+ids AS MATERIALIZED (
   SELECT cx, cy, npts, row_number() OVER (ORDER BY cx, cy) AS cid FROM dense
 ),
 offs AS (
   SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)
 ),
-nbr AS (
+nbr AS MATERIALIZED (
   SELECT a.cid AS src, b.cid AS dst
   FROM ids a CROSS JOIN offs
   JOIN ids b ON b.cx = a.cx + offs.dx AND b.cy = a.cy + offs.dy

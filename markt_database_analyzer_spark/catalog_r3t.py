@@ -22,7 +22,7 @@ def _sql_bfs() -> str:
     rounds = []
     for r in range(1, _BFS_ROUNDS + 1):
         rounds.append(f"""
-d{r} AS (
+d{r} AS MATERIALIZED (
   SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
     SELECT node, dist FROM d{r-1}
     UNION ALL
@@ -36,7 +36,7 @@ WITH pairs AS (
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs
 ),
 nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
