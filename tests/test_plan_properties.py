@@ -143,6 +143,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # BFS stitches the 1-row total/reached aggregates into the
         # unreached row — the funnel scalar idiom
         "graph_bfs_distance",
+        # Holt crossJoins the 1-row fitted (level, trend) state with the
+        # 7-row horizon spine — the scalar idiom
+        "ts_holt_forecast",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
