@@ -438,7 +438,32 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_features",
-    oracle=None,  # mapInPandas path — not SQL-expressible; rows-only check
+    # The mapInPandas EXECUTION path is not SQL — but the stub featurizer's
+    # VALUES are pure byte statistics of the UTF-8 payload, so the oracle
+    # recomputes them relationally (hex-pair byte extraction, exact integer
+    # sum, float division in the same order numpy performs it). The entry
+    # therefore value-checks the Arrow plumbing end-to-end: schema, batch
+    # iteration, partition preservation, and the featurizer math.
+    oracle="""
+WITH p AS (
+  SELECT doc_id, encode(text) AS payload FROM documents
+),
+b AS (
+  SELECT doc_id,
+         octet_length(payload) AS n,
+         list_transform(range(1, octet_length(payload) + 1),
+                        i -> ('0x' || substr(hex(payload), 2 * i - 1, 2))::INT) AS bytes
+  FROM p
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE CAST(list_aggregate(bytes, 'sum') AS DOUBLE) / n END AS byte_mean,
+       CAST(COALESCE(list_aggregate(bytes, 'min'), 0) AS INT) AS byte_min,
+       CAST(COALESCE(list_aggregate(bytes, 'max'), 0) AS INT) AS byte_max,
+       'fake-v1' AS feature_version
+FROM b ORDER BY doc_id
+""",
     tags=("multimodal", "mapInPandas"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
