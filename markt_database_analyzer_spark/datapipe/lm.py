@@ -67,13 +67,18 @@ def bigram_logprob_scores(
     w1 as a bigram context and V the corpus vocabulary size. Returns
     (id, n_bigrams, avg_neg_logp); docs with < 2 tokens score NULL.
     """
+    # Materialized: the tokenize→bigram-explode→double-md5 subtree is the
+    # expensive part and is consumed THREE times (bigram counts, context
+    # counts, the scoring join) — without the checkpoint it re-evaluates
+    # per consumer (measured 3x on the ccnet/bigram entries at sf0.1).
+    # 24 bytes/bigram (three longs), spills never matter.
     bg = df.select(
         F.col(id_col).alias("did"), F.explode(bigrams(text_col)).alias("bg")
     ).select(
         "did",
         hash60(F.col("bg")).alias("bgh"),
         hash60(F.split(F.col("bg"), " ", 2).getItem(0)).alias("ctxh"),
-    )
+    ).localCheckpoint(eager=True)
     c_bg = bg.groupBy("bgh").agg(F.count(F.lit(1)).alias("c_bg"))
     c_ctx = bg.groupBy("ctxh").agg(F.count(F.lit(1)).alias("c_ctx"))
     vocab = df.select(

@@ -48,14 +48,19 @@ def test_kcenter_catalog_radius_decreases(spark):
 def test_link_prediction_invariants(spark):
     rows = REGISTRY["graph_link_prediction"].fn(spark, SF).collect()
     assert len(rows) <= 20
-    # recompute the edge set and check predictions are non-edges
+    # recompute the WEIGHTED edge set (co-purchased in >= 2 orders — the
+    # entry's noise threshold) and check predictions are non-edges of it
     li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
-    edges = set()
+    from collections import Counter
+
+    w: Counter = Counter()
     for _, g in li.groupby("l_orderkey"):
-        ps = sorted(set(g["l_partkey"]))
+        ps = sorted(g["l_partkey"])
         for i, x in enumerate(ps):
             for y in ps[i + 1 :]:
-                edges.add((x, y))
+                if x < y:
+                    w[(x, y)] += 1
+    edges = {p for p, c in w.items() if c >= 2}
     scores = [r["jaccard_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     for r in rows:
