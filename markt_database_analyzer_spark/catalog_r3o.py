@@ -426,11 +426,14 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     (agreement count, |∩|, |∪|) over the identical K-M family, so the
     differential pins the estimator itself, not just its bound."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dd.shingle_projection(docs, "text", "doc_id", 3)
+    # the shingle projection feeds THREE consumers (banding, signatures,
+    # exact verify) and the signature table TWO joins — materialize both
+    # (the dedup.py persist discipline; ints only, constant bytes/doc)
+    sh = dd.shingle_projection(docs, "text", "doc_id", 3).localCheckpoint(eager=True)
     cand = dd.minhash_lsh_candidates(
         docs, "text", "doc_id", num_hashes=_MH_K, bands=4, shingled=sh
     )
-    sig = dd.km_signatures(sh, num_hashes=_MH_K)
+    sig = dd.km_signatures(sh, num_hashes=_MH_K).localCheckpoint(eager=True)
     est = (
         cand.join(
             sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"

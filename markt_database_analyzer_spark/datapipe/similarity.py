@@ -396,11 +396,14 @@ def srp_neardup_pairs(
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     vecs = corpus.select(F.col(id_col).alias("vid"), vecd.alias("vec"))
     # Skinny (vid, band_id, band_code) frame — the band self-join shuffles
-    # 12-byte rows, never vectors.
+    # 12-byte rows, never vectors. Materialized: both self-join sides
+    # consume it, and the projection expression is large (bits x dim
+    # literal dot products) — without the checkpoint it is codegen'd and
+    # evaluated twice.
     codes = corpus.select(
         F.col(id_col).alias("vid"),
         F.posexplode(F.array(*srp_band_codes(vecd, mat, bands))).alias("band_id", "band_code"),
-    )
+    ).localCheckpoint(eager=True)
     cand = (
         codes.alias("a")
         .join(
