@@ -216,6 +216,33 @@ R3_ENTRIES = [
     "join_fuzzy_blocked",
 ]
 
+R4_ENTRIES = [
+    # round-3 tranches 18-22 (supervised/eval/graph/sketch layer)
+    "join_set_similarity_prefix",
+    "classify_naive_bayes_langid",
+    "stats_benford_digits",
+    "eval_roc_auc",
+    "stats_quantile_normalize",
+    "iso_regression_pav",
+    "cf_item_item_cosine",
+    "multimodal_mime_sniff",
+    "text_info_gain",
+    "cluster_grid_density",
+    "finance_vwap_monthly",
+    "dq_psi_drift",
+    "ml_logreg_gd",
+    "sketch_kmv_intersection",
+    "eval_calibration_bins",
+    "graph_bfs_distance",
+    "ts_holt_forecast",
+    "array_hof_vector_stats",
+    "join_null_safe",
+    # re-measured after their round-3 perf rebuilds
+    "graph_link_prediction",
+    "stats_bootstrap_ci",
+    "multimodal_decode_features",
+]
+
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
 
 _R3_TABLES = {
@@ -279,14 +306,15 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     r3_mode = "--r3" in sys.argv
+    r4_mode = "--r4" in sys.argv
 
-    if r3_mode:
+    if r3_mode or r4_mode:
         print("building 10x relational replication ...", file=sys.stderr)
         big_rel = build_10x_rel(spark)
     else:
         print("building 10x replication ...", file=sys.stderr)
         big_dir = build_10x(spark)
-    if not r3_mode:
+    if not (r3_mode or r4_mode):
         print("building 10x distinct-content replication ...", file=sys.stderr)
         big_distinct_dir = build_10x(spark, distinct=True)
 
@@ -321,7 +349,9 @@ def main() -> None:
         )
         return rec
 
-    if r3_mode:
+    if r4_mode:
+        rows_r4 = measure(R4_ENTRIES, big_rel)
+    elif r3_mode:
         rows_r3 = measure(R3_ENTRIES, big_rel)
     else:
         rows = measure(ENTRIES, big_dir)
@@ -343,6 +373,38 @@ def main() -> None:
     md_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_EVIDENCE.md"
     )
+    if r4_mode:
+        lines = [
+            "",
+            "## Round-3 tranches 18-22 — 10× relational replication",
+            "",
+            "Same protocol as the round-3 table (disjoint, referentially-"
+            "intact 10× replicas; warmed runs; status-store stage/shuffle "
+            "diffs).",
+            "",
+        ]
+        lines += table(rows_r4)
+        lines += [
+            "",
+            "Annotations: iterative entries (logreg 8 GD steps, BFS "
+            "rounds, grid-clustering label propagation, Holt fold) do "
+            "fixed iteration counts — their ratio reflects 10× data per "
+            "step plus constant per-round scheduling; graph entries "
+            "(link prediction, BFS, CF) see 10 disjoint graph copies, so "
+            "wedge/frontier volume scales exactly 10×; model-sized "
+            "outputs (Benford, PSI, calibration, KMV, VWAP, info gain) "
+            "should land ≲10× wall with shuffle ≈ data ratio.",
+            "",
+        ]
+        prev = open(md_path).read() if os.path.exists(md_path) else ""
+        marker = "\n## Round-3 tranches 18-22 — 10× relational replication"
+        if marker in prev:
+            prev = prev[: prev.index(marker)]
+        with open(md_path, "w") as f:
+            f.write(prev.rstrip("\n") + "\n" + "\n".join(lines))
+        print("appended round-3 tranche-18-22 section to SCALE_EVIDENCE.md", file=sys.stderr)
+        return
+
     if r3_mode:
         # append the round-3 section, leaving the r1/r2 tables intact
         lines = [
