@@ -146,6 +146,10 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # Holt crossJoins the 1-row fitted (level, trend) state with the
         # 7-row horizon spine — the scalar idiom
         "ts_holt_forecast",
+        # hard-negative mining IS corpus × broadcast(anchors) — the
+        # similarity_bruteforce_topk shape; the IVF-cell variant is the
+        # scale path
+        "sample_hard_negatives",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
