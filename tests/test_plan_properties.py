@@ -150,6 +150,10 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # similarity_bruteforce_topk shape; the IVF-cell variant is the
         # scale path
         "sample_hard_negatives",
+        # confusion matrix inherits NB's 5-row prior/vocab scalar
+        # broadcasts and crosses the 5-row class list with the
+        # predictions — bounded by #classes
+        "eval_confusion_matrix",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
