@@ -753,3 +753,4 @@ from . import catalog_r3u  # noqa: E402,F401
 from . import catalog_r3v  # noqa: E402,F401
 from . import catalog_r3w  # noqa: E402,F401
 from . import catalog_r3x  # noqa: E402,F401
+from . import catalog_r3y  # noqa: E402,F401

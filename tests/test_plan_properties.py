@@ -154,6 +154,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # broadcasts and crosses the 5-row class list with the
         # predictions — bounded by #classes
         "eval_confusion_matrix",
+        # freshness stitches the 1-row high-water mark onto the 5-row
+        # per-type frame — the scalar idiom
+        "dq_freshness_lag",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
