@@ -754,3 +754,4 @@ from . import catalog_r3v  # noqa: E402,F401
 from . import catalog_r3w  # noqa: E402,F401
 from . import catalog_r3x  # noqa: E402,F401
 from . import catalog_r3y  # noqa: E402,F401
+from . import catalog_r3z  # noqa: E402,F401

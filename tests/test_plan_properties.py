@@ -157,6 +157,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # freshness stitches the 1-row high-water mark onto the 5-row
         # per-type frame — the scalar idiom
         "dq_freshness_lag",
+        # peak detection broadcasts the 1-row p75 threshold — the
+        # scalar idiom
+        "ts_peak_detection",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
