@@ -37,46 +37,64 @@ _DRIVER_HEAD: list[str] = [
     # (1) red in r2: the driver canonicalizer crashed on its array
     # columns (unhashable list); now all-scalar AND value-oracled
     "approx_percentile_values",
-    # (2) never driver-checked (r1 ∪ r2); all green in local differential
+    # (2) semantics changed in r3 relative to any earlier verdict:
+    # link prediction gained the co-purchase weight threshold, the
+    # bootstrap gate became hash-frugal ((h(id)+h(b)) mod R), and the
+    # Arrow decode path gained a value oracle (was rows-only)
+    "graph_link_prediction",
+    "stats_bootstrap_ci",
+    "multimodal_decode_features",
+    # (3) new in r3 tranches 18-27 — no driver verdict exists yet
+    "classify_naive_bayes_langid",
+    "stats_benford_digits",
+    "eval_roc_auc",
+    "stats_quantile_normalize",
+    "iso_regression_pav",
+    "cf_item_item_cosine",
+    "multimodal_mime_sniff",
+    "text_info_gain",
+    "cluster_grid_density",
+    "finance_vwap_monthly",
+    "dq_psi_drift",
+    "ml_logreg_gd",
+    "sketch_kmv_intersection",
+    "eval_calibration_bins",
+    "graph_bfs_distance",
+    "ts_holt_forecast",
+    "array_hof_vector_stats",
+    "join_null_safe",
+    "graph_kcore",
+    "ts_time_weighted_avg",
+    "stats_theilsen_slope",
+    "sample_hard_negatives",
+    "events_funnel_latency",
+    "growth_mom_yoy",
+    "text_feature_hashing",
+    "eval_confusion_matrix",
+    "events_dau_streaks",
+    "sample_curriculum_order",
+    "parts_skyline_2d",
+    "text_zipf_fit",
+    "sql_named_window",
+    "dq_freshness_lag",
+    "join_point_in_time",
+    "ts_peak_detection",
+    # (4) never driver-checked in r1 ∪ r2, cheapest first — every one is
+    # green in the local full differential (tools/check_oracle.py)
     "asof_join_last_event",
     "range_join_first_day_events",
     "union_all_key_counts",
     "a3_value_counts_nation",
     "udf_scalar_age_group",
     "udf_grouped_first_last",
-    "streaming_sliding_avg",
-    "streaming_keyed_deltas",
-    "salted_join_revenue",
-    "session_window_native",
-    "sql_api_revenue",
     "multimodal_frame_sample",
     "grouping_sets_status_priority",
-    "streaming_enrich_static_join",
     "udf_udtf_tokenize",
     "filter_blocklist_sources",
-    "filter_quality_quantile",
-    "streaming_curation_gate",
-    "pipeline_curate_full",
-    # (3) oracle/semantics changed in r3: DSIR global tgt_total fix
-    # (ADVICE r2), approx_distinct gained a value oracle
-    "sample_dsir_importance",
+    "sql_api_revenue",
     "approx_distinct_parts",
-    "text_gopher_rules",
-    # (4) new in r3 — no driver verdict exists yet
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_supplier",
-    "dedup_url_canonical",
-    "streaming_dedup_within_watermark",
-    "pack_sequences_bucketed",
-    "sample_weighted_reservoir",
-    "text_entropy_quality",
-    "pysource_range_catalog",
-    "gapfill_interpolate_hourly",
-    "cdc_snapshot_diff",
+    "salted_join_revenue",
+    "session_window_native",
     "join_set_similarity_prefix",
     "regression_by_key",
     "events_funnel_stages",
@@ -105,14 +123,12 @@ _DRIVER_HEAD: list[str] = [
     "growth_cumulative_users",
     "segment_rfm_customers",
     "udf_grouped_agg_gini",
-    "streaming_foreachbatch_upsert",
     "ts_seasonal_index_how",
     "events_markov_transitions",
     "text_readability",
     "paths_top_sequences",
     "sql_recursive_tree_depth",
     "f_variant_props_shred",
-    "pysource_stream_counts",
     "sample_balanced_classes",
     "events_changepoint_cusum",
     "intervals_open_orders_daily",
@@ -143,17 +159,39 @@ _DRIVER_HEAD: list[str] = [
     "udf_map_in_arrow",
     "pivot_dynamic_event_types",
     "events_kaplan_meier",
-    "stats_bootstrap_ci",
     "ts_stl_residual_outliers",
     "stats_boxplot_by_event_type",
     "dedup_minhash_jaccard_estimate",
     "sql_pipe_syntax_revenue",
-    "graph_link_prediction",
     "sample_kcenter_coreset",
     "pipeline_multimodal_pairs",
     "text_keyword_rake",
     "events_attribution_last_touch",
-    # (5) green in r1 but not re-checked in r2 — refresh the cheap ones
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
+    "dedup_url_canonical",
+    "pack_sequences_bucketed",
+    "sample_weighted_reservoir",
+    "text_entropy_quality",
+    "pysource_range_catalog",
+    "gapfill_interpolate_hourly",
+    "cdc_snapshot_diff",
+    # streaming / python-datasource entries last within this class:
+    # correct but slowest to first-run
+    "streaming_sliding_avg",
+    "streaming_keyed_deltas",
+    "streaming_enrich_static_join",
+    "streaming_curation_gate",
+    "streaming_dedup_within_watermark",
+    "streaming_foreachbatch_upsert",
+    "pysource_stream_counts",
+    "filter_quality_quantile",
+    "pipeline_curate_full",
+    # (5) green in r1 but not re-checked since — refresh the cheap ones
     "a_lifetime_rate_curve",
     "b1_events_per_slot",
     "b2_initial_rate_by_month",
