@@ -755,3 +755,4 @@ from . import catalog_r3w  # noqa: E402,F401
 from . import catalog_r3x  # noqa: E402,F401
 from . import catalog_r3y  # noqa: E402,F401
 from . import catalog_r3z  # noqa: E402,F401
+from . import catalog_r3aa  # noqa: E402,F401

@@ -160,6 +160,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # peak detection broadcasts the 1-row p75 threshold — the
         # scalar idiom
         "ts_peak_detection",
+        # the LOCF spine IS users × broadcast(hour range) — the bounded
+        # spine crossJoin idiom (a_lifetime_rate_curve precedent)
+        "gapfill_locf_hourly",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
