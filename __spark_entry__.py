@@ -79,6 +79,8 @@ _DRIVER_HEAD: list[str] = [
     "dq_freshness_lag",
     "join_point_in_time",
     "ts_peak_detection",
+    "agg_multi_distinct",
+    "gapfill_locf_hourly",
     # (4) never driver-checked in r1 ∪ r2, cheapest first — every one is
     # green in the local full differential (tools/check_oracle.py)
     "asof_join_last_event",
