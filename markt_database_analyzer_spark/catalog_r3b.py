@@ -11,7 +11,7 @@ association), hash-compared at sf0.01 by the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import SQL_DSUM, register, _t
@@ -195,34 +195,48 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Blocked fuzzy matching (edit-distance entity resolution)
 # --------------------------------------------------------------------------
 
+_FUZZY_SN_WINDOW = 20  # sorted-neighborhood width: per-row verify work is O(W)
+
+
 @register(
     "join_fuzzy_blocked",
-    oracle="""
+    oracle=f"""
 WITH p AS (
-  SELECT p_partkey, p_name, p_size, string_split(p_name, ' ')[2] AS blk
+  SELECT p_partkey, p_name, p_size, string_split(p_name, ' ')[2] AS blk,
+         row_number() OVER (PARTITION BY string_split(p_name, ' ')[2], p_size
+                            ORDER BY p_partkey) AS rnk
   FROM part
 )
 SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
        a.p_name AS a_name, b.p_name AS b_name,
        CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
 FROM p a JOIN p b
-  ON a.blk = b.blk AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+  ON a.blk = b.blk AND a.p_size = b.p_size
+ AND b.rnk - a.rnk BETWEEN 1 AND {_FUZZY_SN_WINDOW}
 WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
 ORDER BY a_key, b_key
 """,
     tags=("fuzzy", "join", "entity-resolution"),
 )
 def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution by edit distance with BLOCKING: candidate pairs
-    come only from an equi-join on a cheap deterministic block key (the
-    name's noun token + p_size), never from a cross join — the classic
-    record-linkage shape (Fellegi-Sunter blocking). The quadratic
-    levenshtein verify runs per block, and block sizes are bounded by
-    the key's selectivity, so cost is sum-of-squares over blocks, not
-    n^2. At 100 TB the block key is the shuffle key; skewed blocks
-    would be salted exactly like any hot join key (operators/skew.py).
-    levenshtein() is JVM-side in Spark and built-in in DuckDB — the
-    oracle is a literal semantic replay."""
+    """Entity resolution by edit distance with BLOCKING plus a
+    SORTED-NEIGHBORHOOD cap (Hernandez & Stolfo 1995): candidate pairs
+    come from an equi-join on a cheap deterministic block key (the
+    name's noun token + p_size), and within a block only rows whose
+    partkey-order ranks are within W={_FUZZY_SN_WINDOW} of each other
+    are compared. Without the cap, per-block verify work is O(block**2)
+    and the 400 block keys here are corpus-independent, so blocks — and
+    the quadratic — GROW with the data (measured r3: 9.9x wall / 69x
+    shuffle at 10x). With it, each row is compared to at most W
+    neighbors: total work O(n*W), linear in the corpus. The rank join
+    is made a pure equi-join by exploding the right side over the W
+    gap offsets — candidate enumeration itself is linear, not just the
+    post-filter. At sf0.01 every block has <= 13 rows, so the capped
+    output is row-identical to the uncapped r1-r3 form; the cap is
+    reflected in the oracle's rank-band condition. levenshtein() is
+    JVM-side in Spark and built-in in DuckDB — the oracle is a literal
+    semantic replay."""
+    w = Window.partitionBy("blk", "p_size").orderBy("p_partkey")
     p = (
         _t(spark, sf_dir, "part")
         .select(
@@ -231,24 +245,30 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_size",
             F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
         )
+        .withColumn("rnk", F.row_number().over(w))
     )
-    a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    # Right side replicated once per gap offset j in 1..W: the join on
+    # (blk, size, a.rnk = b.rnk - j) is fully equi, so a block of m rows
+    # yields exactly min(m-1, W)*m/... <= m*W candidate rows — never m**2.
+    b = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+        "p_size",
+        "blk",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(1, _FUZZY_SN_WINDOW + 1)])
+        ).alias("gap"),
+        F.col("rnk").alias("b_rnk"),
+    ).withColumn("a_rnk", F.col("b_rnk") - F.col("gap"))
+    dist = F.levenshtein(F.col("p_name"), F.col("b_name"))
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.blk") == F.col("b.blk"),
-                F.col("a.p_size") == F.col("b.p_size"),
-                F.col("a.p_partkey") < F.col("b.p_partkey"),
-            ],
-        )
+        p.join(b, on=[p["blk"] == b["blk"], p["p_size"] == b["p_size"], p["rnk"] == b["a_rnk"]])
         .filter(dist.between(1, 3))
         .select(
-            F.col("a.p_partkey").alias("a_key"),
-            F.col("b.p_partkey").alias("b_key"),
-            F.col("a.p_name").alias("a_name"),
-            F.col("b.p_name").alias("b_name"),
+            F.col("p_partkey").alias("a_key"),
+            "b_key",
+            F.col("p_name").alias("a_name"),
+            "b_name",
             dist.cast("bigint").alias("dist"),
         )
         .orderBy("a_key", "b_key")

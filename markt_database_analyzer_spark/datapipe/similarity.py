@@ -424,6 +424,125 @@ def srp_neardup_pairs(
     return scored.filter(F.col("cos") >= min_cos).select("id_a", "id_b", "cos")
 
 
+SRP_SIZED_BANDS = 16
+
+
+def srp_sizing(n: int, bands: int = SRP_SIZED_BANDS) -> tuple[int, int]:
+    """Corpus-sized SRP band geometry (the standard LSH sizing; Indyk &
+    Motwani's rho-analysis specialized to hyperplane hashing): bits per
+    band ``r = max(8, ceil(log2(n)))`` so the per-band random-pair
+    collision rate ``~2^-r <= 1/n``. Expected random candidates are then
+    ``bands * C(n,2) * 2^-r <= bands * n / 2`` — LINEAR in the corpus,
+    vs the fixed-width demo geometry's ``Theta(n^2 * 2^-r)`` (measured
+    r3: 13.1x wall / 57x shuffle on constant-density 10x data). The
+    price of scale-safety is a log factor of per-row projection work
+    (``bands * r`` sign bits instead of a constant 16); recall at a
+    given cosine falls as r grows, which is the standard trade — at
+    fixed recall targets, production systems raise ``bands`` with
+    ``ln n`` too. Returns ``(bits_per_band, bands)``."""
+    import math
+
+    r = max(8, math.ceil(math.log2(max(n, 2))))
+    return r, bands
+
+
+def srp_codes_arrow(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bits: int,
+    bands: int,
+) -> DataFrame:
+    """(vid, band_id, band_code) SRP codes via a vectorized Arrow
+    projector. The sized geometry carries ``bands * r`` projections
+    (176 at n=2k, 240 at n=20k); as per-bit column expressions those are
+    interpreted HOF folds over a plan with bits x dim literal nodes —
+    ~10 s of Catalyst analysis alone, then single-core evaluation. Here
+    the batch does ``bits`` accumulations of ``dim`` elementwise
+    products, ACCUMULATED IN ARRAY ORDER (``acc += v[:, i] * s_i`` per
+    dim) — bit-identical to the sequential ``F.aggregate`` fold and to
+    DuckDB's ``list_inner_product``, so the oracle still replays the
+    sign bits exactly. The sign test mirrors ``round(dot, 9) >= 0``
+    as ``dot > -5e-10`` (identical on every non-tie double). Map-only,
+    partition-preserving; output rows are 12-byte (vid, band, code)."""
+    import numpy as np
+    import pyarrow as pa
+
+    mat = np.array(srp_matrix(dim, bits), dtype=np.float64)  # bits x dim
+    rows = bits // bands
+
+    def project(batches):
+        for batch in batches:
+            vids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            arr = batch.column(vec_col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            vecs = flat.reshape(len(vids), dim)
+            m = len(vids)
+            codes = np.zeros((m, bands), dtype=np.int32)
+            for p in range(bits):
+                acc = np.zeros(m, dtype=np.float64)
+                for i in range(dim):
+                    acc = acc + vecs[:, i] * mat[p, i]
+                bit = (acc > -5e-10).astype(np.int32)
+                codes[:, p // rows] |= bit << (p % rows)
+            yield pa.record_batch(
+                {
+                    "vid": pa.array(np.repeat(vids, bands)),
+                    "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), m)),
+                    "band_code": pa.array(codes.reshape(-1)),
+                }
+            )
+
+    skinny = fan_out(corpus.select(F.col(id_col).alias(id_col), F.col(vec_col)))
+    return skinny.mapInArrow(project, "vid long, band_id int, band_code int")
+
+
+def srp_neardup_pairs_sized(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    min_cos: float = 0.9,
+    n: int | None = None,
+    bands: int = SRP_SIZED_BANDS,
+) -> DataFrame:
+    """:func:`srp_neardup_pairs` with ln(n)-sized bands (see
+    :func:`srp_sizing`) and the Arrow code projector
+    (:func:`srp_codes_arrow`). ``n`` defaults to a ``count()`` of the
+    corpus — on parquet sources that is metadata-cheap, and the sizing
+    only needs the order of magnitude. Band self-join and exact-cosine
+    verify are identical to the demo geometry."""
+    if n is None:
+        n = corpus.count()
+    r, b = srp_sizing(n, bands)
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = corpus.select(F.col(id_col).alias("vid"), vecd.alias("vec"))
+    codes = srp_codes_arrow(corpus, id_col, vec_col, dim, r * b, b).localCheckpoint(
+        eager=True
+    )
+    cand = (
+        codes.alias("a")
+        .join(
+            codes.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_code") == F.col("b.band_code"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = (
+        fan_out(cand)
+        .join(vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
+        .join(vecs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+    )
+    return scored.filter(F.col("cos") >= min_cos).select("id_a", "id_b", "cos")
+
+
 def sql_srp_neardup_pairs(
     dim: int = 64,
     min_cos: float = 0.9,

@@ -8,3 +8,10 @@ from .topk import top_k_per_group  # noqa: F401
 from .asof import asof_join_last  # noqa: F401
 from .rangejoin import bucketed_range_join  # noqa: F401
 from .skew import salted_join  # noqa: F401
+from .equidepth import (  # noqa: F401
+    bucket_by_cuts,
+    equi_depth_cut_points,
+    sql_cuts_ctes,
+    value_counts_cum,
+    values_at_ranks,
+)

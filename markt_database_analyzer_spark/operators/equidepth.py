@@ -1,0 +1,142 @@
+"""Exact order statistics and equi-depth bucketing without a total sort.
+
+The scale path for every "rank the whole table" operator family
+(equi-depth histograms, quantile scores, calibration bins, quantile
+normalization): ``ntile``/``row_number`` over an un-partitioned Window
+funnels the full table through ONE task — correct on a fixture, dead at
+100 TB. The published replacement (equi-depth histogram construction in
+every warehouse engine; SUMMARY/percentile pushdown in Spark itself via
+``percentile_approx``) derives BUCKET BOUNDARIES from a value-domain
+aggregation, broadcasts the (tiny) boundary list, and assigns buckets
+with a map-only comparison. Here the boundaries are EXACT, not sketched,
+so DuckDB oracles can replay them bit-for-bit:
+
+1. ``groupBy(value) -> count`` — domain-sized, map-side combined;
+2. a two-level distributed prefix sum over the ascending value domain
+   (range partition -> per-partition totals, collected: one row per
+   partition -> partitioned within-partition running sum + broadcast
+   offsets) — no single-partition WindowExec anywhere;
+3. ``min(v) where cum >= k`` for the (model-sized) target rank list —
+   the exact k-th order statistics;
+4. bucket assignment as ``1 + sum(value > boundary_b)`` over literal
+   boundaries — pure map work, whole-stage codegen.
+
+Cost: two small shuffles over the DISTINCT-VALUE frame (bounded by the
+value domain, not the row count) plus one scan for assignment. Driver
+traffic: one row per partition + one row per requested rank — the
+sanctioned O(model) collect shape.
+
+Reference parity: the reference has no order-statistic operators; this
+module exists for the engine's own analytics entries (SURVEY.md §2 gaps
+it fills are catalog-internal). Cross-engine determinism: rank targets
+use exact integer arithmetic (``ceil(b*n/B)`` as ``(b*n + B - 1) div B``)
+mirrored literally in the SQL oracles; boundary values are data values,
+never interpolated floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def value_counts_cum(df: DataFrame, value: Column) -> tuple[DataFrame, int]:
+    """Inclusive running count over the ascending distinct-value domain.
+
+    Returns ``(frame, n)`` where the frame has columns ``v`` (distinct
+    value), ``cnt`` (multiplicity) and ``cum`` (inclusive prefix count in
+    value order), and ``n`` is the total row count. The prefix sum is
+    two-level: ``repartitionByRange`` by value, per-partition totals
+    (collected — one row per partition), then a PARTITIONED window for
+    the within-partition running sum plus a broadcast offset map. The
+    ``localCheckpoint`` pins partition ids so the totals job and the
+    window job see the same physical partitioning.
+    """
+    vc = df.groupBy(value.alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+    p = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        vc.repartitionByRange(p, "v")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = sorted(
+        (r["pid"], r["t"])
+        for r in ranged.groupBy("pid").agg(F.sum("cnt").alias("t")).collect()
+    )
+    n = int(sum(t for _, t in totals))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, t in totals:
+        offsets[pid] = acc
+        acc += int(t)
+    off = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ranged.select(
+        "v",
+        "cnt",
+        (F.sum("cnt").over(w) + F.coalesce(off[F.col("pid")], F.lit(0))).alias("cum"),
+    )
+    return cum, n
+
+
+def values_at_ranks(cum: DataFrame, ranks: list[int]) -> list:
+    """Exact order statistics: for each 1-indexed rank ``k`` the smallest
+    domain value whose inclusive prefix count reaches ``k``. One
+    conditional-min per rank inside a SINGLE aggregation over the cum
+    frame — map-side combined, no join, no window; the collect is one
+    row of ``len(ranks)`` scalars."""
+    aggs = [
+        F.min(F.when(F.col("cum") >= int(k), F.col("v"))).alias(f"os_{i}")
+        for i, k in enumerate(ranks)
+    ]
+    row = cum.agg(*aggs).collect()[0]
+    return [row[f"os_{i}"] for i in range(len(ranks))]
+
+
+def equi_depth_cut_points(df: DataFrame, value: Column, n_buckets: int) -> list:
+    """The ``n_buckets - 1`` exact equi-depth boundaries of ``value``:
+    boundary ``b`` is the ``ceil(b * n / B)``-th smallest value (exact
+    integer target math, mirrored by oracles as ``(b*n + B-1) // B``).
+    Rows equal to a boundary fall in the LOWER bucket."""
+    cum, n = value_counts_cum(df, value)
+    b = int(n_buckets)
+    ranks = [(i * n + b - 1) // b for i in range(1, b)]
+    return values_at_ranks(cum, ranks)
+
+
+def bucket_by_cuts(value: Column, cuts: list) -> Column:
+    """Map-only equi-depth bucket id (1-based) from literal boundaries:
+    ``1 + sum(value > cut_b)`` — stays inside whole-stage codegen, no
+    shuffle, no window."""
+    out = F.lit(1)
+    for c in cuts:
+        out = out + F.when(value > F.lit(c), 1).otherwise(0)
+    return out.cast("bigint")
+
+
+def sql_cuts_ctes(
+    source: str, value_sql: str, n_buckets: int, prefix: str = ""
+) -> str:
+    """DuckDB CTE fragment replaying :func:`equi_depth_cut_points`
+    exactly: ``{prefix}cuts(b, c)`` holds the boundaries. ``source`` is a
+    table name or CTE; ``value_sql`` the value expression."""
+    b = int(n_buckets)
+    return f"""{prefix}vc AS (
+  SELECT {value_sql} AS v, count(*) AS cnt FROM {source} GROUP BY 1
+),
+{prefix}cum AS (
+  SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM {prefix}vc
+),
+{prefix}tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {source}),
+{prefix}cuts AS (
+  SELECT b, min(v) AS c
+  FROM {prefix}cum, {prefix}tot, (SELECT unnest(range(1, {b})) AS b)
+  WHERE cum >= (b * n + {b - 1}) // {b}
+  GROUP BY b
+)"""
