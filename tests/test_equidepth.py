@@ -1,0 +1,171 @@
+"""Unit tests for operators/equidepth.py (exact order statistics and
+percentile-cut bucketing) and the round-4 scale-path entries built on it,
+pinned against plain-Python reimplementations."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from markt_database_analyzer_spark.datapipe import similarity as sim
+from markt_database_analyzer_spark.operators.equidepth import (
+    bucket_by_cuts,
+    equi_depth_cut_points,
+    value_counts_cum,
+    values_at_ranks,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    # deterministic multiset with heavy ties and an uneven tail
+    data = [1.0] * 7 + [2.5] * 3 + [4.0] * 5 + [7.25] * 1 + [9.0] * 4
+    return data, spark.createDataFrame([(v,) for v in data], "x double")
+
+
+def test_value_counts_cum_matches_sorted_prefix(spark, vals):
+    data, df = vals
+    cum, n = value_counts_cum(df, F.col("x"))
+    assert n == len(data)
+    got = {r["v"]: (r["cnt"], r["cum"]) for r in cum.collect()}
+    expect = {}
+    run = 0
+    for v in sorted(set(data)):
+        c = data.count(v)
+        run += c
+        expect[v] = (c, run)
+    assert got == expect
+
+
+def test_values_at_ranks_are_exact_order_statistics(spark, vals):
+    data, df = vals
+    cum, n = value_counts_cum(df, F.col("x"))
+    s = sorted(data)
+    ranks = [1, 2, 7, 8, 10, 11, n]
+    assert values_at_ranks(cum, ranks) == [s[k - 1] for k in ranks]
+
+
+def test_cut_points_and_buckets_match_python(spark, vals):
+    data, df = vals
+    b = 4
+    cuts = equi_depth_cut_points(df, F.col("x"), b)
+    s = sorted(data)
+    n = len(data)
+    expect_cuts = [s[(i * n + b - 1) // b - 1] for i in range(1, b)]
+    assert cuts == expect_cuts
+    got = df.select("x", bucket_by_cuts(F.col("x"), cuts).alias("bkt")).collect()
+    for r in got:
+        assert r["bkt"] == 1 + sum(1 for c in cuts if r["x"] > c)
+    # ties-to-lower: every row equal to a cut sits in the bucket the cut closes
+    by_bucket = {}
+    for r in got:
+        by_bucket.setdefault(r["bkt"], []).append(r["x"])
+    assert max(by_bucket) <= b and min(by_bucket) >= 1
+
+
+def test_all_equal_values_collapse_to_bucket_one(spark):
+    df = spark.createDataFrame([(3.5,)] * 9, "x double")
+    cuts = equi_depth_cut_points(df, F.col("x"), 5)
+    assert cuts == [3.5] * 4
+    got = df.select(bucket_by_cuts(F.col("x"), cuts).alias("b")).distinct().collect()
+    assert [r["b"] for r in got] == [1]
+
+
+def test_equi_depth_counts_near_equal_on_events(spark):
+    from markt_database_analyzer_spark.catalog import REGISTRY
+
+    out = REGISTRY["histogram_equi_depth_cuts"].fn(spark, SF_DIR).collect()
+    n = sum(r["n"] for r in out)
+    # continuous values -> no tie mass -> counts within 1 of n/10
+    assert all(abs(r["n"] - n / 10) <= 1 for r in out)
+    # buckets tile the value range in order
+    for lo_r, hi_r in zip(out, out[1:]):
+        assert lo_r["hi"] <= hi_r["lo"]
+
+
+def test_no_unpartitioned_window_in_cut_entry_plans(spark):
+    """The point of the family: no single-task total order anywhere.
+    The cut derivation runs eagerly (model-sized collects); the final
+    plans must contain no un-partitioned Window at all."""
+    from markt_database_analyzer_spark.catalog import REGISTRY
+
+    for name in ("histogram_equi_depth_cuts", "segment_rfm_customers_cuts"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, (name, plan)
+
+
+def test_srp_sizing_is_log_scaled():
+    assert sim.srp_sizing(2)[0] == 8
+    assert sim.srp_sizing(500) == (9, 16)
+    assert sim.srp_sizing(2000) == (11, 16)
+    assert sim.srp_sizing(20000) == (15, 16)
+    for n in (10, 1000, 10**6, 10**9):
+        r, b = sim.srp_sizing(n)
+        assert 2.0 ** (-r) <= 1.0 / n or r == 8
+        assert r == max(8, math.ceil(math.log2(n)))
+
+
+def test_srp_sized_agrees_with_expression_codes(spark):
+    """The Arrow projector must produce the same pairs as the literal
+    expression path at the same geometry (it claims bit-identical
+    accumulation order)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    r, b = sim.srp_sizing(n)
+    got = sorted(
+        (x["id_a"], x["id_b"], x["cos"])
+        for x in sim.srp_neardup_pairs_sized(
+            emb, "vec_id", "embedding", dim=64, min_cos=0.3
+        ).collect()
+    )
+    want = sorted(
+        (x["id_a"], x["id_b"], x["cos"])
+        for x in sim.srp_neardup_pairs(
+            emb, "vec_id", "embedding", dim=64, min_cos=0.3, bits=r * b, bands=b
+        ).collect()
+    )
+    assert got == want
+
+
+def test_fuzzy_sorted_neighborhood_subset_of_uncapped(spark):
+    """W-capped pairs are exactly the uncapped pairs whose block ranks
+    are within W — at sf0.001 every block is tiny, so output equals the
+    uncapped form entirely."""
+    from markt_database_analyzer_spark.catalog import REGISTRY
+
+    capped = REGISTRY["join_fuzzy_blocked"].fn(spark, SF_DIR).collect()
+    p = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_size",
+            F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
+        )
+    )
+    a, bdf = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    uncapped = (
+        a.join(
+            bdf,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.p_size") == F.col("b.p_size"),
+                F.col("a.p_partkey") < F.col("b.p_partkey"),
+            ],
+        )
+        .filter(dist.between(1, 3))
+        .select(
+            F.col("a.p_partkey").alias("a_key"),
+            F.col("b.p_partkey").alias("b_key"),
+        )
+        .collect()
+    )
+    assert sorted((r["a_key"], r["b_key"]) for r in capped) == sorted(
+        (r["a_key"], r["b_key"]) for r in uncapped
+    )
