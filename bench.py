@@ -31,6 +31,17 @@ def main() -> None:
 
     spark = get_spark(app_name="mda-bench", extra_conf={"spark.ui.enabled": "false"})
 
+    # The handful of remaining un-partitioned Windows run over bounded
+    # spine/model frames (<= a few hundred rows, documented per entry);
+    # their per-query "No Partition Defined" warning floods the captured
+    # stdout tail (BENCH_r03's tail was 100% WindowExec lines), hiding
+    # real warnings. Silence that one logger for the bench session only.
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
+
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup.
     force(REGISTRY["j1_revenue_by_priority"].fn(spark, sf_dir))
