@@ -68,8 +68,10 @@ ENTRIES = [
 # ~4/16 = 25%, so candidate volume is Theta(n^2 * p_rand) regardless of
 # density — linear scaling requires band width to grow with ln(n) (the
 # standard LSH sizing), which this corpus's weak-similarity regime
-# (max cos 0.51) cannot afford recall-wise. Expect SRP to stay
-# superlinear here; the table annotation explains it.
+# (max cos 0.51) cannot afford recall-wise. Expect the fixed-band demo
+# entry to stay superlinear here; round 4 added the ln(n)-sized
+# similarity_srp_lsh_sized (measured ~2x wall / 8.5x shuffle at 10x —
+# see the Round-4 section), keeping this one as the documented law.
 PAIR_ENTRIES = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
@@ -243,6 +245,21 @@ R4_ENTRIES = [
     "multimodal_decode_features",
 ]
 
+# Round-4 scale-path variants (VERDICT r3 items 2-4): the sized SRP is
+# measured on the CONSTANT-DENSITY (distinct-content) replication — the
+# protocol under which its fixed-band sibling measured 13.1x wall / 57x
+# shuffle; the capped fuzzy join and the percentile-cut family run on
+# the relational replication (fuzzy blocks grow 10x there — exactly the
+# adversarial direction the cap exists for).
+R5_PAIR_ENTRIES = ["similarity_srp_lsh_sized"]
+R5_REL_ENTRIES = [
+    "join_fuzzy_blocked",
+    "histogram_equi_depth_cuts",
+    "segment_rfm_customers_cuts",
+    "eval_calibration_bins_cuts",
+    "stats_quantile_normalize_grid",
+]
+
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
 
 _R3_TABLES = {
@@ -307,14 +324,15 @@ def main() -> None:
 
     r3_mode = "--r3" in sys.argv
     r4_mode = "--r4" in sys.argv
+    r5_mode = "--r5" in sys.argv
 
-    if r3_mode or r4_mode:
+    if r3_mode or r4_mode or r5_mode:
         print("building 10x relational replication ...", file=sys.stderr)
         big_rel = build_10x_rel(spark)
     else:
         print("building 10x replication ...", file=sys.stderr)
         big_dir = build_10x(spark)
-    if not (r3_mode or r4_mode):
+    if r5_mode or not (r3_mode or r4_mode):
         print("building 10x distinct-content replication ...", file=sys.stderr)
         big_distinct_dir = build_10x(spark, distinct=True)
 
@@ -349,7 +367,10 @@ def main() -> None:
         )
         return rec
 
-    if r4_mode:
+    if r5_mode:
+        rows_r5 = measure(R5_REL_ENTRIES, big_rel)
+        rows_r5 += measure(R5_PAIR_ENTRIES, big_distinct_dir)
+    elif r4_mode:
         rows_r4 = measure(R4_ENTRIES, big_rel)
     elif r3_mode:
         rows_r3 = measure(R3_ENTRIES, big_rel)
@@ -373,6 +394,41 @@ def main() -> None:
     md_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_EVIDENCE.md"
     )
+    if r5_mode:
+        lines = [
+            "",
+            "## Round-4 scale-path variants",
+            "",
+            "The three r3 'weak at scale' items, re-measured after their "
+            "round-4 fixes. join_fuzzy_blocked and the percentile-cut "
+            "family run on the 10× RELATIONAL replication (every fuzzy "
+            "block grows 10× — the direction that made the uncapped form "
+            "9.9×/69×); similarity_srp_lsh_sized runs on the "
+            "CONSTANT-DENSITY distinct-content replication (where the "
+            "fixed-band form measured 13.1× wall / 57× shuffle).",
+            "",
+        ]
+        lines += table(rows_r5)
+        lines += [
+            "",
+            "Annotations: the sorted-neighborhood cap makes fuzzy-ER "
+            "verify work O(n·W); the equi-depth/cut entries do two "
+            "domain-sized aggregations plus a scan (no total order "
+            "anywhere), so their wall should track the scan; the sized "
+            "SRP's ln(n) band width keeps random-pair candidates linear "
+            "— its per-row projection work grows by r(10n)/r(n) "
+            "(a log factor), which the wall ratio includes.",
+            "",
+        ]
+        prev = open(md_path).read() if os.path.exists(md_path) else ""
+        marker = "\n## Round-4 scale-path variants"
+        if marker in prev:
+            prev = prev[: prev.index(marker)]
+        with open(md_path, "w") as f:
+            f.write(prev.rstrip("\n") + "\n" + "\n".join(lines))
+        print("appended round-4 section to SCALE_EVIDENCE.md", file=sys.stderr)
+        return
+
     if r4_mode:
         lines = [
             "",
