@@ -392,18 +392,16 @@ def srp_neardup_pairs(
     generate-cheap/verify-exact split as MinHash LSH. Only
     (band_id, band_code, id) ever shuffles; vectors stay put until the
     (small) verified-candidate join."""
-    mat = srp_matrix(dim, bits)
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     vecs = corpus.select(F.col(id_col).alias("vid"), vecd.alias("vec"))
     # Skinny (vid, band_id, band_code) frame — the band self-join shuffles
-    # 12-byte rows, never vectors. Materialized: both self-join sides
-    # consume it, and the projection expression is large (bits x dim
-    # literal dot products) — without the checkpoint it is codegen'd and
-    # evaluated twice.
-    codes = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(F.array(*srp_band_codes(vecd, mat, bands))).alias("band_id", "band_code"),
-    ).localCheckpoint(eager=True)
+    # 12-byte rows, never vectors. Codes come from the vectorized Arrow
+    # projector (bit-identical to the per-bit expression fold — pinned by
+    # test_srp_sized_agrees_with_expression_codes); the checkpoint keeps
+    # the projection evaluated once for both self-join sides.
+    codes = srp_codes_arrow(corpus, id_col, vec_col, dim, bits, bands).localCheckpoint(
+        eager=True
+    )
     cand = (
         codes.alias("a")
         .join(

@@ -110,24 +110,26 @@ def test_srp_sizing_is_log_scaled():
         assert r == max(8, math.ceil(math.log2(n)))
 
 
-def test_srp_sized_agrees_with_expression_codes(spark):
-    """The Arrow projector must produce the same pairs as the literal
-    expression path at the same geometry (it claims bit-identical
-    accumulation order)."""
+@pytest.mark.parametrize("bits,bands", [(16, 4), (144, 16)])
+def test_srp_arrow_codes_match_expression_codes(spark, bits, bands):
+    """The Arrow projector (used by BOTH srp pair paths since r4) must
+    produce bit-identical band codes to the literal per-bit expression
+    fold at the same geometry — it claims array-order accumulation."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    n = emb.count()
-    r, b = sim.srp_sizing(n)
-    got = sorted(
-        (x["id_a"], x["id_b"], x["cos"])
-        for x in sim.srp_neardup_pairs_sized(
-            emb, "vec_id", "embedding", dim=64, min_cos=0.3
+    mat = sim.srp_matrix(64, bits)
+    vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    want = sorted(
+        (r["vid"], r["band_id"], r["band_code"])
+        for r in emb.select(
+            F.col("vec_id").alias("vid"),
+            F.posexplode(F.array(*sim.srp_band_codes(vecd, mat, bands))).alias(
+                "band_id", "band_code"
+            ),
         ).collect()
     )
-    want = sorted(
-        (x["id_a"], x["id_b"], x["cos"])
-        for x in sim.srp_neardup_pairs(
-            emb, "vec_id", "embedding", dim=64, min_cos=0.3, bits=r * b, bands=b
-        ).collect()
+    got = sorted(
+        (r["vid"], r["band_id"], r["band_code"])
+        for r in sim.srp_codes_arrow(emb, "vec_id", "embedding", 64, bits, bands).collect()
     )
     assert got == want
 
