@@ -198,6 +198,42 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUZZY_SN_WINDOW = 20  # sorted-neighborhood width: per-row verify work is O(W)
 
 
+def fuzzy_block_candidates(p: DataFrame) -> DataFrame:
+    """Shared capped fuzzy-ER candidate generator (used by
+    ``join_fuzzy_blocked`` and ``er_fuzzy_canonicalize``): blocked on
+    (name-noun, size), sorted-neighborhood rank band W via gap-offset
+    explode so candidate enumeration is a pure equi-join doing O(n*W)
+    work. Input needs columns p_partkey, p_name, p_size, blk; output is
+    (a_key, b_key, a_name, b_name, dist) with dist in [1, 3]."""
+    w = Window.partitionBy("blk", "p_size").orderBy("p_partkey")
+    pr = p.withColumn("rnk", F.row_number().over(w))
+    b = pr.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+        "p_size",
+        "blk",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(1, _FUZZY_SN_WINDOW + 1)])
+        ).alias("gap"),
+        F.col("rnk").alias("b_rnk"),
+    ).withColumn("a_rnk", F.col("b_rnk") - F.col("gap"))
+    dist = F.levenshtein(F.col("p_name"), F.col("b_name"))
+    return (
+        pr.join(
+            b,
+            on=[pr["blk"] == b["blk"], pr["p_size"] == b["p_size"], pr["rnk"] == b["a_rnk"]],
+        )
+        .filter(dist.between(1, 3))
+        .select(
+            F.col("p_partkey").alias("a_key"),
+            "b_key",
+            F.col("p_name").alias("a_name"),
+            "b_name",
+            dist.cast("bigint").alias("dist"),
+        )
+    )
+
+
 @register(
     "join_fuzzy_blocked",
     oracle=f"""
@@ -235,44 +271,16 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is row-identical to the uncapped r1-r3 form; the cap is
     reflected in the oracle's rank-band condition. levenshtein() is
     JVM-side in Spark and built-in in DuckDB — the oracle is a literal
-    semantic replay."""
-    w = Window.partitionBy("blk", "p_size").orderBy("p_partkey")
-    p = (
-        _t(spark, sf_dir, "part")
-        .select(
-            "p_partkey",
-            "p_name",
-            "p_size",
-            F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
-        )
-        .withColumn("rnk", F.row_number().over(w))
-    )
-    # Right side replicated once per gap offset j in 1..W: the join on
-    # (blk, size, a.rnk = b.rnk - j) is fully equi, so a block of m rows
-    # yields exactly min(m-1, W)*m/... <= m*W candidate rows — never m**2.
-    b = p.select(
-        F.col("p_partkey").alias("b_key"),
-        F.col("p_name").alias("b_name"),
+    semantic replay. Candidate generation is the shared
+    :func:`fuzzy_block_candidates` (gap-offset explode — a block of m
+    rows yields <= m*W candidate rows, never m**2)."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
         "p_size",
-        "blk",
-        F.explode(
-            F.array(*[F.lit(j) for j in range(1, _FUZZY_SN_WINDOW + 1)])
-        ).alias("gap"),
-        F.col("rnk").alias("b_rnk"),
-    ).withColumn("a_rnk", F.col("b_rnk") - F.col("gap"))
-    dist = F.levenshtein(F.col("p_name"), F.col("b_name"))
-    return (
-        p.join(b, on=[p["blk"] == b["blk"], p["p_size"] == b["p_size"], p["rnk"] == b["a_rnk"]])
-        .filter(dist.between(1, 3))
-        .select(
-            F.col("p_partkey").alias("a_key"),
-            "b_key",
-            F.col("p_name").alias("a_name"),
-            "b_name",
-            dist.cast("bigint").alias("dist"),
-        )
-        .orderBy("a_key", "b_key")
+        F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
     )
+    return fuzzy_block_candidates(p).orderBy("a_key", "b_key")
 
 
 # --------------------------------------------------------------------------

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import SQL_DAVG, SQL_DSUM, register, _t
+from .catalog_r3b import _FUZZY_SN_WINDOW, fuzzy_block_candidates
 from .datapipe import clustering as cl
 from .functions import davg, dsum
 
@@ -226,14 +227,17 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fuzzy entity resolution end-to-end (match → cluster → canonicalize)
 # --------------------------------------------------------------------------
 
-_FUZZY_PAIRS_SQL = """
+_FUZZY_PAIRS_SQL = f"""
 WITH pp AS (
-  SELECT p_partkey, p_name, p_size, string_split(p_name, ' ')[2] AS blk
+  SELECT p_partkey, p_name, p_size, string_split(p_name, ' ')[2] AS blk,
+         row_number() OVER (PARTITION BY string_split(p_name, ' ')[2], p_size
+                            ORDER BY p_partkey) AS rnk
   FROM part
 )
 SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
 FROM pp a JOIN pp b
-  ON a.blk = b.blk AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+  ON a.blk = b.blk AND a.p_size = b.p_size
+ AND b.rnk - a.rnk BETWEEN 1 AND {_FUZZY_SN_WINDOW}
 WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
 """
 
@@ -276,28 +280,18 @@ def er_fuzzy_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the full catalog. The oracle walks the identical match graph
     with DuckDB's recursive transitive closure — two genuinely
     independent connected-components implementations agreeing on every
-    cluster id and size."""
+    cluster id and size. Candidate matching uses the shared
+    sorted-neighborhood-capped generator (catalog_r3b
+    fuzzy_block_candidates, W=20) since r4 — O(n*W)
+    verify work; output unchanged at fixture scale (max block 13)."""
     p = _t(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
         "p_size",
         F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
     )
-    a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.blk") == F.col("b.blk"),
-                F.col("a.p_size") == F.col("b.p_size"),
-                F.col("a.p_partkey") < F.col("b.p_partkey"),
-            ],
-        )
-        .filter(dist.between(1, 3))
-        .select(
-            F.col("a.p_partkey").alias("id_a"), F.col("b.p_partkey").alias("id_b")
-        )
+    pairs = fuzzy_block_candidates(p).select(
+        F.col("a_key").alias("id_a"), F.col("b_key").alias("id_b")
     )
     out = cl.resolve_duplicate_clusters(
         p.select("p_partkey"), pairs, id_col="p_partkey"
