@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..functions import davg, dsum
 from .hashing import hash60, sql_hash60
 from .text import sql_tokens, tokens
+from .util import fan_out
 
 
 def bigrams(col: Column | str) -> Column:
@@ -72,8 +73,13 @@ def bigram_logprob_scores(
     # counts, the scoring join) — without the checkpoint it re-evaluates
     # per consumer (measured 3x on the ccnet/bigram entries at sf0.1).
     # 24 bytes/bigram (three longs), spills never matter.
-    bg = df.select(
-        F.col(id_col).alias("did"), F.explode(bigrams(text_col)).alias("bg")
+    # fan_out first: documents at sf0.1 is a single parquet split, and
+    # without the repartition the tokenize/explode/md5 subtree runs on
+    # ONE core before the checkpoint (measured 5.2s -> ~2s for the ccnet
+    # entry at sf0.1); at cluster scale the scan is already wide and the
+    # repartition is a no-op.
+    bg = fan_out(df.select(F.col(id_col).alias("did"), F.col(text_col))).select(
+        "did", F.explode(bigrams(text_col)).alias("bg")
     ).select(
         "did",
         hash60(F.col("bg")).alias("bgh"),
