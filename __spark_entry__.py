@@ -45,6 +45,7 @@ _DRIVER_HEAD: list[str] = [
     "segment_rfm_customers_cuts",
     "eval_calibration_bins_cuts",
     "stats_quantile_normalize_grid",
+    "stats_winsorized_mean_cuts",
     # (3) never driver-checked priorities (VERDICT r3 item 1/5): the
     # iterative/graph/pipeline family + all remaining streaming entries
     "graph_triangle_count",

@@ -30,14 +30,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import SQL_DSUM, register, _t
+from .catalog import SQL_DAVG, SQL_DSUM, register, _t
 from .catalog_r3s import _CAL_BINS, _LR_STOP
 from .datapipe import similarity as sim
 from .datapipe import text as tx
-from .functions import dsum
+from .functions import davg, dsum
 from .operators.equidepth import (
     bucket_by_cuts,
     equi_depth_cut_points,
+    grouped_value_counts_cum,
+    grouped_values_at_ranks,
     sql_cuts_ctes,
     value_counts_cum,
     values_at_ranks,
@@ -435,4 +437,85 @@ def stats_quantile_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return rows.select("event_id", "event_type", "value", qnorm.alias("qnorm")).orderBy(
         "event_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorized mean via grouped order statistics (scale path)
+# --------------------------------------------------------------------------
+
+_WINS_CUT_SQL = f"""
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+vc AS (SELECT event_type AS g, value AS v, count(*) AS cnt FROM ev GROUP BY 1, 2),
+cum AS (
+  SELECT g, v, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum FROM vc
+),
+ng AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM vc GROUP BY 1),
+cuts AS (
+  SELECT c.g,
+         min(CASE WHEN c.cum >= greatest(CAST(ceil(0.05 * ng.n) AS BIGINT), 1)
+                  THEN c.v END) AS lo,
+         min(CASE WHEN c.cum >= CAST(ceil(0.95 * ng.n) AS BIGINT)
+                  THEN c.v END) AS hi
+  FROM cum c JOIN ng USING (g) GROUP BY 1
+)
+SELECT e.event_type, min(ng.n) AS n, min(k.lo) AS lo, min(k.hi) AS hi,
+       {SQL_DAVG.format(x='greatest(least(e.value, k.hi), k.lo)')} AS winsorized_mean,
+       {SQL_DAVG.format(x='e.value')} AS raw_mean
+FROM ev e JOIN cuts k ON e.event_type = k.g JOIN ng ON e.event_type = ng.g
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "stats_winsorized_mean_cuts",
+    oracle=_WINS_CUT_SQL,
+    tags=("robust-stats", "winsorize", "equidepth", "scale"),
+)
+def stats_winsorized_mean_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean with the P5/P95 clip points found by GROUPED exact
+    order statistics (operators/equidepth.py grouped_value_counts_cum)
+    instead of ``stats_winsorized_mean``'s per-group row_number window.
+    Same rank-selection contract (the max(ceil(0.05 n), 1)-th and
+    ceil(0.95 n)-th order statistics per group — identical values), but
+    the per-group window partitions there hold n/#groups DATA rows in
+    one task each; here the range-partitioned prefix sum bounds every
+    task by a slice of the distinct-value DOMAIN, and clipping is a
+    map-only comparison against per-group broadcast literals. The rank
+    targets use the same IEEE double expression ceil(0.05 * n) on both
+    engines."""
+    import math
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+        .localCheckpoint(eager=True)  # consumed by the cum pass AND the clip pass
+    )
+    cum, n_g = grouped_value_counts_cum(ev, F.col("event_type"), F.col("value"))
+    targets = {
+        g: [max(math.ceil(0.05 * n), 1), math.ceil(0.95 * n)] for g, n in n_g.items()
+    }
+    oss = grouped_values_at_ranks(cum, targets)
+    lo_map = F.create_map(*[F.lit(x) for g in oss for x in (g, oss[g][0])])
+    hi_map = F.create_map(*[F.lit(x) for g in oss for x in (g, oss[g][1])])
+    n_map = F.create_map(*[F.lit(x) for g, n in n_g.items() for x in (g, n)])
+    lo = lo_map[F.col("event_type")]
+    hi = hi_map[F.col("event_type")]
+    clipped = F.greatest(F.least(F.col("value"), hi), lo)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            davg(clipped).alias("winsorized_mean"),
+            davg(F.col("value")).alias("raw_mean"),
+        )
+        .select(
+            "event_type",
+            n_map[F.col("event_type")].cast("bigint").alias("n"),
+            lo_map[F.col("event_type")].alias("lo"),
+            hi_map[F.col("event_type")].alias("hi"),
+            "winsorized_mean",
+            "raw_mean",
+        )
+        .orderBy("event_type")
     )

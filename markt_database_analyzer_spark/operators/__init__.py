@@ -11,6 +11,8 @@ from .skew import salted_join  # noqa: F401
 from .equidepth import (  # noqa: F401
     bucket_by_cuts,
     equi_depth_cut_points,
+    grouped_value_counts_cum,
+    grouped_values_at_ranks,
     sql_cuts_ctes,
     value_counts_cum,
     values_at_ranks,

@@ -85,6 +85,75 @@ def value_counts_cum(df: DataFrame, value: Column) -> tuple[DataFrame, int]:
     return cum, n
 
 
+def grouped_value_counts_cum(
+    df: DataFrame, group: Column, value: Column
+) -> tuple[DataFrame, dict]:
+    """Per-group inclusive running count over each group's ascending
+    distinct-value domain — the grouped form of :func:`value_counts_cum`
+    and the scale path for every per-group rank window (a
+    ``row_number().over(partitionBy(group))`` funnels a whole group —
+    n/#groups rows — through one task; here no task ever sees more than
+    one range slice). Range partition on (g, v); per-(partition, group)
+    totals collected (at most partitions x groups rows — model-sized);
+    PARTITIONED within-slice running sum plus broadcast offsets keyed
+    by 'pid|g'. Returns ``(frame(g, v, cnt, cum), {g: n_g})``."""
+    vc = df.groupBy(group.alias("g"), value.alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    p = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        vc.repartitionByRange(p, "g", "v")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = sorted(
+        ((r["pid"], r["g"]), r["t"])
+        for r in ranged.groupBy("pid", "g").agg(F.sum("cnt").alias("t")).collect()
+    )
+    n_g: dict = {}
+    offsets: dict = {}
+    for (pid, g), t in totals:
+        offsets[f"{pid}|{g}"] = n_g.get(g, 0)
+        n_g[g] = n_g.get(g, 0) + int(t)
+    off = F.create_map(*[F.lit(x) for ko in offsets.items() for x in ko])
+    w = (
+        Window.partitionBy("pid", "g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    key = F.concat_ws("|", F.col("pid").cast("string"), F.col("g").cast("string"))
+    cum = ranged.select(
+        "g",
+        "v",
+        "cnt",
+        (F.sum("cnt").over(w) + F.coalesce(off[key], F.lit(0))).alias("cum"),
+    )
+    return cum, n_g
+
+
+def grouped_values_at_ranks(cum: DataFrame, targets: dict) -> dict:
+    """Per-group exact order statistics: ``targets`` maps each group to
+    its 1-indexed rank list; returns ``{g: [v_k, ...]}``. One conditional
+    min per (group, rank) inside a single aggregation — the collect is
+    one row of sum(len(ranks)) scalars."""
+    aggs = []
+    names = []
+    for g, ranks in targets.items():
+        for i, k in enumerate(ranks):
+            a = f"os_{len(names)}"
+            aggs.append(
+                F.min(
+                    F.when((F.col("g") == g) & (F.col("cum") >= int(k)), F.col("v"))
+                ).alias(a)
+            )
+            names.append((g, i))
+    row = cum.agg(*aggs).collect()[0]
+    out: dict = {g: [None] * len(r) for g, r in targets.items()}
+    for j, (g, i) in enumerate(names):
+        out[g][i] = row[f"os_{j}"]
+    return out
+
+
 def values_at_ranks(cum: DataFrame, ranks: list[int]) -> list:
     """Exact order statistics: for each 1-indexed rank ``k`` the smallest
     domain value whose inclusive prefix count reaches ``k``. One

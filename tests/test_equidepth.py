@@ -171,3 +171,31 @@ def test_fuzzy_sorted_neighborhood_subset_of_uncapped(spark):
     assert sorted((r["a_key"], r["b_key"]) for r in capped) == sorted(
         (r["a_key"], r["b_key"]) for r in uncapped
     )
+
+
+def test_grouped_cum_matches_python(spark):
+    from markt_database_analyzer_spark.operators.equidepth import (
+        grouped_value_counts_cum,
+        grouped_values_at_ranks,
+    )
+
+    data = [("a", 1.0), ("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 2.0),
+            ("b", 2.0), ("b", 5.0), ("c", 9.0)]
+    df = spark.createDataFrame(data, "g0 string, x double")
+    cum, n_g = grouped_value_counts_cum(df, F.col("g0"), F.col("x"))
+    assert n_g == {"a": 3, "b": 4, "c": 1}
+    got = {(r["g"], r["v"]): r["cum"] for r in cum.collect()}
+    assert got == {("a", 1.0): 2, ("a", 3.0): 3, ("b", 2.0): 3, ("b", 5.0): 4,
+                   ("c", 9.0): 1}
+    oss = grouped_values_at_ranks(cum, {"a": [1, 3], "b": [2, 4], "c": [1]})
+    assert oss == {"a": [1.0, 3.0], "b": [2.0, 5.0], "c": [9.0]}
+
+
+def test_winsorized_cuts_matches_window_form(spark):
+    """The grouped-order-statistic path must reproduce the row_number
+    window form's values exactly (same rank-selection contract)."""
+    from markt_database_analyzer_spark.catalog import REGISTRY
+
+    a = REGISTRY["stats_winsorized_mean"].fn(spark, SF_DIR).collect()
+    b = REGISTRY["stats_winsorized_mean_cuts"].fn(spark, SF_DIR).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
