@@ -917,10 +917,9 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bucket WIDTHS carry the density signal (complement of the
     fixed-width B1/B2 binning family). The tiebreak on event_id makes
     the tiling deterministic. ntile's single total order is the fixture
-    form; at 100 TB the same buckets come from percentile cuts
-    (percentile_approx boundaries as a broadcast literal, then a
-    map-only bucket assignment) — the published scalable equi-depth
-    path, same output contract."""
+    form; the scale path is the round-4 twin
+    ``histogram_equi_depth_cuts`` (operators/equidepth.py exact
+    percentile cuts as broadcast literals + map-only assignment)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.orderBy("value", "event_id")
     return (

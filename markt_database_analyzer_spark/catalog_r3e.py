@@ -188,9 +188,9 @@ def segment_rfm_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic even through ties, and the composite segment code
     (r*100+f*10+m) hash-matches the SQL replay. The per-customer
     aggregate is one hash agg; the three ntiles are global sorts over
-    the customer-cardinality frame (at 100 TB: percentile_approx cut
-    points broadcast as the equi-depth histogram entry does, same
-    output contract)."""
+    the customer-cardinality frame; the scale path is the round-4 twin
+    ``segment_rfm_customers_cuts`` (exact percentile cut points
+    broadcast, map-only scoring)."""
     orders = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )

@@ -175,7 +175,8 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     95th percentile values (⌈0.05n⌉-th and ⌈0.95n⌉-th order statistics
     — rank selection, so no engine's quantile interpolation convention
     is involved), then the quantized mean of the clipped column next to
-    the raw mean. The robust-location counterpart of the MAD entry; cut
+    the raw mean. The robust-location counterpart of the MAD entry
+    (scale path: the round-4 twin ``stats_winsorized_mean_cuts``); cut
     points are group-cardinality and broadcast back into a map-only
     clip. At 100 TB the cut points come from percentile_approx instead
     (equi-depth machinery), same contract."""

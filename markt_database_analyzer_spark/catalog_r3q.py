@@ -392,9 +392,9 @@ def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer through the index math ((r-1)(N-1) div/mod (n_g-1)) and
     micro-quantized through the values, so both engines interpolate the
     same two integers. The pooled sorted vector is a single-row broadcast
-    here; the 100 TB substitution is a fixed percentile grid
-    (percentile_approx at 1024 cuts) joined the same way — the per-row
-    mapping is unchanged."""
+    here; the scale path is the round-4 twin
+    ``stats_quantile_normalize_grid`` (101 exact pooled order
+    statistics broadcast, mid-rank ties, no data-sized window)."""
     ev = _t(spark, sf_dir, "events")
     micro = F.round(F.col("value") * 1000000.0).cast("long")
     wg = Window.partitionBy("event_type").orderBy("value", "event_id")

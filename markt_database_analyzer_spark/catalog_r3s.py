@@ -340,7 +340,9 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     empirical positive rate, ECE = Σ n_b/N · |acc_b − conf_b|. The
     companion to eval_roc_auc: ROC ranks, calibration checks the
     probabilities themselves. One window + one small agg; the ECE is a
-    constant-state window over {_CAL_BINS} rows."""
+    constant-state window over {_CAL_BINS} rows. Scale path: the
+    round-4 twin ``eval_calibration_bins_cuts`` (exact conf-domain
+    cuts, no un-partitioned data window)."""
     docs = _t(spark, sf_dir, "documents")
     ts = tx.tokens("text")
     stop = F.filter(ts, lambda t: t.isin("the", "a", "of", "and", "is"))

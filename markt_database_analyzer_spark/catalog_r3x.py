@@ -191,7 +191,11 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     within each phase by a seeded md5 key — reproducible epoch order
     with no RNG, the same hash-gate discipline as split_train_eval.
     Output: (doc, phase, position) — exactly what a data loader consumes.
-    One window pass; per-phase shuffle keys are ints."""
+    One window pass; per-phase shuffle keys are ints. The phase ntile
+    is a total order over docs — at 100 TB phase boundaries come from
+    operators/equidepth.py cut points on n_tokens instead (the
+    histogram_equi_depth_cuts discipline), keeping assignment
+    map-only."""
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
