@@ -199,3 +199,32 @@ def test_winsorized_cuts_matches_window_form(spark):
     a = REGISTRY["stats_winsorized_mean"].fn(spark, SF_DIR).collect()
     b = REGISTRY["stats_winsorized_mean_cuts"].fn(spark, SF_DIR).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    data=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False, width=16),
+        min_size=2,
+        max_size=60,
+    ),
+    b=st.integers(min_value=2, max_value=8),
+)
+def test_cut_points_property(spark, data, b):
+    """For ANY multiset (ties, negatives, floats) and bucket count:
+    boundary i is exactly the ceil(i*n/b)-th order statistic, every
+    bucket id is in range, and the assignment is 1 + #cuts strictly
+    below the value."""
+    df = spark.createDataFrame([(float(v),) for v in data], "x double")
+    cuts = equi_depth_cut_points(df, F.col("x"), b)
+    s = sorted(float(v) for v in data)
+    n = len(s)
+    assert cuts == [s[(i * n + b - 1) // b - 1] for i in range(1, b)]
+    got = df.select("x", bucket_by_cuts(F.col("x"), cuts).alias("bkt")).collect()
+    for r in got:
+        assert r["bkt"] == 1 + sum(1 for c in cuts if r["x"] > c)
+        assert 1 <= r["bkt"] <= b
