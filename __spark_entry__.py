@@ -46,6 +46,7 @@ _DRIVER_HEAD: list[str] = [
     "eval_calibration_bins_cuts",
     "stats_quantile_normalize_grid",
     "stats_winsorized_mean_cuts",
+    "pack_equal_token_shards",
     # (3) never driver-checked priorities (VERDICT r3 item 1/5): the
     # iterative/graph/pipeline family + all remaining streaming entries
     "graph_triangle_count",

@@ -519,3 +519,73 @@ def stats_winsorized_mean_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Equal-token corpus sharding (weighted equi-depth cuts)
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+def _sql_equal_token_shards() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents
+),
+{sql_cuts_ctes("d", "doc_id", _N_SHARDS, weight_sql="n_tokens")},
+cl AS (SELECT list(c ORDER BY b) AS cs FROM cuts),
+sharded AS (
+  SELECT doc_id, n_tokens,
+         1 + len(list_filter(cl.cs, x -> doc_id > x)) AS shard
+  FROM d, cl
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM sharded GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "pack_equal_token_shards",
+    oracle=_sql_equal_token_shards(),
+    tags=("packing", "sharding", "equidepth", "scale"),
+)
+def pack_equal_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic equal-WORK corpus sharding: split the doc_id-ordered
+    corpus into {_N_SHARDS} contiguous shards of near-equal TOTAL TOKEN
+    count — the planning step before writing balanced training shards
+    (equal docs-per-shard skews badly when document length does; equal
+    tokens is what makes every downstream trainer/tokenizer task finish
+    together). Shard boundary b is the smallest doc_id whose cumulative
+    token mass reaches ceil(b*W/{_N_SHARDS}) — the WEIGHTED form of the
+    round-4 percentile-cut machinery (weight = per-doc token count;
+    same distributed prefix sum, same exact integer targets), then a
+    map-only doc_id-vs-boundary comparison any writer task can apply
+    independently. Contiguity in doc_id keeps shard assignment stable
+    under re-runs and appends of higher ids — the property hash-mod
+    sharding lacks."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(tx.tokens("text")).cast("bigint").alias("n_tokens")
+    ).localCheckpoint(eager=True)  # tokenization feeds the cut pass and the stats pass
+    cuts = equi_depth_cut_points(
+        d, F.col("doc_id"), _N_SHARDS, weight=F.col("n_tokens")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "n_tokens",
+            bucket_by_cuts(F.col("doc_id"), cuts).alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )

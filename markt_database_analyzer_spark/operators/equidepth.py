@@ -40,19 +40,24 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def value_counts_cum(df: DataFrame, value: Column) -> tuple[DataFrame, int]:
+def value_counts_cum(
+    df: DataFrame, value: Column, weight: Column | None = None
+) -> tuple[DataFrame, int]:
     """Inclusive running count over the ascending distinct-value domain.
 
     Returns ``(frame, n)`` where the frame has columns ``v`` (distinct
-    value), ``cnt`` (multiplicity) and ``cum`` (inclusive prefix count in
-    value order), and ``n`` is the total row count. The prefix sum is
-    two-level: ``repartitionByRange`` by value, per-partition totals
-    (collected — one row per partition), then a PARTITIONED window for
-    the within-partition running sum plus a broadcast offset map. The
-    ``localCheckpoint`` pins partition ids so the totals job and the
-    window job see the same physical partitioning.
+    value), ``cnt`` (multiplicity — or the integral ``weight`` sum when
+    given, e.g. token counts for equal-work sharding) and ``cum``
+    (inclusive prefix total in value order), and ``n`` is the grand
+    total. The prefix sum is two-level: ``repartitionByRange`` by value,
+    per-partition totals (collected — one row per partition), then a
+    PARTITIONED window for the within-partition running sum plus a
+    broadcast offset map. The ``localCheckpoint`` pins partition ids so
+    the totals job and the window job see the same physical
+    partitioning.
     """
-    vc = df.groupBy(value.alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+    agg = F.count(F.lit(1)) if weight is None else F.sum(weight)
+    vc = df.groupBy(value.alias("v")).agg(agg.alias("cnt"))
     p = df.sparkSession.sparkContext.defaultParallelism
     ranged = (
         vc.repartitionByRange(p, "v")
@@ -168,12 +173,16 @@ def values_at_ranks(cum: DataFrame, ranks: list[int]) -> list:
     return [row[f"os_{i}"] for i in range(len(ranks))]
 
 
-def equi_depth_cut_points(df: DataFrame, value: Column, n_buckets: int) -> list:
+def equi_depth_cut_points(
+    df: DataFrame, value: Column, n_buckets: int, weight: Column | None = None
+) -> list:
     """The ``n_buckets - 1`` exact equi-depth boundaries of ``value``:
-    boundary ``b`` is the ``ceil(b * n / B)``-th smallest value (exact
-    integer target math, mirrored by oracles as ``(b*n + B-1) // B``).
-    Rows equal to a boundary fall in the LOWER bucket."""
-    cum, n = value_counts_cum(df, value)
+    boundary ``b`` is the smallest value whose cumulative mass reaches
+    ``ceil(b * n / B)`` (exact integer target math, mirrored by oracles
+    as ``(b*n + B-1) // B``; ``n`` is the row count, or the integral
+    ``weight`` total when given — equal-WORK sharding). Rows equal to a
+    boundary fall in the LOWER bucket."""
+    cum, n = value_counts_cum(df, value, weight)
     b = int(n_buckets)
     ranks = [(i * n + b - 1) // b for i in range(1, b)]
     return values_at_ranks(cum, ranks)
@@ -190,19 +199,26 @@ def bucket_by_cuts(value: Column, cuts: list) -> Column:
 
 
 def sql_cuts_ctes(
-    source: str, value_sql: str, n_buckets: int, prefix: str = ""
+    source: str,
+    value_sql: str,
+    n_buckets: int,
+    prefix: str = "",
+    weight_sql: str | None = None,
 ) -> str:
     """DuckDB CTE fragment replaying :func:`equi_depth_cut_points`
     exactly: ``{prefix}cuts(b, c)`` holds the boundaries. ``source`` is a
-    table name or CTE; ``value_sql`` the value expression."""
+    table name or CTE; ``value_sql`` the value expression;
+    ``weight_sql`` an optional integral weight (mirrors the weighted
+    Spark form)."""
     b = int(n_buckets)
+    agg = "count(*)" if weight_sql is None else f"sum({weight_sql})"
     return f"""{prefix}vc AS (
-  SELECT {value_sql} AS v, count(*) AS cnt FROM {source} GROUP BY 1
+  SELECT {value_sql} AS v, {agg} AS cnt FROM {source} GROUP BY 1
 ),
 {prefix}cum AS (
   SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM {prefix}vc
 ),
-{prefix}tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {source}),
+{prefix}tot AS (SELECT CAST({agg} AS BIGINT) AS n FROM {source}),
 {prefix}cuts AS (
   SELECT b, min(v) AS c
   FROM {prefix}cum, {prefix}tot, (SELECT unnest(range(1, {b})) AS b)

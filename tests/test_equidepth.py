@@ -228,3 +228,24 @@ def test_cut_points_property(spark, data, b):
     for r in got:
         assert r["bkt"] == 1 + sum(1 for c in cuts if r["x"] > c)
         assert 1 <= r["bkt"] <= b
+
+
+def test_equal_token_shards_balance(spark):
+    """Weighted cuts: every shard's token total is within one max-doc
+    weight of the ideal W/K, shards tile doc_id space in order, and
+    totals reconcile."""
+    from markt_database_analyzer_spark.catalog import REGISTRY
+
+    out = REGISTRY["pack_equal_token_shards"].fn(spark, SF_DIR).collect()
+    w = sum(r["total_tokens"] for r in out)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import markt_database_analyzer_spark.datapipe.text as tx2
+
+    per_doc = docs.select(F.size(tx2.tokens("text")).alias("n")).collect()
+    assert w == sum(r["n"] for r in per_doc)
+    max_doc = max(r["n"] for r in per_doc)
+    k = len(out)
+    for r in out:
+        assert r["total_tokens"] <= w / k + max_doc
+    for a, b in zip(out, out[1:]):
+        assert a["last_doc"] < b["first_doc"]
