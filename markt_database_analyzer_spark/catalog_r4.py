@@ -394,18 +394,18 @@ def stats_quantile_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame
     ranks = [1 + (g * (n - 1)) // g1 for g in range(_QN_GRID)]
     grid = values_at_ranks(cum, ranks)
     garr = F.array(*[F.lit(int(v)) for v in grid])
-    vcg = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
-    wg = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cumg = vcg.select(
-        "event_type",
-        "value",
+    # Per-group cum via the GROUPED two-level prefix sum — a window
+    # partitioned by event_type alone would hold n/#groups DATA rows in
+    # one task (measured: the window form was the 4x outlier in the
+    # round-4 10x table); here every task is bounded by a range slice.
+    gcum, n_g_map = grouped_value_counts_cum(ev, F.col("event_type"), F.col("value"))
+    ng = F.create_map(*[F.lit(x) for g, ngv in n_g_map.items() for x in (g, ngv)])
+    cumg = gcum.select(
+        F.col("g").alias("event_type"),
+        F.col("v").alias("value"),
         "cnt",
-        F.sum("cnt").over(wg).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n_g"),
+        "cum",
+        ng[F.col("g")].alias("n_g"),
     )
     pos = (
         (F.col("cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0 - 1)

