@@ -589,3 +589,102 @@ def pack_equal_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# Source-format round trips (ORC sink+scan; dirty-CSV coercive ingest)
+# --------------------------------------------------------------------------
+
+def _scratch(sf_dir: str, tag: str) -> str:
+    import hashlib
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/mda_r4_{tag}_{h}"
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle=f"""
+SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+       {SQL_DSUM.format(x='o_totalprice')} AS revenue
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+    tags=("source", "orc", "format"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a first-class at-rest format: write the orders projection
+    to ORC (zlib, Spark's builtin vectorized writer), re-read it, and
+    aggregate — the oracle checks the round trip preserved every value
+    bit-for-bit by replaying the aggregate from the original parquet.
+    ORC matters operationally as the interchange format with
+    Hive-lineage warehouses; the same predicate pushdown / column
+    pruning / partition discipline as the parquet path applies (Spark's
+    OrcScan reports PushedFilters exactly like ParquetScan). Scratch
+    lives under /tmp keyed by sf_dir; the write is part of the measured
+    entry by design — a format claim without the sink half is only half
+    a claim."""
+    path = _scratch(sf_dir, "orc")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("revenue"))
+        .orderBy("priority")
+    )
+
+
+_CSV_BAD_MOD = 97
+
+
+@register(
+    "source_csv_coercion",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN event_id % {_CSV_BAD_MOD} = 0 THEN 1 END) AS BIGINT)
+         AS n_corrupt,
+       {SQL_DAVG.format(x='CASE WHEN event_id % {m} != 0 THEN value END').format(m=_CSV_BAD_MOD)}
+         AS avg_value
+FROM events
+""".replace("{m}", str(_CSV_BAD_MOD)),
+    tags=("source", "csv", "coercion", "format"),
+)
+def source_csv_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-CSV ingest with the reference's errors='coerce' discipline
+    (analyse.py's pandas coercion, re-expressed as PERMISSIVE mode +
+    explicit schema): a CSV derived from events carries 'N/A' in the
+    value column for every event_id divisible by 97; the
+    reader (sources.read_csv) parses with a declared schema, captures
+    each unparseable row in _corrupt_record instead of failing the job,
+    and nulls only the bad FIELD. Output: total rows, corrupt-row count,
+    and the quantized mean of the rows that parsed — the oracle replays
+    all three from the original parquet (the corruption rule is
+    deterministic), proving the CSV round trip dropped and mangled
+    nothing. Spark's shortest-round-trip double formatting makes the
+    write→parse cycle value-exact."""
+    import pyspark.sql.types as T
+
+    from .sources import read_csv
+
+    path = _scratch(sf_dir, "csv")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % _CSV_BAD_MOD == 0, F.lit("N/A"))
+        .otherwise(F.col("value").cast("string"))
+        .alias("value"),
+    )
+    ev.write.mode("overwrite").option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = read_csv(spark, path, schema)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col("_corrupt_record")).alias("n_corrupt"),
+        davg(F.col("value")).alias("avg_value"),
+    )
