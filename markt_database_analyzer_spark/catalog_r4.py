@@ -688,3 +688,71 @@ def source_csv_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("_corrupt_record")).alias("n_corrupt"),
         davg(F.col("value")).alias("avg_value"),
     )
+
+
+_JSONL_BAD_MOD = 101
+
+
+@register(
+    "source_jsonl_nested",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN doc_id % {_JSONL_BAD_MOD} = 0 THEN 1 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(sum(CASE WHEN doc_id % {_JSONL_BAD_MOD} != 0
+                     THEN length(text) END) AS BIGINT) AS total_chars
+FROM documents
+""",
+    tags=("source", "jsonl", "nested", "format"),
+)
+def source_jsonl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSONL ingest (the training-data interchange format): each
+    document is written as one JSON line with a nested payload struct
+    ({{"doc_id", "payload": {{"lang", "body"}}}}), every 101st line
+    truncated mid-object to simulate upstream corruption. The reader
+    (sources.read_jsonl — mandatory explicit schema, no inference pass)
+    lands each malformed line in _corrupt_record and shreds the nested
+    field path payload.body for the good rows. The oracle replays row /
+    corrupt counts and the good-row character total from the original
+    parquet — the deterministic-corruption trick that makes a source
+    boundary differentially testable without a second JSON engine."""
+    import pyspark.sql.types as T
+
+    from .sources import read_jsonl
+
+    path = _scratch(sf_dir, "jsonl")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    line = F.to_json(
+        F.struct(
+            F.col("doc_id"),
+            F.struct(F.col("lang"), F.col("text").alias("body")).alias("payload"),
+        )
+    )
+    dirty = docs.select(
+        F.when(
+            F.col("doc_id") % _JSONL_BAD_MOD == 0, F.substring(line, 1, 10)
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    dirty.write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("lang", T.StringType()),
+                        T.StructField("body", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    back = read_jsonl(spark, path, schema)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col("_corrupt_record")).alias("n_corrupt"),
+        F.sum(F.length(F.col("payload.body"))).cast("bigint").alias("total_chars"),
+    )
