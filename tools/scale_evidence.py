@@ -425,7 +425,13 @@ def main() -> None:
             "anywhere), so their wall should track the scan; the sized "
             "SRP's ln(n) band width keeps random-pair candidates linear "
             "— its per-row projection work grows by r(10n)/r(n) "
-            "(a log factor), which the wall ratio includes.",
+            "(a log factor), which the wall ratio includes. "
+            "segment_rfm_customers_cuts's ~22× shuffle-byte ratio is a "
+            "constant-factor effect, not growth: its dominant vc frame "
+            "is keyed by m_value (distinct ≈ customers, rows scale "
+            "exactly 10×); at 1× the 1,500-customer frames compress "
+            "into near-empty map-side partials while at 10× they carry "
+            "real rows — wall and stage count show the plan is linear.",
             "",
         ]
         prev = open(md_path).read() if os.path.exists(md_path) else ""
