@@ -102,8 +102,17 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     names = [n for n in qs if not only or n in only]
+    # Entries whose oracle embeds data-dependent constants rendered for
+    # the sf0.01 corpus (the driver's gate SF): the Spark side adapts to
+    # the data (by design), so the static SQL only replays it at sf0.01.
+    from markt_database_analyzer_spark.catalog import REGISTRY as _REG
+
+    sf_pinned = {n for n, s in _REG.items() if "oracle-sf0.01" in s.tags}
     failures = 0
     for name in names:
+        if name in sf_pinned and "sf0.01" not in sf_dir:
+            print(f"SKIP  {name}: oracle rendered for sf0.01 (tag oracle-sf0.01)")
+            continue
         t0 = time.time()
         try:
             got = qs[name](spark, sf_dir).toPandas()
