@@ -55,9 +55,19 @@ def value_counts_cum(
     broadcast offset map. The ``localCheckpoint`` pins partition ids so
     the totals job and the window job see the same physical
     partitioning.
+
+    NULL contract: NULL values are EXCLUDED from the domain (and from
+    ``n``) — Spark windows sort NULLs first while DuckDB's ``ORDER BY``
+    puts them last, so a NULL row would silently shift every rank
+    between the two engines. :func:`sql_cuts_ctes` applies the matching
+    ``WHERE ... IS NOT NULL`` so the replay stays bit-for-bit.
     """
     agg = F.count(F.lit(1)) if weight is None else F.sum(weight)
-    vc = df.groupBy(value.alias("v")).agg(agg.alias("cnt"))
+    vc = (
+        df.where(value.isNotNull())
+        .groupBy(value.alias("v"))
+        .agg(agg.alias("cnt"))
+    )
     p = df.sparkSession.sparkContext.defaultParallelism
     ranged = (
         vc.repartitionByRange(p, "v")
@@ -101,9 +111,16 @@ def grouped_value_counts_cum(
     one range slice). Range partition on (g, v); per-(partition, group)
     totals collected (at most partitions x groups rows — model-sized);
     PARTITIONED within-slice running sum plus broadcast offsets keyed
-    by 'pid|g'. Returns ``(frame(g, v, cnt, cum), {g: n_g})``."""
-    vc = df.groupBy(group.alias("g"), value.alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    by 'pid|g'. Returns ``(frame(g, v, cnt, cum), {g: n_g})``.
+
+    NULL contract: rows with a NULL group OR a NULL value are EXCLUDED —
+    NULL values sort differently across engines (see
+    :func:`value_counts_cum`) and a NULL group would collide in the
+    'pid|g' offset key (``concat_ws`` drops NULL vs Python's 'None')."""
+    vc = (
+        df.where(group.isNotNull() & value.isNotNull())
+        .groupBy(group.alias("g"), value.alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     p = df.sparkSession.sparkContext.defaultParallelism
     ranged = (
@@ -209,16 +226,18 @@ def sql_cuts_ctes(
     exactly: ``{prefix}cuts(b, c)`` holds the boundaries. ``source`` is a
     table name or CTE; ``value_sql`` the value expression;
     ``weight_sql`` an optional integral weight (mirrors the weighted
-    Spark form)."""
+    Spark form). NULL values are excluded from the domain and from
+    ``n``, matching :func:`value_counts_cum`'s NULL contract."""
     b = int(n_buckets)
     agg = "count(*)" if weight_sql is None else f"sum({weight_sql})"
+    notnull = f"({value_sql}) IS NOT NULL"
     return f"""{prefix}vc AS (
-  SELECT {value_sql} AS v, {agg} AS cnt FROM {source} GROUP BY 1
+  SELECT {value_sql} AS v, {agg} AS cnt FROM {source} WHERE {notnull} GROUP BY 1
 ),
 {prefix}cum AS (
   SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM {prefix}vc
 ),
-{prefix}tot AS (SELECT CAST({agg} AS BIGINT) AS n FROM {source}),
+{prefix}tot AS (SELECT CAST({agg} AS BIGINT) AS n FROM {source} WHERE {notnull}),
 {prefix}cuts AS (
   SELECT b, min(v) AS c
   FROM {prefix}cum, {prefix}tot, (SELECT unnest(range(1, {b})) AS b)
