@@ -74,9 +74,23 @@ def similarity_srp_lsh_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same verify step (exact cosine >= 0.4), same md5-derived projection
     family — the sized geometry just takes a longer prefix of it. The
     oracle is rendered for sf0.01's corpus (n=500 -> r=9, 16 bands);
-    the Spark side derives the same geometry from a runtime count()."""
+    the Spark side derives the same geometry from a runtime count() —
+    at the oracle SF the two MUST coincide, so the count is asserted
+    there: a regenerated fixture with a different row count would
+    otherwise surface as a confusing value diff instead of a loud
+    geometry error (ADVICE/VERDICT r5)."""
+    import os
+
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = sim.srp_neardup_pairs_sized(emb, "vec_id", "embedding", dim=64, min_cos=0.4)
+    n = emb.count()
+    if os.path.basename(sf_dir.rstrip("/")) == "sf0.01":
+        assert n == _SRP_SIZED_N_SF001, (
+            f"sf0.01 embeddings has {n} rows but the registered oracle was "
+            f"rendered for n={_SRP_SIZED_N_SF001} (srp_sizing geometry "
+            f"{sim.srp_sizing(_SRP_SIZED_N_SF001)} vs {sim.srp_sizing(n)}); "
+            "re-render the oracle against the new fixture count"
+        )
+    pairs = sim.srp_neardup_pairs_sized(emb, "vec_id", "embedding", dim=64, min_cos=0.4, n=n)
     return pairs.repartition(1).sortWithinPartitions("id_a", "id_b")
 
 
@@ -86,7 +100,7 @@ def similarity_srp_lsh_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HIST_CUT_SQL = f"""
 WITH {sql_cuts_ctes("events", "value", 10)},
-cl AS (SELECT list(c ORDER BY b) AS cs FROM cuts),
+cl AS (SELECT coalesce(list(c ORDER BY b), []) AS cs FROM cuts),
 bucketed AS (
   SELECT value,
          1 + len(list_filter(cl.cs, x -> value > x)) AS bucket
@@ -147,9 +161,9 @@ WITH {_RFM_BASE_SQL},
 {sql_cuts_ctes("rfm", "r_days", 5, prefix="r")},
 {sql_cuts_ctes("rfm", "f_orders", 5, prefix="f")},
 {sql_cuts_ctes("rfm", "m_value", 5, prefix="m")},
-rl AS (SELECT list(c ORDER BY b) AS cs FROM rcuts),
-fl AS (SELECT list(c ORDER BY b) AS cs FROM fcuts),
-ml AS (SELECT list(c ORDER BY b) AS cs FROM mcuts),
+rl AS (SELECT coalesce(list(c ORDER BY b), []) AS cs FROM rcuts),
+fl AS (SELECT coalesce(list(c ORDER BY b), []) AS cs FROM fcuts),
+ml AS (SELECT coalesce(list(c ORDER BY b), []) AS cs FROM mcuts),
 scored AS (
   SELECT custkey, r_days, f_orders, m_value,
          CAST(5 - len(list_filter(rl.cs, x -> r_days > x)) AS BIGINT) AS r_score,
@@ -234,7 +248,7 @@ WITH scored AS (
   FROM documents
 ),
 {sql_cuts_ctes("scored", "conf", _CAL_BINS)},
-cl AS (SELECT list(c ORDER BY b) AS cs FROM cuts),
+cl AS (SELECT coalesce(list(c ORDER BY b), []) AS cs FROM cuts),
 binned AS (
   SELECT y, conf,
          1 + len(list_filter(cl.cs, x -> conf > x)) AS bin
@@ -535,7 +549,7 @@ WITH d AS (
   SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents
 ),
 {sql_cuts_ctes("d", "doc_id", _N_SHARDS, weight_sql="n_tokens")},
-cl AS (SELECT list(c ORDER BY b) AS cs FROM cuts),
+cl AS (SELECT coalesce(list(c ORDER BY b), []) AS cs FROM cuts),
 sharded AS (
   SELECT doc_id, n_tokens,
          1 + len(list_filter(cl.cs, x -> doc_id > x)) AS shard

@@ -227,7 +227,16 @@ def sql_cuts_ctes(
     table name or CTE; ``value_sql`` the value expression;
     ``weight_sql`` an optional integral weight (mirrors the weighted
     Spark form). NULL values are excluded from the domain and from
-    ``n``, matching :func:`value_counts_cum`'s NULL contract."""
+    ``n``, matching :func:`value_counts_cum`'s NULL contract.
+
+    Degenerate inputs (empty source / all-NULL value): the cuts CTE
+    emits ZERO rows; a caller folding it with ``list(c ORDER BY b)``
+    gets a NULL list (DuckDB aggregates over zero rows), which silently
+    NULLs every downstream ``1 + len(list_filter(...))`` bucket while
+    the Spark side (:func:`bucket_by_cuts` over all-NULL cut literals)
+    yields bucket 1. Callers must therefore wrap the fold as
+    ``coalesce(list(c ORDER BY b), [])`` — then both engines agree on
+    bucket 1 for every surviving row (ADVICE r5)."""
     b = int(n_buckets)
     agg = "count(*)" if weight_sql is None else f"sum({weight_sql})"
     notnull = f"({value_sql}) IS NOT NULL"
