@@ -84,9 +84,15 @@ def value_counts_cum(
     for pid, t in totals:
         offsets[pid] = acc
         acc += int(t)
-    off = F.create_map(
-        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
-    )
+    if offsets:
+        off = F.create_map(
+            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+        )
+        off_col = F.coalesce(off[F.col("pid")], F.lit(0))
+    else:
+        # empty domain (empty source / all-NULL value): an argless
+        # create_map() types as map<void,void> and fails analysis
+        off_col = F.lit(0)
     w = (
         Window.partitionBy("pid")
         .orderBy("v")
@@ -95,13 +101,16 @@ def value_counts_cum(
     cum = ranged.select(
         "v",
         "cnt",
-        (F.sum("cnt").over(w) + F.coalesce(off[F.col("pid")], F.lit(0))).alias("cum"),
+        (F.sum("cnt").over(w) + off_col).alias("cum"),
     )
     return cum, n
 
 
 def grouped_value_counts_cum(
-    df: DataFrame, group: Column, value: Column
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    broadcast_offsets_above: int = 4096,
 ) -> tuple[DataFrame, dict]:
     """Per-group inclusive running count over each group's ascending
     distinct-value domain — the grouped form of :func:`value_counts_cum`
@@ -109,9 +118,18 @@ def grouped_value_counts_cum(
     ``row_number().over(partitionBy(group))`` funnels a whole group —
     n/#groups rows — through one task; here no task ever sees more than
     one range slice). Range partition on (g, v); per-(partition, group)
-    totals collected (at most partitions x groups rows — model-sized);
-    PARTITIONED within-slice running sum plus broadcast offsets keyed
-    by 'pid|g'. Returns ``(frame(g, v, cnt, cum), {g: n_g})``.
+    totals collected (at most partitions + groups rows — each group
+    spans <= 2 range slices in expectation); PARTITIONED within-slice
+    running sum plus per-(pid, g) offsets.
+    Returns ``(frame(g, v, cnt, cum), {g: n_g})``.
+
+    Offset application is two-geared: up to ``broadcast_offsets_above``
+    (pid, g) keys the offsets ride as a ``create_map`` literal (zero
+    extra plan nodes, constant-folded); above it they become a
+    BROADCAST-JOINED frame — a plan-literal map over a high-cardinality
+    group column would inflate the serialized plan linearly in #groups
+    and re-ship it with every task (VERDICT r4 item 5). Both gears
+    produce identical values (pinned by test).
 
     NULL contract: rows with a NULL group OR a NULL value are EXCLUDED —
     NULL values sort differently across engines (see
@@ -133,22 +151,47 @@ def grouped_value_counts_cum(
         for r in ranged.groupBy("pid", "g").agg(F.sum("cnt").alias("t")).collect()
     )
     n_g: dict = {}
-    offsets: dict = {}
+    off_rows: list[tuple] = []
     for (pid, g), t in totals:
-        offsets[f"{pid}|{g}"] = n_g.get(g, 0)
+        off_rows.append((pid, g, n_g.get(g, 0)))
         n_g[g] = n_g.get(g, 0) + int(t)
-    off = F.create_map(*[F.lit(x) for ko in offsets.items() for x in ko])
     w = (
         Window.partitionBy("pid", "g")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    key = F.concat_ws("|", F.col("pid").cast("string"), F.col("g").cast("string"))
-    cum = ranged.select(
+    if not off_rows:
+        joined = ranged  # empty domain — see value_counts_cum
+        off_col = F.lit(0)
+    elif len(off_rows) <= broadcast_offsets_above:
+        off = F.create_map(
+            *[F.lit(x) for pid, g, o in off_rows for x in (f"{pid}|{g}", o)]
+        )
+        key = F.concat_ws(
+            "|", F.col("pid").cast("string"), F.col("g").cast("string")
+        )
+        joined = ranged
+        off_col = F.coalesce(off[key], F.lit(0))
+    else:
+        from pyspark.sql import types as T
+
+        off_df = df.sparkSession.createDataFrame(
+            off_rows,
+            T.StructType(
+                [
+                    T.StructField("pid", T.IntegerType(), False),
+                    T.StructField("g", ranged.schema["g"].dataType, False),
+                    T.StructField("goff", T.LongType(), False),
+                ]
+            ),
+        )
+        joined = ranged.join(F.broadcast(off_df), ["pid", "g"], "left")
+        off_col = F.coalesce(F.col("goff"), F.lit(0))
+    cum = joined.select(
         "g",
         "v",
         "cnt",
-        (F.sum("cnt").over(w) + F.coalesce(off[key], F.lit(0))).alias("cum"),
+        (F.sum("cnt").over(w) + off_col).alias("cum"),
     )
     return cum, n_g
 
