@@ -198,15 +198,43 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUZZY_SN_WINDOW = 20  # sorted-neighborhood width: per-row verify work is O(W)
 
 
-def fuzzy_block_candidates(p: DataFrame) -> DataFrame:
+def fuzzy_block_candidates(
+    p: DataFrame, prefix_sum_ranks_above: int = 100_000
+) -> DataFrame:
     """Shared capped fuzzy-ER candidate generator (used by
     ``join_fuzzy_blocked`` and ``er_fuzzy_canonicalize``): blocked on
     (name-noun, size), sorted-neighborhood rank band W via gap-offset
     explode so candidate enumeration is a pure equi-join doing O(n*W)
-    work. Input needs columns p_partkey, p_name, p_size, blk; output is
-    (a_key, b_key, a_name, b_name, dist) with dist in [1, 3]."""
-    w = Window.partitionBy("blk", "p_size").orderBy("p_partkey")
-    pr = p.withColumn("rnk", F.row_number().over(w))
+    work. Input needs columns p_partkey, p_name, p_size, blk (blk
+    non-null and '|'-free — it is a single word from p_name); output is
+    (a_key, b_key, a_name, b_name, dist) with dist in [1, 3].
+
+    Block ranking is two-geared (ADVICE r4, VERDICT r5). Below
+    ``prefix_sum_ranks_above`` rows it is a plain ``row_number()``
+    window over (blk, p_size) — one shuffle, fastest at fixture scale.
+    Above it, that window is the last single-task growth pattern in the
+    catalog: the block vocabulary is FIXED (a word list x ~50 sizes),
+    so each hash-partition of the window shuffle carries n/#partitions
+    data rows through one sorting task, linear in the corpus. The scale
+    gear instead derives ranks from the range-partitioned grouped
+    prefix sum (``operators/equidepth.py``): p_partkey is unique within
+    a block, so the cumulative distinct-value count IS the dense
+    1-based rank, every task is bounded by a range slice of the
+    (block, key) domain, and the rank map joins back on the
+    globally-unique p_partkey. Both gears produce identical ranks
+    (pinned by test)."""
+    if p.count() <= prefix_sum_ranks_above:
+        w = Window.partitionBy("blk", "p_size").orderBy("p_partkey")
+        pr = p.withColumn("rnk", F.row_number().over(w))
+    else:
+        from .operators.equidepth import grouped_value_counts_cum
+
+        gkey = F.concat_ws("|", F.col("blk"), F.col("p_size").cast("string"))
+        cum, _ = grouped_value_counts_cum(p, gkey, F.col("p_partkey"))
+        ranks = cum.select(
+            F.col("v").alias("p_partkey"), F.col("cum").alias("rnk")
+        )
+        pr = p.join(ranks, "p_partkey")
     b = pr.select(
         F.col("p_partkey").alias("b_key"),
         F.col("p_name").alias("b_name"),

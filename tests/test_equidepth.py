@@ -380,3 +380,22 @@ def test_grouped_cum_high_cardinality_plan_stays_bounded(spark):
     }
     for g in ("k00000", "k25000", "k49999"):
         assert sample[(g, 1.0)] == (1, 1) and sample[(g, 2.0)] == (1, 2)
+
+
+def test_fuzzy_rank_gears_agree(spark):
+    """The window gear (fixture scale) and the prefix-sum gear (scale
+    path, forced via threshold 0) must emit the identical candidate
+    set."""
+    from markt_database_analyzer_spark.catalog import REGISTRY  # noqa: F401 — break circular import
+    from markt_database_analyzer_spark.catalog_r3b import fuzzy_block_candidates
+
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
+    )
+    win = fuzzy_block_candidates(p, prefix_sum_ranks_above=10**9).collect()
+    psum = fuzzy_block_candidates(p, prefix_sum_ranks_above=0).collect()
+    assert sorted(map(tuple, win)) == sorted(map(tuple, psum))
+    assert len(win) > 0
