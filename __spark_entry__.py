@@ -90,8 +90,11 @@ _DRIVER_HEAD: list[str] = [
     "streaming_tumbling_counts",
     "multimodal_decode_features",
     "text_sentiment_lexicon",
-    "similarity_ivf_topk",
-    "embedding_neardup_pairs",
+    # (4) new in round 6 — no driver verdict yet; they take the last two
+    # window slots from two r1 re-confirmations (similarity_ivf_topk,
+    # embedding_neardup_pairs stay green from r1)
+    "eval_ann_recall_at_k",
+    "text_distinct_ngram_diversity",
 ]
 
 

@@ -268,6 +268,25 @@ R5_REL_ENTRIES = [
     "stats_quantile_normalize_grid",
 ]
 
+# Round-6: sf1 row (VERDICT r4 item 4 / r5 item 3). 10x of sf0.1 is
+# ~6M lineitem rows = TPC-H sf1 = 100x of the sf0.01 oracle fixtures.
+# Measured: the four reference-analysis analogs (the numbers BASELINE.md
+# anchors against) plus the fixed scale-path entries from the r4 work.
+R6_REL_ENTRIES = [
+    "a_lifetime_rate_curve",
+    "b1_events_per_slot",
+    "b2_initial_rate_by_month",
+    "c_gain_by_nation",
+    "join_fuzzy_blocked",
+    "histogram_equi_depth_cuts",
+    "segment_rfm_customers_cuts",
+    "stats_winsorized_mean_cuts",
+    "eval_calibration_bins_cuts",
+    "pack_equal_token_shards",
+    "stats_quantile_normalize_grid",
+]
+R6_PAIR_ENTRIES = ["similarity_srp_lsh_sized"]
+
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
 
 _R3_TABLES = {
@@ -295,6 +314,8 @@ def build_10x_rel(spark) -> str:
     if os.path.isdir(scratch):
         shutil.rmtree(scratch)
     os.makedirs(scratch)
+    for dim in ("region", "nation", "supplier"):
+        read_table(spark, SF_DIR, dim).write.parquet(f"{scratch}/{dim}.parquet")
     for tbl, keys in _R3_TABLES.items():
         df = read_table(spark, SF_DIR, tbl)
         parts = []
@@ -333,14 +354,15 @@ def main() -> None:
     r3_mode = "--r3" in sys.argv
     r4_mode = "--r4" in sys.argv
     r5_mode = "--r5" in sys.argv
+    r6_mode = "--r6" in sys.argv
 
-    if r3_mode or r4_mode or r5_mode:
+    if r3_mode or r4_mode or r5_mode or r6_mode:
         print("building 10x relational replication ...", file=sys.stderr)
         big_rel = build_10x_rel(spark)
     else:
         print("building 10x replication ...", file=sys.stderr)
         big_dir = build_10x(spark)
-    if r5_mode or not (r3_mode or r4_mode):
+    if r5_mode or r6_mode or not (r3_mode or r4_mode):
         print("building 10x distinct-content replication ...", file=sys.stderr)
         big_distinct_dir = build_10x(spark, distinct=True)
 
@@ -375,7 +397,10 @@ def main() -> None:
         )
         return rec
 
-    if r5_mode:
+    if r6_mode:
+        rows_r6 = measure(R6_REL_ENTRIES, big_rel)
+        rows_r6 += measure(R6_PAIR_ENTRIES, big_distinct_dir)
+    elif r5_mode:
         rows_r5 = measure(R5_REL_ENTRIES, big_rel)
         rows_r5 += measure(R5_PAIR_ENTRIES, big_distinct_dir)
     elif r4_mode:
@@ -402,6 +427,43 @@ def main() -> None:
     md_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_EVIDENCE.md"
     )
+    if r6_mode:
+        lines = [
+            "",
+            "## Round-6: sf1 (~6M-row lineitem; 10\u00d7 of sf0.1 = 100\u00d7 of the oracle SF)",
+            "",
+            "Same protocols as above (10\u00d7 disjoint referentially-intact "
+            "relational replicas for the analysis/relational entries; "
+            "constant-density distinct-content replicas for the sized SRP), "
+            "with the dimension tables (region/nation/supplier) copied "
+            "verbatim. The 1\u00d7 column is sf0.1; the 10\u00d7 column is "
+            "TPC-H-sf1-equivalent volume \u2014 the absolute-scale row the "
+            "r4/r5 verdicts asked for, covering the four reference-analysis "
+            "analogs (the BASELINE.md anchors) and the round-4/6 "
+            "scale-path entries after this round's two-gear rank change.",
+            "",
+        ]
+        lines += table(rows_r6)
+        lines += [
+            "",
+            "Annotations: the analyses are two/three-shuffle plans over "
+            "events or lineitem\u22c8orders \u2014 wall should track the scan "
+            "with shuffle \u2248 data; join_fuzzy_blocked at 6M-row part "
+            "volume (200k parts) crosses the two-gear threshold, so this "
+            "row measures the prefix-sum gear end-to-end; the _cuts "
+            "family's domain-sized aggregations keep every task bounded "
+            "by a range slice regardless of corpus size.",
+            "",
+        ]
+        prev = open(md_path).read() if os.path.exists(md_path) else ""
+        marker = "\n## Round-6: sf1"
+        if marker in prev:
+            prev = prev[: prev.index(marker)]
+        with open(md_path, "w") as f:
+            f.write(prev.rstrip("\n") + "\n" + "\n".join(lines))
+        print("appended round-6 sf1 section to SCALE_EVIDENCE.md", file=sys.stderr)
+        return
+
     if r5_mode:
         lines = [
             "",
