@@ -109,6 +109,10 @@ def main() -> None:
                 "runs": runs,
                 "sf": sf,
                 "n_queries": len(timings),
+                # the headline SET grew in round 6 (11 -> 13: the two
+                # scale-path forms joined it) — compare round-over-round
+                # on the per-query map, not the total alone
+                "n_headline": len(headline),
                 "all_queries_total_sec": round(sum(timings.values()), 3),
                 "full": "BENCH_FULL.json",
             }

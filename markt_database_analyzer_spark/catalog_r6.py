@@ -158,8 +158,13 @@ def text_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame
     count(DISTINCT) expansion, no window. Degenerate docs (<3 tokens)
     contribute nothing on both engines."""
     docs = _t(spark, sf_dir, "documents")
-    t = tx.tokens("text")
-    tri = docs.select(
+    # materialize the token array ONCE per row: referencing tx.tokens()
+    # directly inside the trigram lambda re-evaluates the split+filter
+    # for every element_at — O(len^2) per document (measured 11.3 s vs
+    # 0.8 s at sf0.1)
+    toks = docs.select("lang", tx.tokens("text").alias("t"))
+    t = F.col("t")
+    tri = toks.select(
         "lang",
         F.explode(
             F.when(

@@ -45,10 +45,15 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
     #                              via crossJoin(broadcast(N))
     #   similarity_ivf_kmeans_topk Lloyd assignment crossJoins the corpus
     #                              with the broadcast k-row centroid set
+    #   eval_ann_recall_at_k       wraps similarity_bruteforce_topk as the
+    #                              recall ground truth — all-pairs on the
+    #                              sampled query panel BY DEFINITION (the
+    #                              production path it grades is the IVF)
     allowed_bnlj = {
         "similarity_ivf_topk",
         "similarity_bruteforce_topk",
         "similarity_ivf_kmeans_topk",
+        "eval_ann_recall_at_k",
         "dedup_ngram_jaccard_sample",
         "text_tfidf_top_terms",
         # injects the 1-row exact-percentile threshold via
