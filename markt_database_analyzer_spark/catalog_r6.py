@@ -193,3 +193,261 @@ def text_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash containment dedup (asymmetric doc-in-doc detection)
+# --------------------------------------------------------------------------
+
+def _sql_minhash_containment(
+    num_hashes: int = 16, bands: int = 4, shingle_k: int = 3, min_contain: float = 0.5
+) -> str:
+    from .datapipe import dedup as dd
+    from .datapipe.hashing import sql_hash60
+
+    rows = num_hashes // bands
+    sh_expr = dd.sql_shingles("text", k=shingle_k)
+    mins = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> {dd.sql_km_hash('s', i)})) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        vals = " || ',' || ".join(f"m{i}::VARCHAR" for i in range(b * rows, (b + 1) * rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {sql_hash60(f'({vals})', seed=1000 + b)} AS band_hash FROM sig"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH sh AS (SELECT doc_id, {sh_expr} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {mins} FROM sh),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(sa.sh, sb.sh)) / CAST(len(sa.sh) AS DOUBLE), 9) AS contain_a,
+         round(len(list_intersect(sa.sh, sb.sh)) / CAST(len(sb.sh) AS DOUBLE), 9) AS contain_b
+  FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
+)
+SELECT id_a, id_b, contain_a, contain_b
+FROM scored WHERE greatest(contain_a, contain_b) >= {min_contain}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_minhash_containment",
+    oracle=_sql_minhash_containment(),
+    tags=("dedup", "minhash", "lsh", "containment"),
+)
+def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC shingle containment |A∩B|/|A| on MinHash-LSH candidate
+    pairs — catches a short document embedded inside a longer one
+    (boilerplate, quotations, page-in-crawl duplication), which
+    symmetric Jaccard misses: a 50-shingle doc fully contained in a
+    5000-shingle doc has Jaccard ~0.01 but containment 1.0 (Broder 1997
+    distinguishes resemblance vs containment). Same 16-hash / 4-band
+    candidate generator as ``dedup_minhash_lsh`` (signatures shuffle,
+    never text; note the standard caveat that MinHash banding is tuned
+    for resemblance — production containment recall uses more bands or
+    one-sided sketches); verification is exact set intersection on the
+    candidate set only. Keeps pairs where either direction >= 0.5."""
+    from .datapipe import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.shingle_projection(docs, "text", "doc_id").localCheckpoint(eager=True)
+    cand = dd.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=16, bands=4, shingled=sh
+    )
+    scored = (
+        cand.join(
+            sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter") / F.size("sh_a").cast("double"), 9).alias(
+                "contain_a"
+            ),
+            F.round(F.col("n_inter") / F.size("sh_b").cast("double"), 9).alias(
+                "contain_b"
+            ),
+        )
+        .filter(F.greatest(F.col("contain_a"), F.col("contain_b")) >= 0.5)
+    )
+    return scored.repartition(1).sortWithinPartitions("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# CDC apply (MERGE-style changelog application — inverse of snapshot diff)
+# --------------------------------------------------------------------------
+
+_CDC_FIXTURE = """
+snap_a AS (
+  SELECT o_orderkey, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 10 != 3
+),
+snap_b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 10 != 0
+),
+changes AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE WHEN a.o_orderkey IS NULL THEN 'I'
+              WHEN b.o_orderkey IS NULL THEN 'D'
+              ELSE 'U' END AS op,
+         b.price AS new_price
+  FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+  WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR a.price != b.price
+)
+"""
+
+
+@register(
+    "cdc_apply_changes",
+    oracle=f"""
+WITH {_CDC_FIXTURE}
+SELECT coalesce(s.o_orderkey, c.o_orderkey) AS o_orderkey,
+       coalesce(c.new_price, s.price) AS price
+FROM snap_a s FULL OUTER JOIN changes c USING (o_orderkey)
+WHERE c.op IS NULL OR c.op != 'D'
+ORDER BY o_orderkey
+""",
+    tags=("cdc", "merge", "upsert", "changelog"),
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style changelog application — the inverse of
+    ``cdc_snapshot_diff``: apply an I/U/D changelog to the old snapshot
+    (WHEN MATCHED AND op='D' THEN DELETE / op='U' THEN UPDATE / WHEN NOT
+    MATCHED THEN INSERT) as ONE full-outer join plus a row-local
+    coalesce — the engine shape under every lakehouse MERGE INTO. The
+    changelog is derived from the same deterministic fixture as the
+    diff entry, so the output must reconstruct the new snapshot
+    bit-for-bit (pinned by test: apply(diff(a, b), a) == b). At 100 TB:
+    one co-partitioned shuffle on the key; bucketed snapshots make it
+    exchange-free, and only the changelog moves between stages."""
+    orders = _t(spark, sf_dir, "orders")
+    snap_a = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    snap_b = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    changes = (
+        a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+        .filter(
+            F.col("a.o_orderkey").isNull()
+            | F.col("b.o_orderkey").isNull()
+            | (F.col("a.price") != F.col("b.price"))
+        )
+        .select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+            F.when(F.col("a.o_orderkey").isNull(), F.lit("I"))
+            .when(F.col("b.o_orderkey").isNull(), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("b.price").alias("new_price"),
+        )
+    )
+    s, c = snap_a.alias("s"), changes.alias("c")
+    return (
+        s.join(c, F.col("s.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+        .filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            F.coalesce(F.col("s.o_orderkey"), F.col("c.o_orderkey")).alias("o_orderkey"),
+            F.coalesce(F.col("c.new_price"), F.col("s.price")).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding truncation recall (MRL-style dimension-reduction quality eval)
+# --------------------------------------------------------------------------
+
+_TRUNC_DIMS = 16
+
+_TRUNC_RECALL_SQL = f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < 5),
+full_rank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_SQL_COS.format(a='q.qvec', b='e.vec')} DESC, e.vec_id) AS rank
+    FROM corpus e CROSS JOIN q WHERE e.vec_id != q.query_id
+  ) WHERE rank <= 10
+),
+trunc_rank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_SQL_COS.format(a=f'list_slice(q.qvec, 1, {_TRUNC_DIMS})', b=f'list_slice(e.vec, 1, {_TRUNC_DIMS})')} DESC, e.vec_id) AS rank
+    FROM corpus e CROSS JOIN q WHERE e.vec_id != q.query_id
+  ) WHERE rank <= 10
+)
+SELECT f.query_id,
+       CAST({_TRUNC_DIMS} AS BIGINT) AS dims,
+       CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(t.neighbor_id) / 10.0, 9) AS recall
+FROM full_rank f
+LEFT JOIN trunc_rank t
+  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+"""
+
+
+@register(
+    "embeddings_truncate_recall",
+    oracle=_TRUNC_RECALL_SQL,
+    tags=("similarity", "embedding", "eval", "mrl"),
+)
+def embeddings_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of TRUNCATED-dimension cosine ranking (first
+    16 of 64 dims) against the full-dimension ground truth —
+    the storage/compute trade-off eval behind Matryoshka-style embedding
+    truncation (Kusupati et al. 2022): 4x smaller vectors, measured
+    quality loss. Same sampled 5-query panel and deterministic
+    tie-breaks as ``eval_ann_recall_at_k``; both rankings are exact, so
+    the number isolates what truncation alone costs. At 100 TB the
+    truncated ranking is the production candidate stage (4x less IO and
+    FLOPs per comparison) with full-dim re-scoring on its top
+    candidates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    tr = emb.withColumn("emb_t", F.slice(F.col("embedding"), 1, _TRUNC_DIMS))
+    queries = tr.filter(F.col("vec_id") < 5)
+    full_rank = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", "neighbor_id"
+    )
+    trunc_rank = (
+        sim.brute_force_topk(tr, queries, k=10, vec_col="emb_t")
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        full_rank.join(F.broadcast(trunc_rank), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(_TRUNC_DIMS).cast("bigint").alias("dims"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(10.0), 9
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

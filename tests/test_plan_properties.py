@@ -49,11 +49,15 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
     #                              recall ground truth — all-pairs on the
     #                              sampled query panel BY DEFINITION (the
     #                              production path it grades is the IVF)
+    #   embeddings_truncate_recall  two exact rankings (full + truncated
+    #                              dims) over the sampled query panel —
+    #                              same ground-truth rationale
     allowed_bnlj = {
         "similarity_ivf_topk",
         "similarity_bruteforce_topk",
         "similarity_ivf_kmeans_topk",
         "eval_ann_recall_at_k",
+        "embeddings_truncate_recall",
         "dedup_ngram_jaccard_sample",
         "text_tfidf_top_terms",
         # injects the 1-row exact-percentile threshold via

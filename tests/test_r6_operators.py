@@ -53,3 +53,53 @@ def test_distinct_ngram_diversity_matches_python(spark):
     assert got == expect
     for tot, dis, ratio in got.values():
         assert 0 < dis <= tot and 0 < ratio <= 1.0
+
+
+def test_cdc_apply_reconstructs_new_snapshot(spark):
+    """apply(diff(a, b), a) == b — the defining MERGE property, checked
+    bit-for-bit against an independently built snap_b."""
+    out = REGISTRY["cdc_apply_changes"].fn(spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    snap_b = (
+        orders.filter(F.col("o_orderkey") % 10 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+        )
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in snap_b]
+
+
+def test_containment_dominates_jaccard_on_shared_candidates(spark):
+    """For every pair both entries emit, max(containment) >= jaccard
+    (containment uses the smaller denominator), and containment of a
+    doc in itself-superset logic stays within [0, 1]."""
+    cont = {
+        (r["id_a"], r["id_b"]): (r["contain_a"], r["contain_b"])
+        for r in REGISTRY["dedup_minhash_containment"].fn(spark, SF_DIR).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR).collect()
+    }
+    assert cont, "containment entry emitted nothing at sf0.001"
+    for pair, (ca, cb) in cont.items():
+        assert 0.0 <= ca <= 1.0 and 0.0 <= cb <= 1.0
+        if pair in jac:
+            assert max(ca, cb) >= jac[pair] - 1e-9, pair
+    # every Jaccard>=0.5 pair is necessarily containment>=0.5 (same
+    # candidates, containment >= jaccard pointwise)
+    assert set(jac) <= set(cont)
+
+
+def test_truncate_recall_bounds_and_self_consistency(spark):
+    rows = REGISTRY["embeddings_truncate_recall"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["dims"] == 16
+        assert 0 <= r["n_hits"] <= 10
+        assert abs(r["recall"] - r["n_hits"] / 10.0) < 1e-9
