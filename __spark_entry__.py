@@ -87,14 +87,14 @@ _DRIVER_HEAD: list[str] = [
     "text_quality",
     "text_langid",
     "b1_events_per_slot",
-    "streaming_tumbling_counts",
-    "multimodal_decode_features",
-    "text_sentiment_lexicon",
-    # (4) new in round 6 — no driver verdict yet; they take the last two
-    # window slots from two r1 re-confirmations (similarity_ivf_topk,
-    # embedding_neardup_pairs stay green from r1)
+    # (4) new in round 6 — no driver verdict yet; they take the last five
+    # window slots from five r1 re-confirmations (which stay green from
+    # r1), so the r6 window covers every entry lacking a driver verdict
     "eval_ann_recall_at_k",
     "text_distinct_ngram_diversity",
+    "dedup_minhash_containment",
+    "cdc_apply_changes",
+    "embeddings_truncate_recall",
 ]
 
 
