@@ -82,19 +82,19 @@ _DRIVER_HEAD: list[str] = [
     "dedup_ngram_jaccard_sample",
     "rank_lead_ntile",
     "dedup_exact_groups",
-    "running_total_per_customer",
-    "percentiles_by_event_type",
-    "text_quality",
-    "text_langid",
-    "b1_events_per_slot",
-    # (4) new in round 6 — no driver verdict yet; they take the last five
-    # window slots from five r1 re-confirmations (which stay green from
+    # (4) new in round 6 — no driver verdict yet; these take the last ten
+    # window slots from ten r1 re-confirmations (which stay green from
     # r1), so the r6 window covers every entry lacking a driver verdict
     "eval_ann_recall_at_k",
     "text_distinct_ngram_diversity",
     "dedup_minhash_containment",
     "cdc_apply_changes",
     "embeddings_truncate_recall",
+    "stats_spearman_corr",
+    "stats_anova_oneway",
+    "eval_ndcg_at_k",
+    "similarity_maxsim_late_interaction",
+    "finance_max_drawdown",
 ]
 
 

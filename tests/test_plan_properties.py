@@ -58,6 +58,10 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         "similarity_ivf_kmeans_topk",
         "eval_ann_recall_at_k",
         "embeddings_truncate_recall",
+        # MaxSim late interaction scores corpus × broadcast(query panel)
+        # — all-pairs BY DEFINITION (the production path puts an ANN
+        # candidate stage in front; the scorer itself is the operator)
+        "similarity_maxsim_late_interaction",
         "dedup_ngram_jaccard_sample",
         "text_tfidf_top_terms",
         # injects the 1-row exact-percentile threshold via
