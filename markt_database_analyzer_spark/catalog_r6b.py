@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from .catalog import register, _t
 from .datapipe.util import fan_out
-from .operators.equidepth import value_counts_cum
+from .operators.equidepth import grouped_value_counts_cum
 
 # --------------------------------------------------------------------------
 # Spearman rank correlation (distributed average ranks, exact moments)
@@ -70,66 +70,98 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``stats_corr_matrix``'s Pearson (monotone association, insensitive
     to outliers and nonlinear scales).
 
-    Scale path: average ranks come from the distributed prefix sum over
-    the DISTINCT-value domain (``value_counts_cum`` — the same machinery
-    as the ``_cuts`` family: repartitionByRange + partitioned window +
-    broadcast offsets, never an un-partitioned global window), doubled
-    into the exact integer ``2*cum - cnt + 1`` so tie-averaged halves
-    stay on an integer grid. Ranks join back to the fact by value (plain
-    shuffle equi-joins), then one map-side-combinable aggregation
-    accumulates the five Pearson moments through DECIMAL(38,0) — the
-    ``stats_corr_matrix`` convention — so both engines cast identical
-    exact integers to double and evaluate the same IEEE formula; the
-    9-dp round is cosmetic. The 2x rank scale cancels in the formula."""
+    Scale path: average ranks come from ONE grouped distributed prefix
+    sum over the three columns' DISTINCT-value domains
+    (``grouped_value_counts_cum`` with the column name as the group —
+    the same machinery as the ``_cuts`` family: repartitionByRange +
+    partitioned window + offsets, never an un-partitioned global
+    window), doubled into the exact integer ``2*cum - cnt + 1`` so
+    tie-averaged halves stay on an integer grid. The rank maps
+    (checkpointed once — four join branches would otherwise each replay
+    the window) join back to the fact by value in one three-join chain
+    (every row matches its own value, so multiplicity is unchanged and
+    BOTH pairs aggregate from a single scan), then one
+    map-side-combinable aggregation accumulates all Pearson moments
+    through DECIMAL(38,0) — the ``stats_corr_matrix`` convention — so
+    both engines cast identical exact integers to double and evaluate
+    the same IEEE formula; the 9-dp round is cosmetic. The 2x rank
+    scale cancels in the formula. The two output rows explode from the
+    single stats row (one consumer — no plan-branch recompute)."""
     li = _t(spark, sf_dir, "lineitem")
+    cols = ("l_extendedprice", "l_quantity", "l_discount")
+    # single-split parquet at small SFs would melt+pre-aggregate the 3x
+    # row explosion on one core — widen first
+    melted = fan_out(li.select(*cols)).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("col"), F.col(c).alias("val"))
+                    for c in cols
+                ]
+            )
+        ).alias("e")
+    ).select("e.col", "e.val")
+    cum, _ = grouped_value_counts_cum(melted, F.col("col"), F.col("val"))
+    cum = cum.localCheckpoint(eager=True)
 
-    def rank2(colname: str) -> DataFrame:
-        cum, _ = value_counts_cum(li, F.col(colname))
-        return cum.select(
+    def rank2(colname: str, alias: str) -> DataFrame:
+        return cum.filter(F.col("g") == colname).select(
             F.col("v").alias(colname),
-            (2 * F.col("cum") - F.col("cnt") + 1).cast("bigint").alias("r2"),
+            (2 * F.col("cum") - F.col("cnt") + 1).cast("bigint").alias(alias),
         )
 
-    r_price = rank2("l_extendedprice")
+    j = (
+        li.select(*cols)
+        .join(rank2("l_extendedprice", "rx2"), "l_extendedprice")
+        .join(rank2("l_quantity", "rq2"), "l_quantity")
+        .join(rank2("l_discount", "rd2"), "l_discount")
+    )
 
-    def pair(xcol: str, rx: DataFrame, ycol: str) -> DataFrame:
-        j = (
-            li.select(xcol, ycol)
-            .join(rx.select(F.col(xcol), F.col("r2").alias("rx2")), xcol)
-            .join(rank2(ycol).select(F.col(ycol), F.col("r2").alias("ry2")), ycol)
-        )
+    def d(c: str):
+        return F.col(c).cast("decimal(38,0)")
 
-        def d(c: str):
-            return F.col(c).cast("decimal(38,0)")
+    s = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d("rx2")).cast("double").alias("sx"),
+        F.sum(d("rx2") * d("rx2")).cast("double").alias("sxx"),
+        F.sum(d("rq2")).cast("double").alias("sq"),
+        F.sum(d("rq2") * d("rq2")).cast("double").alias("sqq"),
+        F.sum(d("rx2") * d("rq2")).cast("double").alias("sxq"),
+        F.sum(d("rd2")).cast("double").alias("sd"),
+        F.sum(d("rd2") * d("rd2")).cast("double").alias("sdd"),
+        F.sum(d("rx2") * d("rd2")).cast("double").alias("sxd"),
+    )
 
-        s = j.agg(
-            F.count(F.lit(1)).cast("bigint").alias("nb"),
-            F.count(F.lit(1)).cast("double").alias("n"),
-            F.sum(d("rx2")).cast("double").alias("sx"),
-            F.sum(d("ry2")).cast("double").alias("sy"),
-            F.sum(d("rx2") * d("rx2")).cast("double").alias("sxx"),
-            F.sum(d("ry2") * d("ry2")).cast("double").alias("syy"),
-            F.sum(d("rx2") * d("ry2")).cast("double").alias("sxy"),
-        )
+    def rho(sy: str, syy: str, sxy: str):
         n = F.col("n")
-        rho = F.round(
-            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        return F.round(
+            (n * F.col(sxy) - F.col("sx") * F.col(sy))
             / (
                 F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+                * F.sqrt(n * F.col(syy) - F.col(sy) * F.col(sy))
             ),
             9,
         )
-        return s.select(
-            F.lit(xcol).alias("x_var"),
+
+    def out_row(ycol: str, sy: str, syy: str, sxy: str):
+        return F.struct(
+            F.lit("l_extendedprice").alias("x_var"),
             F.lit(ycol).alias("y_var"),
             F.col("nb").alias("n"),
-            rho.alias("spearman_rho"),
+            rho(sy, syy, sxy).alias("spearman_rho"),
         )
 
     return (
-        pair("l_extendedprice", r_price, "l_discount")
-        .unionByName(pair("l_extendedprice", r_price, "l_quantity"))
+        s.select(
+            F.explode(
+                F.array(
+                    out_row("l_discount", "sd", "sdd", "sxd"),
+                    out_row("l_quantity", "sq", "sqq", "sxq"),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
         .orderBy("y_var")
     )
 
