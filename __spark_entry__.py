@@ -81,10 +81,10 @@ _DRIVER_HEAD: list[str] = [
     "w1_lag_deltas",
     "dedup_ngram_jaccard_sample",
     "rank_lead_ntile",
-    "dedup_exact_groups",
-    # (4) new in round 6 — no driver verdict yet; these take the last ten
-    # window slots from ten r1 re-confirmations (which stay green from
-    # r1), so the r6 window covers every entry lacking a driver verdict
+    # (4) new in round 6 — no driver verdict yet; these take the last
+    # eleven window slots from eleven r1 re-confirmations (which stay
+    # green from r1), so the r6 window covers every entry lacking a
+    # driver verdict
     "eval_ann_recall_at_k",
     "text_distinct_ngram_diversity",
     "dedup_minhash_containment",
@@ -95,6 +95,7 @@ _DRIVER_HEAD: list[str] = [
     "eval_ndcg_at_k",
     "similarity_maxsim_late_interaction",
     "finance_max_drawdown",
+    "eval_pr_auc",
 ]
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register, _t
+from .datapipe import text as tx
 from .datapipe.util import fan_out
 from .operators.equidepth import grouped_value_counts_cum
 
@@ -569,4 +570,114 @@ def finance_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_points") >= 25)
         .orderBy("l_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Precision-recall curve + average precision (the imbalance-robust twin
+# of eval_roc_auc, on the same scored fixture)
+# --------------------------------------------------------------------------
+
+_PR_STOPWORDS = "('the', 'a', 'of', 'and', 'is')"
+
+
+def _sql_pr_auc() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+         round(len(list_filter({toks}, t -> t IN {_PR_STOPWORDS}))
+                 / CAST(len({toks}) AS DOUBLE), 9) AS score
+  FROM documents
+),
+by_score AS (
+  SELECT score,
+         CAST(sum(label) AS BIGINT) AS tp_here,
+         CAST(sum(1 - label) AS BIGINT) AS fp_here
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT score,
+         CAST(sum(tp_here) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+         CAST(sum(fp_here) OVER (ORDER BY score DESC) AS BIGINT) AS fp,
+         CAST(sum(tp_here) OVER () AS BIGINT) AS pos
+  FROM by_score
+),
+segs AS (
+  SELECT score, tp, fp, pos,
+         tp - COALESCE(lag(tp) OVER (ORDER BY score DESC), 0) AS dtp
+  FROM cum
+)
+SELECT score, tp, fp,
+       round(tp / CAST(tp + fp AS DOUBLE), 9) AS precision,
+       round(tp / CAST(pos AS DOUBLE), 9) AS recall,
+       round(CAST(sum(CAST(round(1000000000.0 * ((dtp * tp) / CAST(pos * (tp + fp) AS DOUBLE))) AS BIGINT)) OVER () AS DOUBLE)
+             / 1000000000.0, 9) AS average_precision
+FROM segs ORDER BY score DESC
+"""
+
+
+@register(
+    "eval_pr_auc",
+    oracle=_sql_pr_auc(),
+    tags=("eval", "stats", "ml", "pr-curve"),
+)
+def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact precision-recall curve and average precision for the same
+    scored fixture as ``eval_roc_auc`` (English stopword ratio
+    predicting lang='en') — the class-imbalance-robust companion
+    metric: with rare positives, ROC AUC stays optimistic while the PR
+    curve collapses, which is why retrieval/filter evaluations report
+    AP (step-wise interpolation, the standard estimator:
+    AP = Σ_i (R_i − R_{i−1})·P_i over descending thresholds).
+
+    Curve state is integer (cumulative TP/FP per DISTINCT score); each
+    AP term is one division of exact integers — ``(ΔTP·TP) /
+    (P·(TP+FP))`` — quantized to the 1e9 grid before the sum, so both
+    engines add identical BIGINTs. Like the ROC entry, the O(#distinct
+    scores) window is the laptop form; the 100 TB form buckets scores
+    to a fixed grid first (the score here is already 9-dp-rounded, so
+    the domain is bounded by the grid, not the corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = tx.tokens("text")
+    stop = F.filter(ts, lambda t: t.isin("the", "a", "of", "and", "is"))
+    scored = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        F.round(F.size(stop) / F.size(ts).cast("double"), 9).alias("score"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.sum("label").alias("tp_here"),
+        F.sum(1 - F.col("label")).alias("fp_here"),
+    )
+    word = Window.orderBy(F.desc("score"))
+    wall = Window.partitionBy(F.lit(1))
+    cum = by_score.select(
+        "score",
+        F.sum("tp_here").over(word).cast("bigint").alias("tp"),
+        F.sum("fp_here").over(word).cast("bigint").alias("fp"),
+        F.sum("tp_here").over(wall).cast("bigint").alias("pos"),
+    )
+    dtp = F.col("tp") - F.coalesce(F.lag("tp").over(word), F.lit(0))
+    term = F.round(
+        F.lit(1000000000.0)
+        * (
+            (dtp * F.col("tp"))
+            / (F.col("pos") * (F.col("tp") + F.col("fp"))).cast("double")
+        )
+    ).cast("bigint")
+    return (
+        cum.withColumn("term", term)
+        .select(
+            "score",
+            "tp",
+            "fp",
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"), 9).alias(
+                "precision"
+            ),
+            F.round(F.col("tp") / F.col("pos").cast("double"), 9).alias("recall"),
+            F.round(
+                F.sum("term").over(wall).cast("double") / 1000000000.0, 9
+            ).alias("average_precision"),
+        )
+        .orderBy(F.desc("score"))
     )

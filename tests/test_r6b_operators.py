@@ -257,3 +257,36 @@ def test_drawdown_zero_for_monotone_series(spark):
         .collect()
     )
     assert out[0]["dd"] == 0
+
+
+def test_pr_auc_matches_python_replay(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    stop = {"the", "a", "of", "and", "is"}
+    from collections import defaultdict
+
+    by_score = defaultdict(lambda: [0, 0])
+    for r in docs:
+        toks = [t for t in r["text"].strip().lower().split() if t]
+        score = _round_half_up(sum(t in stop for t in toks) / len(toks), 9)
+        by_score[score][0 if r["lang"] == "en" else 1] += 1
+    tp = fp = prev_tp = 0
+    pos = sum(v[0] for v in by_score.values())
+    terms, rows_expect = [], {}
+    for score in sorted(by_score, reverse=True):
+        tp += by_score[score][0]
+        fp += by_score[score][1]
+        dtp = tp - prev_tp
+        prev_tp = tp
+        terms.append(_q_half_up(1e9 * ((dtp * tp) / float(pos * (tp + fp)))))
+        rows_expect[score] = (tp, fp, round(tp / (tp + fp), 9), round(tp / pos, 9))
+    ap = round(sum(terms) / 1e9, 9)
+    got = REGISTRY["eval_pr_auc"].fn(spark, SF_DIR).collect()
+    assert len(got) == len(rows_expect)
+    for r in got:
+        e = rows_expect[r["score"]]
+        assert (r["tp"], r["fp"]) == e[:2], r["score"]
+        assert abs(r["precision"] - e[2]) < 1e-9 and abs(r["recall"] - e[3]) < 1e-9
+        assert abs(r["average_precision"] - ap) < 1e-9
+    # curve invariants: recall nondecreasing as score descends; AP in (0,1]
+    recalls = [r["recall"] for r in got]  # output is score-descending
+    assert recalls == sorted(recalls) and 0.0 < ap <= 1.0

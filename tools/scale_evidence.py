@@ -287,6 +287,20 @@ R6_REL_ENTRIES = [
 ]
 R6_PAIR_ENTRIES = ["similarity_srp_lsh_sized"]
 
+# Round-6 part 2: the five new entries, measured at the same sf1 volume
+# (relational replication; nationkeys are NOT offset, so each NDCG query's
+# candidate list grows 10x - the adversarial direction for the per-query
+# window; the MaxSim panel stays 5 queries over a 10x corpus, like the
+# brute-force kNN protocol).
+R6B_ENTRIES = [
+    "stats_spearman_corr",
+    "stats_anova_oneway",
+    "eval_ndcg_at_k",
+    "similarity_maxsim_late_interaction",
+    "finance_max_drawdown",
+    "eval_pr_auc",
+]
+
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
 
 _R3_TABLES = {
@@ -355,14 +369,15 @@ def main() -> None:
     r4_mode = "--r4" in sys.argv
     r5_mode = "--r5" in sys.argv
     r6_mode = "--r6" in sys.argv
+    r6b_mode = "--r6b" in sys.argv
 
-    if r3_mode or r4_mode or r5_mode or r6_mode:
+    if r3_mode or r4_mode or r5_mode or r6_mode or r6b_mode:
         print("building 10x relational replication ...", file=sys.stderr)
         big_rel = build_10x_rel(spark)
     else:
         print("building 10x replication ...", file=sys.stderr)
         big_dir = build_10x(spark)
-    if r5_mode or r6_mode or not (r3_mode or r4_mode):
+    if r5_mode or r6_mode or not (r3_mode or r4_mode or r6b_mode):
         print("building 10x distinct-content replication ...", file=sys.stderr)
         big_distinct_dir = build_10x(spark, distinct=True)
 
@@ -397,7 +412,9 @@ def main() -> None:
         )
         return rec
 
-    if r6_mode:
+    if r6b_mode:
+        rows_r6b = measure(R6B_ENTRIES, big_rel)
+    elif r6_mode:
         rows_r6 = measure(R6_REL_ENTRIES, big_rel)
         rows_r6 += measure(R6_PAIR_ENTRIES, big_distinct_dir)
     elif r5_mode:
@@ -427,6 +444,31 @@ def main() -> None:
     md_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_EVIDENCE.md"
     )
+    if r6b_mode:
+        lines = [
+            "",
+            "## Round-6 additions at sf1 (the five part-2 entries)",
+            "",
+            "Same sf1 relational-replication protocol as the table above. "
+            "nationkeys are NOT offset, so every NDCG query (nation) sees "
+            "a 10\u00d7 candidate list \u2014 the adversarial direction for the "
+            "per-query ranking windows; the MaxSim panel is 5 fixed "
+            "queries over the 10\u00d7 corpus (the brute-force-kNN protocol); "
+            "Spearman's rank domain grows to ~5.8M distinct values "
+            "through the grouped prefix sum.",
+            "",
+        ]
+        lines += table(rows_r6b)
+        lines += [""]
+        prev = open(md_path).read() if os.path.exists(md_path) else ""
+        marker = "\n## Round-6 additions at sf1"
+        if marker in prev:
+            prev = prev[: prev.index(marker)]
+        with open(md_path, "w") as f:
+            f.write(prev.rstrip("\n") + "\n" + "\n".join(lines))
+        print("appended round-6 part-2 sf1 section to SCALE_EVIDENCE.md", file=sys.stderr)
+        return
+
     if r6_mode:
         lines = [
             "",
