@@ -80,9 +80,8 @@ _DRIVER_HEAD: list[str] = [
     "j3_having_segment_orders",
     "w1_lag_deltas",
     "dedup_ngram_jaccard_sample",
-    "rank_lead_ntile",
     # (4) new in round 6 — no driver verdict yet; these take the last
-    # eleven window slots from eleven r1 re-confirmations (which stay
+    # twelve window slots from twelve r1 re-confirmations (which stay
     # green from r1), so the r6 window covers every entry lacking a
     # driver verdict
     "eval_ann_recall_at_k",
@@ -96,6 +95,7 @@ _DRIVER_HEAD: list[str] = [
     "similarity_maxsim_late_interaction",
     "finance_max_drawdown",
     "eval_pr_auc",
+    "pack_sliding_windows",
 ]
 
 

@@ -681,3 +681,98 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score"))
     )
+
+
+# --------------------------------------------------------------------------
+# Strided sliding-window chunking (pretraining context windows w/ overlap)
+# --------------------------------------------------------------------------
+
+_SW_W = 64  # window size (tokens)
+_SW_S = 48  # stride (=> 16-token overlap)
+
+
+def _sql_sliding_windows() -> str:
+    toks = tx.sql_tokens("text")
+    w, s = _SW_W, _SW_S
+    return f"""
+WITH t AS (
+  SELECT doc_id, toks, len(toks) AS n
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+  WHERE len(toks) >= 1
+),
+st AS (
+  SELECT doc_id, toks, n,
+         list_sort(list_distinct(list_append(
+           generate_series(1, greatest(1, n - {w - 1}), {s}),
+           greatest(1, n - {w - 1})))) AS starts
+  FROM t
+),
+ex AS (
+  SELECT doc_id, toks, n, unnest(starts) AS start_tok FROM st
+),
+win AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+              AS BIGINT) AS window_seq,
+         CAST(start_tok AS BIGINT) AS start_tok,
+         CAST(least(start_tok + {w - 1}, n) - start_tok + 1 AS BIGINT)
+           AS n_window_tokens,
+         md5(array_to_string(
+           list_slice(toks, start_tok, least(start_tok + {w - 1}, n)), ' '))
+           AS fingerprint
+  FROM ex
+)
+SELECT doc_id, window_seq, start_tok, n_window_tokens, fingerprint
+FROM win ORDER BY doc_id, window_seq
+"""
+
+
+@register(
+    "pack_sliding_windows",
+    oracle=_sql_sliding_windows(),
+    tags=("packing", "chunking", "pretraining", "tokens"),
+)
+def pack_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided sliding-window chunking — the standard pretraining
+    context-window layout (GPT-2's 1024-stride-512 shape, here W=64 /
+    S=48, i.e. 16-token overlap so no span is ever split across a
+    window boundary without also appearing whole in a neighbor): window
+    starts are the arithmetic sequence 1, 1+S, ... capped at n−W+1,
+    plus the tail-anchored start n−W+1 so the final window always ends
+    exactly at the last token. Complements ``pack_chunks_documents``
+    (cross-document stream chunking) with the WITHIN-document form.
+
+    Entirely row-local (the 100 TB shape: map-only explode, no shuffle
+    until the output sort): token array projected once per row, start
+    list built by an integer sequence, each window sliced from the
+    array and fingerprinted with md5 over the space-joined tokens —
+    the fingerprint makes the window content itself hash-checked, not
+    just its geometry. Short docs (n < W) yield exactly one window
+    [1..n] on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    w, s = _SW_W, _SW_S
+    base = docs.select("doc_id", tx.tokens("text").alias("toks")).withColumn(
+        "n", F.size("toks")
+    ).filter(F.col("n") >= 1)
+    tail = F.greatest(F.lit(1), F.col("n") - (w - 1))
+    starts = F.array_sort(
+        F.array_union(F.sequence(F.lit(1), tail, F.lit(s)), F.array(tail))
+    )
+    ex = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.posexplode(starts).alias("pos0", "start_tok"),
+    )
+    end = F.least(F.col("start_tok") + (w - 1), F.col("n"))
+    win = F.slice(F.col("toks"), F.col("start_tok"), end - F.col("start_tok") + 1)
+    return (
+        ex.select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("bigint").alias("window_seq"),
+            F.col("start_tok").cast("bigint").alias("start_tok"),
+            (end - F.col("start_tok") + 1).cast("bigint").alias("n_window_tokens"),
+            F.md5(F.concat_ws(" ", win)).alias("fingerprint"),
+        )
+        .orderBy("doc_id", "window_seq")
+    )

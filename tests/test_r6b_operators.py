@@ -290,3 +290,43 @@ def test_pr_auc_matches_python_replay(spark):
     # curve invariants: recall nondecreasing as score descends; AP in (0,1]
     recalls = [r["recall"] for r in got]  # output is score-descending
     assert recalls == sorted(recalls) and 0.0 < ap <= 1.0
+
+
+def test_sliding_windows_match_python_replay(spark):
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    W, S = 64, 48
+    expect = {}
+    for r in docs:
+        toks = [t for t in r["text"].strip().lower().split() if t]
+        n = len(toks)
+        if n < 1:
+            continue
+        tail = max(1, n - (W - 1))
+        starts = sorted(set(range(1, tail + 1, S)) | {tail})
+        for seq, st in enumerate(starts, start=1):
+            win = toks[st - 1 : min(st + W - 1, n)]
+            expect[(r["doc_id"], seq)] = (
+                st,
+                len(win),
+                hashlib.md5(" ".join(win).encode()).hexdigest(),
+            )
+    got = {
+        (r["doc_id"], r["window_seq"]): (
+            r["start_tok"], r["n_window_tokens"], r["fingerprint"],
+        )
+        for r in REGISTRY["pack_sliding_windows"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # coverage invariant: the last window of every doc ends at token n,
+    # and consecutive windows overlap by >= W - S tokens (no gaps)
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for (doc, seq), (st, ln, _) in got.items():
+        per_doc[doc].append((seq, st, ln))
+    for doc, wins in per_doc.items():
+        wins.sort()
+        for (_, st1, ln1), (_, st2, _) in zip(wins, wins[1:]):
+            assert st2 <= st1 + ln1, (doc, st1, ln1, st2)  # no gap
