@@ -74,16 +74,10 @@ _DRIVER_HEAD: list[str] = [
     "similarity_bruteforce_topk",
     "multimodal_meta",
     "sessionize_events",
-    "topk_orders_per_customer",
-    "dedup_fingerprint_tokenset",
-    "f_json_props",
-    "j3_having_segment_orders",
-    "w1_lag_deltas",
-    "dedup_ngram_jaccard_sample",
     # (4) new in round 6 — no driver verdict yet; these take the last
-    # twelve window slots from twelve r1 re-confirmations (which stay
-    # green from r1), so the r6 window covers every entry lacking a
-    # driver verdict
+    # eighteen window slots from eighteen r1 re-confirmations (which
+    # stay green from r1), so the r6 window covers every entry lacking
+    # a driver verdict
     "eval_ann_recall_at_k",
     "text_distinct_ngram_diversity",
     "dedup_minhash_containment",
@@ -96,6 +90,12 @@ _DRIVER_HEAD: list[str] = [
     "finance_max_drawdown",
     "eval_pr_auc",
     "pack_sliding_windows",
+    "stats_kruskal_wallis",
+    "eval_mrr_at_k",
+    "ts_bollinger_bands",
+    "stats_cramers_v",
+    "eval_cohens_kappa",
+    "eval_lift_gains_deciles",
 ]
 
 
