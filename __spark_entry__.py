@@ -69,15 +69,10 @@ _DRIVER_HEAD: list[str] = [
     "b2bin_value_histogram",
     "text_fingerprints",
     "text_token_counts",
-    "d1_dedup_first_event",
-    "w2_smoothed_hourly_value",
-    "similarity_bruteforce_topk",
-    "multimodal_meta",
-    "sessionize_events",
     # (4) new in round 6 — no driver verdict yet; these take the last
-    # eighteen window slots from eighteen r1 re-confirmations (which
-    # stay green from r1), so the r6 window covers every entry lacking
-    # a driver verdict
+    # twenty-three window slots from twenty-three r1 re-confirmations
+    # (which stay green from r1), so the r6 window covers every entry
+    # lacking a driver verdict
     "eval_ann_recall_at_k",
     "text_distinct_ngram_diversity",
     "dedup_minhash_containment",
@@ -96,6 +91,11 @@ _DRIVER_HEAD: list[str] = [
     "stats_cramers_v",
     "eval_cohens_kappa",
     "eval_lift_gains_deciles",
+    "ts_mann_kendall_trend",
+    "ts_cross_correlation",
+    "finance_rsi_sma",
+    "eval_brier_score",
+    "text_hapax_richness",
 ]
 
 
