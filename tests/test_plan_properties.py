@@ -176,6 +176,11 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # the LOCF spine IS users × broadcast(hour range) — the bounded
         # spine crossJoin idiom (a_lifetime_rate_curve precedent)
         "gapfill_locf_hourly",
+        # Cramer's V inherits the chi2 contingency machinery's 1-row
+        # marginal-totals broadcast; Kruskal-Wallis broadcasts the
+        # 1-row tie-correction aggregate — both the scalar idiom
+        "stats_cramers_v",
+        "stats_kruskal_wallis",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
