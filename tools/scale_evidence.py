@@ -301,6 +301,29 @@ R6B_ENTRIES = [
     "eval_pr_auc",
 ]
 
+# Round-6 parts 3+4: the eleven classical-evaluation/trend entries,
+# measured at the same sf1 volume (relational replication). The
+# interesting rows: Kruskal-Wallis pushes ~6M rows through the
+# distinct-domain prefix sum (the _cuts machinery at 100x of the oracle
+# SF); the lift deciles keep the laptop-form global ntile (its
+# documented scale substitute is the equi-depth cut path); hapax
+# richness shuffles one row per VOCABULARY entry; Mann-Kendall's
+# O(days^2) pair join is invariant (the day domain does not grow with
+# volume), so its wall should track the scan.
+R6C_ENTRIES = [
+    "stats_kruskal_wallis",
+    "eval_mrr_at_k",
+    "ts_bollinger_bands",
+    "stats_cramers_v",
+    "eval_cohens_kappa",
+    "eval_lift_gains_deciles",
+    "ts_mann_kendall_trend",
+    "ts_cross_correlation",
+    "finance_rsi_sma",
+    "eval_brier_score",
+    "text_hapax_richness",
+]
+
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
 
 _R3_TABLES = {
@@ -370,14 +393,15 @@ def main() -> None:
     r5_mode = "--r5" in sys.argv
     r6_mode = "--r6" in sys.argv
     r6b_mode = "--r6b" in sys.argv
+    r6c_mode = "--r6c" in sys.argv
 
-    if r3_mode or r4_mode or r5_mode or r6_mode or r6b_mode:
+    if r3_mode or r4_mode or r5_mode or r6_mode or r6b_mode or r6c_mode:
         print("building 10x relational replication ...", file=sys.stderr)
         big_rel = build_10x_rel(spark)
     else:
         print("building 10x replication ...", file=sys.stderr)
         big_dir = build_10x(spark)
-    if r5_mode or r6_mode or not (r3_mode or r4_mode or r6b_mode):
+    if r5_mode or r6_mode or not (r3_mode or r4_mode or r6b_mode or r6c_mode):
         print("building 10x distinct-content replication ...", file=sys.stderr)
         big_distinct_dir = build_10x(spark, distinct=True)
 
@@ -412,7 +436,9 @@ def main() -> None:
         )
         return rec
 
-    if r6b_mode:
+    if r6c_mode:
+        rows_r6c = measure(R6C_ENTRIES, big_rel)
+    elif r6b_mode:
         rows_r6b = measure(R6B_ENTRIES, big_rel)
     elif r6_mode:
         rows_r6 = measure(R6_REL_ENTRIES, big_rel)
@@ -444,6 +470,33 @@ def main() -> None:
     md_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_EVIDENCE.md"
     )
+    if r6c_mode:
+        lines = [
+            "",
+            "## Round-6 parts 3+4 at sf1 (the eleven classical-evaluation entries)",
+            "",
+            "Same sf1 relational-replication protocol as the tables above. "
+            "Kruskal-Wallis is the headline row: ~6M quantities through "
+            "the distinct-domain distributed prefix sum (the _cuts "
+            "machinery) plus the rank join-back. Mann-Kendall / CCF / "
+            "Bollinger / RSI aggregate to day- or hour-grain first, so "
+            "their post-scan state is volume-invariant and wall should "
+            "track the scan; the lift deciles deliberately keep the "
+            "laptop-form global ntile (documented scale substitute: "
+            "equi-depth score cuts).",
+            "",
+        ]
+        lines += table(rows_r6c)
+        lines += [""]
+        prev = open(md_path).read() if os.path.exists(md_path) else ""
+        marker = "\n## Round-6 parts 3+4 at sf1"
+        if marker in prev:
+            prev = prev[: prev.index(marker)]
+        with open(md_path, "w") as f:
+            f.write(prev.rstrip("\n") + "\n" + "\n".join(lines))
+        print("appended round-6 parts-3+4 sf1 section to SCALE_EVIDENCE.md", file=sys.stderr)
+        return
+
     if r6b_mode:
         lines = [
             "",
