@@ -66,11 +66,8 @@ _DRIVER_HEAD: list[str] = [
     "f_scalars_part_category",
     "pack_chunks_documents",
     "set_intersect_customers",
-    "b2bin_value_histogram",
-    "text_fingerprints",
-    "text_token_counts",
     # (4) new in round 6 — no driver verdict yet; these take the last
-    # twenty-three window slots from twenty-three r1 re-confirmations
+    # twenty-six window slots from twenty-six r1 re-confirmations
     # (which stay green from r1), so the r6 window covers every entry
     # lacking a driver verdict
     "eval_ann_recall_at_k",
@@ -96,6 +93,9 @@ _DRIVER_HEAD: list[str] = [
     "finance_rsi_sma",
     "eval_brier_score",
     "text_hapax_richness",
+    "stats_levene_brownforsythe",
+    "text_burstiness",
+    "stats_permutation_test",
 ]
 
 

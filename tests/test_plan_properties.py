@@ -181,6 +181,12 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # 1-row tie-correction aggregate — both the scalar idiom
         "stats_cramers_v",
         "stats_kruskal_wallis",
+        # burstiness broadcasts the 1-row corpus count onto the term
+        # frame; the permutation test broadcasts the 1-row observed
+        # sufficient statistics onto the replicate gates and the 1-row
+        # extreme-count back onto the output — all the scalar idiom
+        "text_burstiness",
+        "stats_permutation_test",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
