@@ -322,6 +322,12 @@ R6C_ENTRIES = [
     "finance_rsi_sma",
     "eval_brier_score",
     "text_hapax_richness",
+    # part 5: Brown-Forsythe exercises the GROUPED prefix sum at ~6M
+    # rows; burstiness shuffles vocabulary-sized rows; the permutation
+    # test's x64 explode is the volume-proportional row
+    "stats_levene_brownforsythe",
+    "text_burstiness",
+    "stats_permutation_test",
 ]
 
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
@@ -473,7 +479,7 @@ def main() -> None:
     if r6c_mode:
         lines = [
             "",
-            "## Round-6 parts 3+4 at sf1 (the eleven classical-evaluation entries)",
+            "## Round-6 parts 3-5 at sf1 (the fourteen classical-evaluation entries)",
             "",
             "Same sf1 relational-replication protocol as the tables above. "
             "Kruskal-Wallis is the headline row: ~6M quantities through "
@@ -489,7 +495,7 @@ def main() -> None:
         lines += table(rows_r6c)
         lines += [""]
         prev = open(md_path).read() if os.path.exists(md_path) else ""
-        marker = "\n## Round-6 parts 3+4 at sf1"
+        marker = "\n## Round-6 parts 3"
         if marker in prev:
             prev = prev[: prev.index(marker)]
         with open(md_path, "w") as f:
