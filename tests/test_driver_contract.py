@@ -65,3 +65,30 @@ def test_driver_ordering_covers_registry_exactly():
     oracles = e.oracle_sql()
     assert set(oracles) <= set(names)
     assert all(isinstance(s, str) and s.strip() for s in oracles.values())
+
+
+def test_driver_window_covers_every_unverdicted_entry():
+    """The driver's per-round correctness run covers EXACTLY the first
+    50 of queries() (verified each round: CORRECTNESS_r0N.json keysets
+    equal that round's prefix). Rotation discipline: every entry that
+    has never received a driver verdict — not a key in ANY
+    CORRECTNESS_r0*.json — must sit inside the checked 50-prefix, or it
+    silently stays unverdicted for another round."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verdicted: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+        verdicted |= set(json.load(open(path)))
+    names = list(e.queries().keys())
+    window = set(names[:50])
+    unverdicted = set(names) - verdicted
+    missing = sorted(unverdicted - window)
+    assert not missing, (
+        f"{len(missing)} entries lack a driver verdict AND sit outside "
+        f"the 50-entry window: {missing[:10]} ..."
+    )
