@@ -762,3 +762,4 @@ from . import catalog_r6b  # noqa: E402,F401
 from . import catalog_r6c  # noqa: E402,F401
 from . import catalog_r6d  # noqa: E402,F401
 from . import catalog_r6e  # noqa: E402,F401
+from . import catalog_r6f  # noqa: E402,F401
