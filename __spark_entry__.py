@@ -56,16 +56,19 @@ _DRIVER_HEAD: list[str] = [
     "similarity_srp_lsh_sized",
     "stats_winsorized_mean_cuts",
     "stats_quantile_normalize_grid",
-    # (3) stalest greens (last checked r1), cheapest first
-    "sample_hash_documents",
-    "split_train_eval",
-    "pivot_status_by_priority",
-    "except_customers",
-    "p_filters_inlist",
-    "cube_segment_nation",
-    "f_scalars_part_category",
-    "pack_chunks_documents",
-    "set_intersect_customers",
+    # (3) new in this session — no driver verdict yet; these take the
+    # nine slots previously used for r1-era re-confirmations (which
+    # stay green from r1), keeping every unverdicted entry inside the
+    # 50-entry checked window
+    "stats_cuped_adjustment",
+    "dq_jensen_shannon_drift",
+    "events_nelson_aalen",
+    "regression_multiple_ols",
+    "rank_fusion_rrf",
+    "stats_fdr_bh_nations",
+    "search_pseudo_relevance_feedback",
+    "ts_pacf_yule_walker",
+    "stats_jackknife_ratio_se",
     # (4) new in round 6 — no driver verdict yet; these take the last
     # twenty-six window slots from twenty-six r1 re-confirmations
     # (which stay green from r1), so the r6 window covers every entry
