@@ -187,6 +187,18 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # extreme-count back onto the output — all the scalar idiom
         "text_burstiness",
         "stats_permutation_test",
+        # part-6/7/8 entries: every crossJoin is the exactly-1-row
+        # scalar-broadcast idiom — CUPED's time midpoint + pooled
+        # moments, JSD's split totals, Nelson-Aalen's corpus max-day,
+        # FDR's global moments, PRF's corpus stats (nd, avgdl), PACF's
+        # series mean, and the jackknife's grand totals / rbar
+        "stats_cuped_adjustment",
+        "dq_jensen_shannon_drift",
+        "events_nelson_aalen",
+        "stats_fdr_bh_nations",
+        "search_pseudo_relevance_feedback",
+        "ts_pacf_yule_walker",
+        "stats_jackknife_ratio_se",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

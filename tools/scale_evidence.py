@@ -330,6 +330,26 @@ R6C_ENTRIES = [
     "stats_permutation_test",
 ]
 
+# Round-6 parts 6-8: the nine experimentation/retrieval/resampling
+# entries, measured at the same sf1 volume (relational replication).
+# The interesting rows: CUPED's groupBy-user shuffle carries 10x users;
+# PRF's two posting-list passes and the corpus document-frequency build
+# are the volume rows (the query model stays <=8 terms); everything
+# else (OLS, FDR, jackknife, PACF, JSD, Nelson-Aalen) reduces to
+# sufficient statistics or day/month/category-grain frames, so wall
+# should track the scan.
+R6D_ENTRIES = [
+    "stats_cuped_adjustment",
+    "dq_jensen_shannon_drift",
+    "events_nelson_aalen",
+    "regression_multiple_ols",
+    "rank_fusion_rrf",
+    "stats_fdr_bh_nations",
+    "search_pseudo_relevance_feedback",
+    "ts_pacf_yule_walker",
+    "stats_jackknife_ratio_se",
+]
+
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
 
 _R3_TABLES = {
@@ -400,14 +420,15 @@ def main() -> None:
     r6_mode = "--r6" in sys.argv
     r6b_mode = "--r6b" in sys.argv
     r6c_mode = "--r6c" in sys.argv
+    r6d_mode = "--r6d" in sys.argv
 
-    if r3_mode or r4_mode or r5_mode or r6_mode or r6b_mode or r6c_mode:
+    if r3_mode or r4_mode or r5_mode or r6_mode or r6b_mode or r6c_mode or r6d_mode:
         print("building 10x relational replication ...", file=sys.stderr)
         big_rel = build_10x_rel(spark)
     else:
         print("building 10x replication ...", file=sys.stderr)
         big_dir = build_10x(spark)
-    if r5_mode or r6_mode or not (r3_mode or r4_mode or r6b_mode or r6c_mode):
+    if r5_mode or r6_mode or not (r3_mode or r4_mode or r6b_mode or r6c_mode or r6d_mode):
         print("building 10x distinct-content replication ...", file=sys.stderr)
         big_distinct_dir = build_10x(spark, distinct=True)
 
@@ -442,7 +463,9 @@ def main() -> None:
         )
         return rec
 
-    if r6c_mode:
+    if r6d_mode:
+        rows_r6d = measure(R6D_ENTRIES, big_rel)
+    elif r6c_mode:
         rows_r6c = measure(R6C_ENTRIES, big_rel)
     elif r6b_mode:
         rows_r6b = measure(R6B_ENTRIES, big_rel)
@@ -476,6 +499,29 @@ def main() -> None:
     md_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_EVIDENCE.md"
     )
+    if r6d_mode:
+        lines = [
+            "",
+            "## Round-6 parts 6-8 at sf1 (the nine experimentation/retrieval entries)",
+            "",
+            "Same sf1 relational-replication protocol as the tables above. "
+            "CUPED's per-user shuffle and PRF's posting-list passes are "
+            "the volume rows; the other seven reduce to sufficient "
+            "statistics or day/month/category-grain frames before any "
+            "window, so wall should track the scan.",
+            "",
+        ]
+        lines += table(rows_r6d)
+        lines += [""]
+        prev = open(md_path).read() if os.path.exists(md_path) else ""
+        marker = "\n## Round-6 parts 6"
+        if marker in prev:
+            prev = prev[: prev.index(marker)]
+        with open(md_path, "w") as f:
+            f.write(prev.rstrip("\n") + "\n" + "\n".join(lines))
+        print("appended round-6 parts-6-8 sf1 section to SCALE_EVIDENCE.md", file=sys.stderr)
+        return
+
     if r6c_mode:
         lines = [
             "",
