@@ -765,3 +765,5 @@ from . import catalog_r6e  # noqa: E402,F401
 from . import catalog_r6f  # noqa: E402,F401
 from . import catalog_r6g  # noqa: E402,F401
 from . import catalog_r6h  # noqa: E402,F401
+from . import catalog_r6i  # noqa: E402,F401
+from . import catalog_r6j  # noqa: E402,F401

@@ -199,6 +199,12 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         "search_pseudo_relevance_feedback",
         "ts_pacf_yule_walker",
         "stats_jackknife_ratio_se",
+        # part-9/10: the stump broadcasts the 1-row (n, pos) totals
+        # onto the domain frame; QL retrieval broadcasts the 1-row
+        # collection-token total and the 1-row query-model constant —
+        # all the scalar idiom
+        "ml_decision_stump_gini",
+        "search_query_likelihood_dirichlet",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

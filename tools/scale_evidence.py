@@ -348,6 +348,17 @@ R6D_ENTRIES = [
     "search_pseudo_relevance_feedback",
     "ts_pacf_yule_walker",
     "stats_jackknife_ratio_se",
+    # parts 9/10: Gini and the stump push the volume through the
+    # distributed distinct-domain prefix sum; the Poisson bootstrap's
+    # x32 explode is the volume row; QL retrieval repeats the PRF
+    # posting-list shape
+    "stats_gini_lorenz",
+    "ml_decision_stump_gini",
+    "stats_poisson_bootstrap",
+    "stats_tost_equivalence",
+    "finance_sharpe_sortino",
+    "stats_wilson_ci_by_nation",
+    "search_query_likelihood_dirichlet",
 ]
 
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
@@ -502,7 +513,7 @@ def main() -> None:
     if r6d_mode:
         lines = [
             "",
-            "## Round-6 parts 6-8 at sf1 (the nine experimentation/retrieval entries)",
+            "## Round-6 parts 6-10 at sf1 (the sixteen experimentation/retrieval/scale-path entries)",
             "",
             "Same sf1 relational-replication protocol as the tables above. "
             "CUPED's per-user shuffle and PRF's posting-list passes are "
