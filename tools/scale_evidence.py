@@ -516,10 +516,11 @@ def main() -> None:
             "## Round-6 parts 6-10 at sf1 (the sixteen experimentation/retrieval/scale-path entries)",
             "",
             "Same sf1 relational-replication protocol as the tables above. "
-            "CUPED's per-user shuffle and PRF's posting-list passes are "
-            "the volume rows; the other seven reduce to sufficient "
-            "statistics or day/month/category-grain frames before any "
-            "window, so wall should track the scan.",
+            "CUPED/TOST's per-user shuffles, the PRF and query-likelihood "
+            "posting-list passes, the Poisson bootstrap's x32 explode, and "
+            "the Gini/stump distinct-domain prefix sums are the volume "
+            "rows; the rest reduce to sufficient statistics or "
+            "day/month/category-grain frames, so wall should track the scan.",
             "",
         ]
         lines += table(rows_r6d)
