@@ -33,13 +33,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # The r6 head therefore leads with those 8 (the r5 order left them at
 # positions 51-58 — INSIDE the head list but OUTSIDE the checked
 # prefix, so leaving the order unchanged would never check them),
-# followed by the 7 entries whose oracle SQL or implementation changed
-# this round (equidepth degenerate-input coalesce, sized-SRP count
-# assert, grouped-offset hardening), then 35 of the stalest (r1-era)
-# greens cheapest-first as re-confirmation fill.
+# followed by the 42 entries new in round 6 — together exactly the 50
+# entries lacking a driver verdict, so the r6 window closes the record
+# at 292/292. Re-confirmation fill (r1-era greens) and the
+# changed-oracle re-checks were displaced as the round added entries:
+# both groups keep standing greens and stay pinned per-commit by the
+# local differential (tools/check_oracle.py, 292/292 MATCH).
 # See COVERAGE.md "driver rotation".
 _DRIVER_HEAD: list[str] = [
-    # (1) the 8 never-driver-checked entries — close the record at 250/250
+    # (1) the 8 never-driver-checked entries — the oldest unverdicted
     "join_star_denormalize",
     "dedup_minhash_jaccard_estimate",
     "profile_table_stats",
