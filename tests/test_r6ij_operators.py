@@ -202,3 +202,37 @@ def test_query_likelihood_matches_python_replay(spark):
     assert [(r["doc_id"]) for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert abs(r["ql_score"] - s) < 1e-9
+
+
+def test_gini_and_stump_plans_have_only_partitioned_windows(spark):
+    """The scale-path claim: both entries derive ranks from the
+    distributed distinct-domain prefix sum, so any Window in the
+    executed plan must be PARTITIONED (by the prefix-sum pid) — a
+    single-task global sort would silently reintroduce the bottleneck
+    the machinery exists to remove."""
+    import re as _re
+
+    for name in ("stats_gini_lorenz", "ml_decision_stump_gini"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert _re.search(r"Window \[.*\], \[\w+#\d+\]", line) or (
+                    "partitionBy" in line or "pid#" in line
+                ), (name, line)
+        # the domain windows partition by the prefix-sum pid
+        assert "pid#" in plan, name
+
+
+def test_ranked_cut_entries_use_take_ordered(spark):
+    """Every ranked cut in the new retrieval/fusion entries must plan
+    as TakeOrderedAndProject (distributed partial top-k) — never a
+    global Sort + Limit over the corpus."""
+    for name in (
+        "rank_fusion_rrf",
+        "search_query_likelihood_dirichlet",
+        "search_pseudo_relevance_feedback",
+    ):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
