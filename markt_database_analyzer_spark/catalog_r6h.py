@@ -201,9 +201,6 @@ def search_pseudo_relevance_feedback(spark: SparkSession, sf_dir: str) -> DataFr
     q1 = spark.createDataFrame([(w, 1.0) for w in _BM25_TERMS], ["w", "wt"])
     pass1 = score_pass(q1)
     fb = pass1.orderBy(F.desc("score"), "doc_id").limit(_PRF_FB_DOCS).select("doc_id")
-    cdf = toks.groupBy("w").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
-    )
     fbdf = (
         toks.join(F.broadcast(fb), "doc_id")
         .filter(
@@ -212,6 +209,17 @@ def search_pseudo_relevance_feedback(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("w")
         .agg(F.countDistinct("doc_id").cast("bigint").alias("fb_df"))
         .filter(F.col("fb_df") >= _PRF_MIN_FB_DF)
+    )
+    # Corpus document frequencies are only ever read for feedback-doc
+    # terms, so semi-filter the token stream by that (broadcast, <=
+    # feedback vocabulary) term set BEFORE the countDistinct — the
+    # oracle's full-vocabulary cdf CTE is the semantic spec; the values
+    # used are identical, the aggregation state shrinks from |corpus
+    # vocab| to |feedback vocab|.
+    cdf = (
+        toks.join(F.broadcast(fbdf.select("w")), "w")
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
     )
     exp_score = F.col("fb_df").cast("double") * F.log(
         (F.col("nd").cast("double") + 1.0) / (F.col("df").cast("double") + 1.0)
