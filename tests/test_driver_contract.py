@@ -88,7 +88,19 @@ def test_driver_window_covers_every_unverdicted_entry():
     window = set(names[:50])
     unverdicted = set(names) - verdicted
     missing = sorted(unverdicted - window)
-    assert not missing, (
-        f"{len(missing)} entries lack a driver verdict AND sit outside "
-        f"the 50-entry window: {missing[:10]} ..."
+    # Entries added after this round's window was laid may overflow the
+    # 50 slots — but ONLY if they are explicitly pinned in the
+    # next-window queue (positions 51+), so nothing is silently left
+    # out of the rotation.
+    queued = set(e._NEXT_WINDOW_QUEUE)
+    unqueued = sorted(set(missing) - queued)
+    assert not unqueued, (
+        f"{len(unqueued)} entries lack a driver verdict AND sit outside "
+        f"both the 50-entry window and _NEXT_WINDOW_QUEUE: {unqueued[:10]} ..."
     )
+    # the queue sits contiguously right after the head, oldest-first,
+    # so the next re-laid window picks it up wholesale
+    nh, nq = len(e._DRIVER_HEAD), len(e._NEXT_WINDOW_QUEUE)
+    assert names[nh : nh + nq] == e._NEXT_WINDOW_QUEUE
+    # and the queue never holds entries that already have a verdict
+    assert not (queued & verdicted), sorted(queued & verdicted)
