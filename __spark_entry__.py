@@ -132,6 +132,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "stats_cohens_d_effect",
     "stats_gtest_independence",
     "ml_ridge_normal_equations",
+    "vocab_oov_rate_topk",
+    "eval_rank_biased_overlap",
 ]
 
 

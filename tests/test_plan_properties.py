@@ -205,6 +205,13 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # all the scalar idiom
         "ml_decision_stump_gini",
         "search_query_likelihood_dirichlet",
+        # part-11/12: the G-test inherits the chi2 contingency
+        # machinery's 1-row marginal-totals broadcast (scalar idiom);
+        # RBO joins the 20-row literal depth spine to the ≤20-row
+        # max-rank frame on an inequality — a bounded broadcast NLJ of
+        # two constant-size frames (the iso_regression_pav precedent)
+        "stats_gtest_independence",
+        "eval_rank_biased_overlap",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
