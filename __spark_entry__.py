@@ -134,6 +134,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "ml_ridge_normal_equations",
     "vocab_oov_rate_topk",
     "eval_rank_biased_overlap",
+    "stats_zone_map_pruning",
+    "ts_downsample_ltob",
 ]
 
 

@@ -212,6 +212,13 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # two constant-size frames (the iso_regression_pav precedent)
         "stats_gtest_independence",
         "eval_rank_biased_overlap",
+        # part-13: zone maps broadcast the 1-row corpus bounds onto the
+        # zone assignment and cross the 128-row zone frame with the
+        # 3-row literal predicate spine; LTOB broadcasts the 1-row
+        # series start and the ~60-row anchor-context frame — all
+        # bounded scalar/spine broadcasts
+        "stats_zone_map_pruning",
+        "ts_downsample_ltob",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
