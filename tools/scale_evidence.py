@@ -361,6 +361,25 @@ R6D_ENTRIES = [
     "search_query_likelihood_dirichlet",
 ]
 
+# Round-6 parts 11-13: the eight post-window (r7-queued) entries,
+# measured at the same sf1 volume (relational replication). The
+# interesting rows: the OOV entry's token-stream groupBy and broadcast
+# membership pass scale with volume; zone maps add a second full-scan
+# zone assignment per layout (two map-only passes + a 128-row frame);
+# LTOB / ridge / McNemar / Cohen's d / G-test reduce to day-grain
+# frames or sufficient statistics, so wall should track the scan. RBO's
+# posting-list machinery repeats the BM25 shape.
+R6E_ENTRIES = [
+    "stats_mcnemar_test",
+    "stats_cohens_d_effect",
+    "stats_gtest_independence",
+    "ml_ridge_normal_equations",
+    "vocab_oov_rate_topk",
+    "eval_rank_biased_overlap",
+    "stats_zone_map_pruning",
+    "ts_downsample_ltob",
+]
+
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
 
 _R3_TABLES = {
@@ -432,14 +451,15 @@ def main() -> None:
     r6b_mode = "--r6b" in sys.argv
     r6c_mode = "--r6c" in sys.argv
     r6d_mode = "--r6d" in sys.argv
+    r6e_mode = "--r6e" in sys.argv
 
-    if r3_mode or r4_mode or r5_mode or r6_mode or r6b_mode or r6c_mode or r6d_mode:
+    if r3_mode or r4_mode or r5_mode or r6_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode:
         print("building 10x relational replication ...", file=sys.stderr)
         big_rel = build_10x_rel(spark)
     else:
         print("building 10x replication ...", file=sys.stderr)
         big_dir = build_10x(spark)
-    if r5_mode or r6_mode or not (r3_mode or r4_mode or r6b_mode or r6c_mode or r6d_mode):
+    if r5_mode or r6_mode or not (r3_mode or r4_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode):
         print("building 10x distinct-content replication ...", file=sys.stderr)
         big_distinct_dir = build_10x(spark, distinct=True)
 
@@ -474,7 +494,9 @@ def main() -> None:
         )
         return rec
 
-    if r6d_mode:
+    if r6e_mode:
+        rows_r6e = measure(R6E_ENTRIES, big_rel)
+    elif r6d_mode:
         rows_r6d = measure(R6D_ENTRIES, big_rel)
     elif r6c_mode:
         rows_r6c = measure(R6C_ENTRIES, big_rel)
@@ -510,6 +532,31 @@ def main() -> None:
     md_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_EVIDENCE.md"
     )
+    if r6e_mode:
+        lines = [
+            "",
+            "## Round-6 parts 11-13 at sf1 (the eight r7-queued entries)",
+            "",
+            "Same sf1 relational-replication protocol as the tables above. "
+            "The OOV token-stream groupBy + broadcast membership pass and "
+            "the zone maps' two map-only full-scan zone assignments are "
+            "the volume rows; RBO repeats the BM25 posting-list shape; "
+            "McNemar / Cohen's d / G-test / ridge / LTOB reduce to "
+            "sufficient statistics or day-grain frames, so wall should "
+            "track the scan.",
+            "",
+        ]
+        lines += table(rows_r6e)
+        lines += [""]
+        prev = open(md_path).read() if os.path.exists(md_path) else ""
+        marker = "\n## Round-6 parts 11"
+        if marker in prev:
+            prev = prev[: prev.index(marker)]
+        with open(md_path, "w") as f:
+            f.write(prev.rstrip("\n") + "\n" + "\n".join(lines))
+        print("appended round-6 parts-11-13 sf1 section to SCALE_EVIDENCE.md", file=sys.stderr)
+        return
+
     if r6d_mode:
         lines = [
             "",
