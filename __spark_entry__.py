@@ -136,6 +136,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "eval_rank_biased_overlap",
     "stats_zone_map_pruning",
     "ts_downsample_ltob",
+    "graph_adamic_adar",
+    "stats_srm_check",
+    "stats_hhi_concentration",
+    "eval_f1_threshold_sweep",
 ]
 
 

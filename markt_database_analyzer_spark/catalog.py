@@ -770,3 +770,4 @@ from . import catalog_r6j  # noqa: E402,F401
 from . import catalog_r6k  # noqa: E402,F401
 from . import catalog_r6l  # noqa: E402,F401
 from . import catalog_r6m  # noqa: E402,F401
+from . import catalog_r6n  # noqa: E402,F401

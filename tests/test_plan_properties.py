@@ -219,6 +219,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # bounded scalar/spine broadcasts
         "stats_zone_map_pruning",
         "ts_downsample_ltob",
+        # part-14: the F1 sweep broadcasts the 1-row (n, pos) totals
+        # onto the domain frame — the ml_decision_stump_gini idiom
+        "eval_f1_threshold_sweep",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
