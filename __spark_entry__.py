@@ -140,6 +140,9 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "stats_srm_check",
     "stats_hhi_concentration",
     "eval_f1_threshold_sweep",
+    "stats_power_mde",
+    "text_ngram_novelty",
+    "stats_lognormal_fit_ks",
 ]
 
 

@@ -771,3 +771,4 @@ from . import catalog_r6k  # noqa: E402,F401
 from . import catalog_r6l  # noqa: E402,F401
 from . import catalog_r6m  # noqa: E402,F401
 from . import catalog_r6n  # noqa: E402,F401
+from . import catalog_r6o  # noqa: E402,F401

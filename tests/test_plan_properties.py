@@ -222,6 +222,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # part-14: the F1 sweep broadcasts the 1-row (n, pos) totals
         # onto the domain frame — the ml_decision_stump_gini idiom
         "eval_f1_threshold_sweep",
+        # part-15: the lognormal fit broadcasts the 1-row (n, mu,
+        # sigma) moments onto the ECDF domain frame — the scalar idiom
+        "stats_lognormal_fit_ks",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -1,0 +1,138 @@
+"""Round-6 part-15 entries (power/MDE, n-gram novelty, lognormal KS),
+pinned against plain-Python recomputation at sf0.001 with the exact
+HALF_UP / integer-grid conventions the engines use."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+from markt_database_analyzer_spark.catalog import REGISTRY
+from markt_database_analyzer_spark.catalog_r6o import (
+    _MDE_REL_TARGET,
+    _NOV_EVAL_FRACTION,
+    _NOV_SEED,
+    _POWER_SEED,
+    _Z_ALPHA,
+    _Z_BETA,
+)
+from markt_database_analyzer_spark.datapipe.sampling import RESOLUTION
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q_half_up(x: float) -> int:
+    return int(Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _phi(z: float) -> float:
+    return 1.0 / (1.0 + math.exp(-1.5976 * z - 0.07056 * z * z * z))
+
+
+def test_power_mde_matches_python_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "value"
+    ).collect()
+    per_user = defaultdict(int)
+    for r in ev:
+        per_user[r["user_id"]] += _q_half_up(r["value"] * 1000000.0)
+    arms = {0: [], 1: []}
+    for uid, yq in per_user.items():
+        arms[_h60(f"{_POWER_SEED}|{uid}") % 2].append(yq)
+    n0, n1 = len(arms[0]), len(arms[1])
+    s = sum(arms[0]) + sum(arms[1])
+    mean_y = s / (n0 + n1)
+    sp = math.sqrt(
+        (
+            (sum(y * y for y in arms[0]) - sum(arms[0]) ** 2 / n0)
+            + (sum(y * y for y in arms[1]) - sum(arms[1]) ** 2 / n1)
+        )
+        / (n0 + n1 - 2.0)
+    )
+    zsum = float(_Z_ALPHA) + float(_Z_BETA)
+    mde = zsum * sp * math.sqrt(1.0 / n0 + 1.0 / n1)
+    delta = _MDE_REL_TARGET * mean_y
+    n_req = math.ceil(2.0 * sp * sp * zsum * zsum / (delta * delta))
+    row = REGISTRY["stats_power_mde"].fn(spark, SF_DIR).collect()[0]
+    assert (row["n0"], row["n1"]) == (n0, n1)
+    assert abs(row["mde_abs"] - round(mde / 1e6, 6)) < 1e-6
+    assert abs(row["mde_rel"] - round(mde / mean_y, 9)) < 1e-9
+    assert row["n_required_per_arm"] == n_req
+    # detecting a smaller lift than the current MDE needs more users
+    # than we have (on this noisy per-user metric) — sanity direction
+    if row["mde_rel"] > _MDE_REL_TARGET:
+        assert row["n_required_per_arm"] > min(n0, n1)
+
+
+def test_ngram_novelty_matches_python_split_replay(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    thresh = int(_NOV_EVAL_FRACTION * RESOLUTION)
+    train_set: set[int] = set()
+    eval_sets: dict[str, set[int]] = defaultdict(set)
+    n_eval_docs = 0
+    for r in docs:
+        toks = [t for t in r["text"].strip().lower().split() if t]
+        is_eval = _h60(f"{_NOV_SEED}|{r['doc_id']}") % RESOLUTION < thresh
+        n_eval_docs += is_eval
+        grams = {
+            _h60(" ".join(toks[i : i + 3]))
+            for i in range(len(toks) - 2)
+        }
+        if is_eval:
+            eval_sets[r["lang"]] |= grams
+        else:
+            train_set |= grams
+    rows = {
+        r["lang"]: r
+        for r in REGISTRY["text_ngram_novelty"].fn(spark, SF_DIR).collect()
+    }
+    assert n_eval_docs > 0  # the 10% gate catches docs at sf0.001
+    assert set(rows) == set(eval_sets)
+    for lang, gs in eval_sets.items():
+        novel = sum(g not in train_set for g in gs)
+        r = rows[lang]
+        assert r["eval_trigrams"] == len(gs)
+        assert r["novel_trigrams"] == novel
+        assert abs(r["novelty_rate"] - round(novel / len(gs), 9)) < 1e-9
+
+
+def test_lognormal_ks_matches_python_ecdf_replay(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_extendedprice"
+    ).collect()
+    vs = sorted(
+        _q_half_up(math.log(_q_half_up(r["l_extendedprice"] * 100.0)) * 1e9)
+        for r in li
+    )
+    n = len(vs)
+    mu = sum(vs) / n / 1e9
+    sigma = math.sqrt(
+        (sum(v * v for v in vs) / 1e18 - n * mu * mu) / (n - 1)
+    )
+    # exact ECDF over the distinct domain, sup over both one-sided gaps
+    cum = 0
+    best = None
+    from collections import Counter
+
+    cnts = Counter(vs)
+    for v in sorted(cnts):
+        c = cnts[v]
+        cum += c
+        cdf = _phi((v / 1e9 - mu) / sigma)
+        d = max(abs(cum / n - cdf), abs((cum - c) / n - cdf))
+        if best is None or (-d, v) < (-best[0], best[1]):
+            best = (d, v)
+    row = REGISTRY["stats_lognormal_fit_ks"].fn(spark, SF_DIR).collect()[0]
+    assert row["n"] == n
+    assert abs(row["mu"] - round(mu, 9)) < 1e-9
+    assert abs(row["sigma"] - round(sigma, 9)) < 1e-9
+    assert abs(row["ks_stat"] - round(best[0], 9)) < 1e-9
+    assert abs(row["ks_at_log_value"] - round(best[1] / 1e9, 9)) < 1e-9
+    # KS distance is a probability-scale sup: bounded and positive
+    assert 0.0 < row["ks_stat"] < 1.0

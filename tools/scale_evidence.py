@@ -378,6 +378,15 @@ R6E_ENTRIES = [
     "eval_rank_biased_overlap",
     "stats_zone_map_pruning",
     "ts_downsample_ltob",
+    # part-14: Adamic-Adar repeats the link-prediction wedge shape
+    # (threshold-filtered edges, capped anchors); the F1 sweep pushes
+    # the volume through the paired distinct-domain prefix sums; SRM's
+    # distinct-user groupBy and HHI's (month, supplier) groupBy are the
+    # volume rows
+    "graph_adamic_adar",
+    "stats_srm_check",
+    "stats_hhi_concentration",
+    "eval_f1_threshold_sweep",
 ]
 
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
