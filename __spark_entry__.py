@@ -143,6 +143,9 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "stats_power_mde",
     "text_ngram_novelty",
     "stats_lognormal_fit_ks",
+    "privacy_k_anonymity_audit",
+    "events_interarrival_burstiness",
+    "search_snippet_extraction",
 ]
 
 
