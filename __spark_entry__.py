@@ -146,6 +146,9 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "privacy_k_anonymity_audit",
     "events_interarrival_burstiness",
     "search_snippet_extraction",
+    "ts_seasonal_strength",
+    "finance_var_cvar",
+    "dedup_lsh_recall_eval",
 ]
 
 

@@ -225,6 +225,13 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # part-15: the lognormal fit broadcasts the 1-row (n, mu,
         # sigma) moments onto the ECDF domain frame — the scalar idiom
         "stats_lognormal_fit_ks",
+        # part-17: VaR/CVaR broadcasts the 1-row (k, n) tail-cut onto
+        # the day-grain ranked frame (scalar idiom); the LSH recall
+        # eval's ground truth is all-pairs BY DEFINITION on an explicit
+        # bounded sample (the dedup_ngram_jaccard_sample precedent) and
+        # its three counts stitch via 1-row broadcasts
+        "finance_var_cvar",
+        "dedup_lsh_recall_eval",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
