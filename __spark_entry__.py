@@ -149,6 +149,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "ts_seasonal_strength",
     "finance_var_cvar",
     "dedup_lsh_recall_eval",
+    "join_asof_nearest",
+    "dq_hash_gate_uniformity",
 ]
 
 

@@ -232,6 +232,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # its three counts stitch via 1-row broadcasts
         "finance_var_cvar",
         "dedup_lsh_recall_eval",
+        # part-18: the gate-uniformity audit broadcasts the 1-row
+        # total onto the ECDF domain frame — the scalar idiom
+        "dq_hash_gate_uniformity",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -387,6 +387,23 @@ R6E_ENTRIES = [
     "stats_srm_check",
     "stats_hhi_concentration",
     "eval_f1_threshold_sweep",
+    # parts 15-17: the novelty entry's hashed-trigram distinct sets and
+    # membership join, the lognormal-KS distinct-domain prefix sum, the
+    # snippet entry's posting-list projection, and the burstiness
+    # per-(user,type) lag window are the volume rows; power/MDE and
+    # VaR/CVaR reduce to sufficient statistics / day-grain frames; the
+    # k-anonymity class frame is attribute-domain-bounded; the LSH
+    # recall eval runs on a FIXED 200-doc sample (volume-invariant by
+    # construction)
+    "stats_power_mde",
+    "text_ngram_novelty",
+    "stats_lognormal_fit_ks",
+    "privacy_k_anonymity_audit",
+    "events_interarrival_burstiness",
+    "search_snippet_extraction",
+    "ts_seasonal_strength",
+    "finance_var_cvar",
+    "dedup_lsh_recall_eval",
 ]
 
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
