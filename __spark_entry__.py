@@ -151,6 +151,9 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "dedup_lsh_recall_eval",
     "join_asof_nearest",
     "dq_hash_gate_uniformity",
+    "stats_bayes_beta_binomial",
+    "stats_runs_test",
+    "events_dow_hour_heatmap",
 ]
 
 
