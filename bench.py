@@ -24,12 +24,42 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# FROZEN headline membership (r6 verdict item 7): the headline number is
+# only comparable round-over-round if the set is stable — r6's apparent
+# 20.1→24.3 s "regression" was pure membership growth (11→13 entries).
+# Growing this set is a deliberate act: add the name HERE and set
+# headline=True in the catalog, and note the membership change when
+# comparing headline totals across rounds. The assert below makes any
+# drift loud at bench time.
+HEADLINE_SET = frozenset({
+    "a_lifetime_rate_curve",
+    "b1_events_per_slot",
+    "b2_initial_rate_by_month",
+    "c_gain_by_nation",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+    "pipeline_clean_corpus",
+    "dedup_cluster_resolve",
+    "tpch_q1_pricing_summary",
+    "pipeline_curate_full",
+    "pipeline_quality_curate",
+    "similarity_srp_lsh_sized",
+    "segment_rfm_customers_cuts",
+})
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from markt_database_analyzer_spark.catalog import REGISTRY
     from markt_database_analyzer_spark.session import get_spark
 
     spark = get_spark(app_name="mda-bench", extra_conf={"spark.ui.enabled": "false"})
+
+    actual_headline = {n for n, s in REGISTRY.items() if s.headline}
+    assert actual_headline == HEADLINE_SET, (
+        "headline membership drifted from the frozen set — update "
+        f"HEADLINE_SET deliberately: {sorted(actual_headline ^ HEADLINE_SET)}"
+    )
 
     # The handful of remaining un-partitioned Windows run over bounded
     # spine/model frames (<= a few hundred rows, documented per entry);

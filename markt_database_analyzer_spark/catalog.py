@@ -776,3 +776,4 @@ from . import catalog_r6p  # noqa: E402,F401
 from . import catalog_r6q  # noqa: E402,F401
 from . import catalog_r6r  # noqa: E402,F401
 from . import catalog_r6s  # noqa: E402,F401
+from . import catalog_r7  # noqa: E402,F401

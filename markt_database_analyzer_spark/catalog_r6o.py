@@ -387,13 +387,17 @@ def stats_lognormal_fit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
     )
     return (
-        ks.select(
+        # argmax on the RAW d/v (matching the oracle's ORDER BY d DESC, v)
+        # BEFORE the 9-dp rounding projection, so two domain values whose
+        # d round to the same figure cannot select different rows per
+        # engine (ADVICE r6).
+        ks.orderBy(F.desc("d"), "v")
+        .limit(1)
+        .select(
             F.col("n").cast("bigint").alias("n"),
             F.round(F.col("mu"), 9).alias("mu"),
             F.round(F.col("sigma"), 9).alias("sigma"),
             F.round(F.col("d"), 9).alias("ks_stat"),
             F.round(F.col("v") / 1e9, 9).alias("ks_at_log_value"),
         )
-        .orderBy(F.desc("ks_stat"), "ks_at_log_value")
-        .limit(1)
     )

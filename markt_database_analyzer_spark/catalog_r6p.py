@@ -268,7 +268,7 @@ ORDER BY d.total_hits DESC, b.doc_id
 )
 def search_snippet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-window snippet selection for the BM25 query terms: for the
-    top-10 documents by query-term hit count, the {_SNIP_WINDOW}-token
+    top-10 documents by query-term hit count, the 10-token
     window containing the most hits (windows anchored at hit positions
     — the optimal window always starts at a hit, so anchoring is
     lossless) — the highlighting/snippet step every search UI runs
@@ -278,7 +278,7 @@ def search_snippet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any join (the posting-list projection — hits per doc are a
     handful of ints, never the text); the candidate-doc cut is a
     TakeOrdered over the doc-hit frame; window scoring is a bounded
-    self-join of the hit-position lists of ONLY the {_SNIP_DOCS}
+    self-join of the hit-position lists of ONLY the 10
     candidate docs (per-doc cost = hits², hits <= doc query-term
     count); the per-doc argmax is a rank window partitioned by doc
     with a (hits desc, start) total order.

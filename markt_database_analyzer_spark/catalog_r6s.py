@@ -70,8 +70,8 @@ pair AS (
 )
 SELECT m.arm, m.n, m.conv,
        round(m.pm, 9) AS posterior_mean,
-       round(m.pm - {_Z95} * m.ps, 9) AS ci_lo,
-       round(m.pm + {_Z95} * m.ps, 9) AS ci_hi,
+       round(greatest(0.0, m.pm - {_Z95} * m.ps), 9) AS ci_lo,
+       round(least(1.0, m.pm + {_Z95} * m.ps), 9) AS ci_hi,
        round({phi}, 6) AS p_treatment_beats_control
 FROM m CROSS JOIN pair ORDER BY m.arm
 """
@@ -86,7 +86,9 @@ def stats_bayes_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bayesian conversion readout for the seed-7 experiment: per-arm
     user-level purchase conversion under a Beta(1,1) prior — posterior
     mean, 95% credible interval (normal approximation of the Beta, the
-    same z-literal as the power entry), and P(treatment > control) via
+    same z-literal as the power entry, clamped to the [0,1] support so
+    a near-saturated arm never reports a probability bound above 1),
+    and P(treatment > control) via
     the normal approximation of the posterior difference (Bowling CDF)
     — the decision readout Bayesian A/B platforms publish next to the
     frequentist p-value (the probability statement stakeholders
@@ -146,8 +148,12 @@ def stats_bayes_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "conv",
             F.round(F.col("pm"), 9).alias("posterior_mean"),
-            F.round(F.col("pm") - z95 * F.col("ps"), 9).alias("ci_lo"),
-            F.round(F.col("pm") + z95 * F.col("ps"), 9).alias("ci_hi"),
+            F.round(
+                F.greatest(F.lit(0.0), F.col("pm") - z95 * F.col("ps")), 9
+            ).alias("ci_lo"),
+            F.round(
+                F.least(F.lit(1.0), F.col("pm") + z95 * F.col("ps")), 9
+            ).alias("ci_hi"),
             F.round(phi, 6).alias("p_treatment_beats_control"),
         )
         .orderBy("arm")

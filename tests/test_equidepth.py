@@ -94,10 +94,37 @@ def test_no_unpartitioned_window_in_cut_entry_plans(spark):
     plans must contain no un-partitioned Window at all."""
     from markt_database_analyzer_spark.catalog import REGISTRY
 
-    for name in ("histogram_equi_depth_cuts", "segment_rfm_customers_cuts"):
+    for name in (
+        "histogram_equi_depth_cuts",
+        "segment_rfm_customers_cuts",
+        "eval_lift_gains_deciles_cuts",
+    ):
         df = REGISTRY[name].fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan, (name, plan)
+
+
+def test_lift_gains_cuts_invariants(spark):
+    """The cuts-path lift table must satisfy the gains-curve identities
+    the ntile sibling pins: deciles tile 1..10 (up to tie collapse),
+    counts sum to the corpus, cum_gain is monotone and ends at 1, and
+    the overall lift (weighted by n) is 1 by construction."""
+    from markt_database_analyzer_spark.catalog import REGISTRY
+
+    rows = REGISTRY["eval_lift_gains_deciles_cuts"].fn(spark, SF_DIR).collect()
+    deciles = [r["decile"] for r in rows]
+    assert deciles == sorted(deciles) and all(1 <= d <= 10 for d in deciles)
+    n_total = sum(r["n"] for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert n_total == docs
+    gains = [r["cum_gain"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(gains, gains[1:]))
+    assert abs(gains[-1] - 1.0) < 1e-9
+    assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-9
+    pos_total = sum(r["pos"] for r in rows)
+    base = pos_total / n_total
+    for r in rows:
+        assert abs(r["lift"] - round((r["pos"] / r["n"]) / base, 9)) < 1e-9
 
 
 def test_srp_sizing_is_log_scaled():

@@ -235,6 +235,12 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # part-18: the gate-uniformity audit broadcasts the 1-row
         # total onto the ECDF domain frame — the scalar idiom
         "dq_hash_gate_uniformity",
+        # part-19: the A/B readout broadcasts the 1-row arm-pairing
+        # aggregate back onto the 2-row per-arm frame — the scalar idiom
+        "stats_bayes_beta_binomial",
+        # part-19: the heatmap broadcasts the 1-row grid mean/sd onto
+        # the ≤168-cell dow×hour grid — the scalar idiom
+        "events_dow_hour_heatmap",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -55,8 +55,8 @@ def test_beta_binomial_matches_python_posterior_replay(spark):
         r = rows[a]
         assert (r["n"], r["conv"]) == (n, cv)
         assert abs(r["posterior_mean"] - round(pm, 9)) < 1e-9
-        assert abs(r["ci_lo"] - round(pm - 1.959963984540054 * ps, 9)) < 1e-9
-        assert abs(r["ci_hi"] - round(pm + 1.959963984540054 * ps, 9)) < 1e-9
+        assert abs(r["ci_lo"] - round(max(0.0, pm - 1.959963984540054 * ps), 9)) < 1e-9
+        assert abs(r["ci_hi"] - round(min(1.0, pm + 1.959963984540054 * ps), 9)) < 1e-9
         assert abs(r["p_treatment_beats_control"] - round(p_beats, 6)) < 1e-6
         # the credible interval brackets the posterior mean and stays in [0,1]
         assert 0.0 <= r["ci_lo"] <= r["posterior_mean"] <= r["ci_hi"] <= 1.0
