@@ -74,6 +74,10 @@ _DRIVER_HEAD: list[str] = [
     # (2) new in round 7 — no driver verdict yet; each lands here as it
     # is added, displacing one r1-era re-confirmation below
     "eval_lift_gains_deciles_cuts",
+    "stats_grubbs_test",
+    "stats_ljung_box",
+    "finance_beta_capm",
+    "graph_degree_assortativity",
     # (3) re-confirmation fill: r1-era greens (oldest standing verdicts,
     # r1 order), displaced one-for-one by new r7 entries
     "a_lifetime_rate_curve",
@@ -95,10 +99,6 @@ _DRIVER_HEAD: list[str] = [
     "dedup_exact_groups",
     "dedup_fingerprint_tokenset",
     "dedup_minhash_lsh",
-    "dedup_simhash_signatures",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard_sample",
-    "similarity_bruteforce_topk",
 ]
 
 

@@ -241,6 +241,11 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # part-19: the heatmap broadcasts the 1-row grid mean/sd onto
         # the ≤168-cell dow×hour grid — the scalar idiom
         "events_dow_hour_heatmap",
+        # r7: Grubbs broadcasts the 1-row (n, mean, sd) moments onto the
+        # day frame; Ljung-Box broadcasts the 1-row series mean onto the
+        # hourly frame (the ts_autocorrelation idiom) — both scalar
+        "stats_grubbs_test",
+        "stats_ljung_box",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -1,0 +1,125 @@
+"""Round-7 part-2 entries (Grubbs, Ljung-Box, CAPM beta, degree
+assortativity), pinned against plain-Python recomputation at sf0.001."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+from markt_database_analyzer_spark.catalog import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q_half_up(x: float) -> int:
+    return int(Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+
+def _phi(z: float) -> float:
+    return 1.0 / (1.0 + math.exp(-1.5976 * z - 0.07056 * z * z * z))
+
+
+def _daily_revenue_cents(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_shipdate", "l_extendedprice", "l_discount"
+    ).collect()
+    daily = defaultdict(int)
+    for r in li:
+        daily[r["l_shipdate"].date()] += _q_half_up(
+            r["l_extendedprice"] * (1.0 - r["l_discount"]) * 100.0
+        )
+    return daily
+
+
+def test_grubbs_matches_python_replay(spark):
+    daily = _daily_revenue_cents(spark)
+    xs = list(daily.values())
+    n = len(xs)
+    mean = sum(xs) / n
+    sd = math.sqrt((sum(x * x for x in xs) - n * mean * mean) / (n - 1))
+    day, x = max(daily.items(), key=lambda kv: (abs(kv[1] - mean), -kv[0].toordinal()))
+    row = REGISTRY["stats_grubbs_test"].fn(spark, SF_DIR).collect()[0]
+    assert row["n"] == n
+    assert abs(row["mean_cents"] - round(mean, 6)) < 1e-6
+    assert abs(row["sd_cents"] - round(sd, 6)) < 1e-6
+    assert abs(row["g_stat"] - round(abs(x - mean) / sd, 9)) < 1e-9
+    assert row["outlier_day"].date() == day
+    assert row["outlier_cents"] == x
+    assert row["g_stat"] > 0.0
+
+
+def test_ljung_box_matches_python_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("ts", "value").collect()
+    by_hour = defaultdict(list)
+    for r in ev:
+        by_hour[r["ts"].replace(minute=0, second=0, microsecond=0)].append(r["value"])
+    hours = sorted(by_hour)
+    # the davg quantized mean (micro grid)
+    xs = [
+        sum(_q_half_up(v * 1e6) for v in by_hour[h]) / len(by_hour[h]) / 1e6
+        for h in hours
+    ]
+    n = len(xs)
+    xbar = _q_half_up(sum(_q_half_up(x * 1e6) for x in xs) / 1e0) / len(xs) / 1e6
+    denom = sum(_q_half_up((x - xbar) * (x - xbar) * 1e9) for x in xs)
+    q = 0.0
+    for k in range(1, 7):
+        num = sum(
+            _q_half_up((xs[i] - xbar) * (xs[i + k] - xbar) * 1e9)
+            for i in range(n - k)
+        )
+        rk = num / denom
+        q += rk * rk / (n - k)
+    q *= n * (n + 2.0)
+    z = ((q / 6.0) ** (1.0 / 3.0) - (1.0 - 2.0 / 54.0)) / math.sqrt(2.0 / 54.0)
+    row = REGISTRY["stats_ljung_box"].fn(spark, SF_DIR).collect()[0]
+    assert row["n"] == n and row["df"] == 6
+    assert abs(row["q_stat"] - round(q, 9)) < 1e-6  # cbrt vs ** rounding slack
+    assert abs(row["p_value"] - round(1.0 - _phi(z), 6)) < 1e-5
+    assert 0.0 <= row["p_value"] <= 1.0
+
+
+def test_beta_capm_invariants(spark):
+    """The value pin is the DuckDB differential; here pin the identities:
+    one row per event type, betas finite, and the n-weighted average of
+    per-type beta is NOT forced to 1 (types' matched-hour sets differ),
+    but each |beta| stays within a sane envelope for mean-reverting
+    engagement series."""
+    rows = REGISTRY["finance_beta_capm"].fn(spark, SF_DIR).collect()
+    types = {r["event_type"] for r in rows}
+    assert len(rows) == len(types) >= 3
+    for r in rows:
+        assert r["n_hours"] > 10
+        assert math.isfinite(r["beta"]) and math.isfinite(r["alpha"])
+        assert abs(r["beta"]) < 50.0
+
+
+def test_assortativity_matches_python_replay(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for jj in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[jj]))
+    deg = defaultdict(int)
+    for x, y in edges:
+        deg[x] += 1
+        deg[y] += 1
+    pairs = [(deg[x], deg[y]) for x, y in edges]
+    sym = pairs + [(b, a) for a, b in pairs]
+    m2 = len(sym)
+    sa = float(sum(a for a, _ in sym))
+    saa = float(sum(a * a for a, _ in sym))
+    sab = float(sum(a * b for a, b in sym))
+    r_expect = (m2 * sab - sa * sa) / (m2 * saa - sa * sa)
+    row = REGISTRY["graph_degree_assortativity"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert abs(row["assortativity"] - round(r_expect, 9)) < 1e-9
+    assert -1.0 <= row["assortativity"] <= 1.0
