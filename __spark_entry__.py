@@ -78,6 +78,10 @@ _DRIVER_HEAD: list[str] = [
     "stats_ljung_box",
     "finance_beta_capm",
     "graph_degree_assortativity",
+    "privacy_l_diversity",
+    "privacy_dp_laplace_counts",
+    "text_code_detect",
+    "stats_kendall_tau_daily",
     # (3) re-confirmation fill: r1-era greens (oldest standing verdicts,
     # r1 order), displaced one-for-one by new r7 entries
     "a_lifetime_rate_curve",
@@ -95,10 +99,6 @@ _DRIVER_HEAD: list[str] = [
     "p_filters_inlist",
     "topk_orders_per_customer",
     "rollup_lineitem_status",
-    "set_intersect_customers",
-    "dedup_exact_groups",
-    "dedup_fingerprint_tokenset",
-    "dedup_minhash_lsh",
 ]
 
 

@@ -636,3 +636,409 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit (the k-anonymity sibling: sensitive-value diversity)
+# --------------------------------------------------------------------------
+
+_LDIV_L = 3  # distinct-l disclosure threshold
+_LDIV_BAND = 100_000  # acctbal band width in cents (matches the k-anon audit)
+
+
+def _sql_ldiversity() -> str:
+    return f"""
+WITH qid AS (
+  SELECT c_nationkey,
+         CAST(floor(CAST(round(c_acctbal * 100.0) AS BIGINT)
+                    / {_LDIV_BAND}.0) AS BIGINT) AS bal_band,
+         c_mktsegment AS sensitive
+  FROM customer
+),
+cell AS (
+  SELECT c_nationkey, bal_band, sensitive, CAST(count(*) AS BIGINT) AS c
+  FROM qid GROUP BY 1, 2, 3
+),
+cls_k AS (
+  SELECT c_nationkey, bal_band, CAST(sum(c) AS BIGINT) AS k
+  FROM cell GROUP BY 1, 2
+),
+cls AS (
+  SELECT cell.c_nationkey, cell.bal_band,
+         CAST(max(k) AS BIGINT) AS k,
+         CAST(count(*) AS BIGINT) AS distinct_l,
+         sum(-(c / CAST(k AS DOUBLE)) * ln(c / CAST(k AS DOUBLE))) AS h
+  FROM cell JOIN cls_k USING (c_nationkey, bal_band)
+  GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       CAST(min(distinct_l) AS BIGINT) AS min_distinct_l,
+       CAST(count(*) FILTER (WHERE distinct_l < {_LDIV_L}) AS BIGINT)
+         AS classes_below_l,
+       CAST(sum(k) FILTER (WHERE distinct_l < {_LDIV_L}) AS BIGINT)
+         AS rows_below_l,
+       round(coalesce(sum(k) FILTER (WHERE distinct_l < {_LDIV_L}), 0)
+             / CAST(sum(k) AS DOUBLE), 9) AS at_risk_fraction,
+       round(exp(min(h)), 9) AS min_entropy_l
+FROM cls
+"""
+
+
+@register(
+    "privacy_l_diversity",
+    oracle=_sql_ldiversity(),
+    tags=("privacy", "l-diversity", "data-quality"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of the customer table: equivalence classes
+    under the quasi-identifier (nation, 1000-unit balance band), with
+    market segment as the SENSITIVE attribute — distinct-l (classes
+    where every member shares one segment leak it outright even at
+    k≥5) and entropy-l (exp of the class's sensitive-value entropy, the
+    Machanavajjhala refinement that catches 99%-skewed classes the
+    distinct count misses). The audit a release pipeline runs AFTER
+    ``privacy_k_anonymity_audit``: k bounds re-identification,
+    l bounds attribute disclosure.
+
+    Exactness: cell and class counts are exact BIGINTs; each class
+    entropy is Σ −(c/k)·ln(c/k) over exact integer ratios — identical
+    closed-form text on both engines (the oracle computes k via a
+    window over the cell frame; Spark carries it through the two-level
+    groupBy). min/exp are order-free.
+
+    Scale shape: two map-side-combined groupBys (cells, then classes —
+    both bounded by attribute-domain products, never the table), then
+    a 1-row combine. No joins, no windows on the Spark side."""
+    c = _t(spark, sf_dir, "customer")
+    qid = c.select(
+        "c_nationkey",
+        F.floor(
+            F.round(F.col("c_acctbal") * 100.0).cast("bigint") / float(_LDIV_BAND)
+        )
+        .cast("bigint")
+        .alias("bal_band"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    cell = qid.groupBy("c_nationkey", "bal_band", "sensitive").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # k must be ON the cell rows before the entropy terms form (the
+    # algebraic rewrite H = ln k − (1/k)Σ c·ln c is exact in real
+    # arithmetic but not bit-identical in floats), so both engines
+    # compute class totals first and join them back onto the cells.
+    ktot = cell.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("c").cast("bigint").alias("k")
+    )
+    p = F.col("c") / F.col("k").cast("double")
+    cls = (
+        cell.join(ktot, ["c_nationkey", "bal_band"])
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.max("k").alias("k"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_l"),
+            F.sum(-p * F.ln(p)).alias("h"),
+        )
+    )
+    below = F.col("distinct_l") < _LDIV_L
+    return cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.min("distinct_l").cast("bigint").alias("min_distinct_l"),
+        F.count(F.when(below, 1)).cast("bigint").alias("classes_below_l"),
+        F.sum(F.when(below, F.col("k"))).cast("bigint").alias("rows_below_l"),
+        F.round(
+            F.coalesce(F.sum(F.when(below, F.col("k"))), F.lit(0))
+            / F.sum("k").cast("double"),
+            9,
+        ).alias("at_risk_fraction"),
+        F.round(F.exp(F.min("h")), 9).alias("min_entropy_l"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Differentially-private released counts (deterministic Laplace mechanism)
+# --------------------------------------------------------------------------
+
+_DP_EPS = 1.0  # privacy budget; sensitivity 1 for a per-entity count
+_DP_SEED = 23
+_TWO60 = 1152921504606846976.0  # 2^60, the hash60 range
+
+
+def _sql_dp_laplace() -> str:
+    from .datapipe.hashing import sql_hash60
+
+    u = f"(({sql_hash60('n_name', seed=_DP_SEED)} + 0.5) / {_TWO60})"
+    return f"""
+WITH c AS (
+  SELECT n.n_name, CAST(count(*) AS BIGINT) AS true_count
+  FROM customer JOIN nation n ON c_nationkey = n.n_nationkey
+  GROUP BY 1
+),
+noise AS (
+  SELECT n_name, true_count, {u} AS u
+  FROM c
+)
+SELECT n_name, true_count,
+       round(true_count
+             - (1.0 / {_DP_EPS}) * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+               * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_count,
+       round((1.0 / {_DP_EPS}), 6) AS laplace_scale
+FROM noise ORDER BY n_name
+"""
+
+
+@register(
+    "privacy_dp_laplace_counts",
+    oracle=_sql_dp_laplace(),
+    tags=("privacy", "differential-privacy", "laplace"),
+)
+def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism released counts: customers per nation with
+    Laplace(1/ε) noise at ε=1 (sensitivity 1 for a per-entity count) —
+    the ε-DP release primitive, with the noise draw DERANDOMIZED the
+    way every sampling entry in this catalog is (RNG-free md5 gates):
+    u = (hash60(key)+0.5)/2^60 is a uniform in (0,1) derived from the
+    release key, and the noise is the exact inverse-CDF transform
+    −(1/ε)·sign(u−½)·ln(1−2|u−½|). Deterministic noise is NOT private
+    against an adversary who knows the seed — this entry is the AUDIT
+    view (true and noisy side by side, the utility-loss readout a DP
+    pipeline publishes internally); a production release would swap the
+    hash for a secret-keyed PRF and drop true_count, changing no plan
+    shape. The +0.5 offset keeps u strictly inside (0,1) so ln never
+    sees 0.
+
+    Exactness: counts are exact BIGINTs; u is an exact integer ratio;
+    the transform is one closed-form double expression, identical text
+    on both engines.
+
+    Scale shape: one broadcast dim join + map-side-combined groupBy to
+    the 25-row nation frame; the noise is pure map work."""
+    from .datapipe.hashing import hash60
+
+    c = _t(spark, sf_dir, "customer").select("c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    counts = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    u = (hash60(F.col("n_name"), seed=_DP_SEED) + F.lit(0.5)) / F.lit(_TWO60)
+    noise = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.ln(F.lit(1.0) - 2.0 * F.abs(u - F.lit(0.5)))
+    )
+    return counts.select(
+        "n_name",
+        "true_count",
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+        F.round(F.lit(1.0 / _DP_EPS), 6).alias("laplace_scale"),
+    ).orderBy("n_name")
+
+
+# --------------------------------------------------------------------------
+# Code-vs-prose detection (pretraining corpus routing heuristic)
+# --------------------------------------------------------------------------
+
+_CODE_THRESHOLD = 0.05  # (2*symbols + digits) per char
+
+
+def _sql_code_detect() -> str:
+    return f"""
+WITH scored AS (
+  SELECT lang, source,
+         round((2.0 * length(regexp_replace(text, '[^{{}}();=<>]', '', 'g'))
+                + length(regexp_replace(text, '[^0-9]', '', 'g')))
+               / CAST(n_chars AS DOUBLE), 9) AS score
+  FROM documents WHERE n_chars > 0
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE score >= {_CODE_THRESHOLD}) AS BIGINT)
+         AS flagged_code,
+       round((CAST(SUM(CAST(round(score * 1000000.0) AS HUGEINT)) AS DOUBLE)
+                / count(*)) / 1000000.0, 9) AS mean_score
+FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register(
+    "text_code_detect",
+    oracle=_sql_code_detect(),
+    tags=("text", "quality", "code-detection", "datapipe"),
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing heuristic per (lang, source): a symbol-
+    density score — (2·count of {{}}();=<> + count of digits) / chars —
+    with the per-slice flag rate at 0.05 and the micro-quantized mean
+    score. The cheap first-pass router a pretraining pipeline runs
+    before sending 'code-looking' documents to a code-specific quality
+    stack (the Gopher/C4 rules here assume prose; code fails them for
+    the wrong reasons). Character counts come from regexp_replace
+    deletion (length before minus kept-only), the same primitive both
+    engines implement over identical RE2/Java character classes.
+
+    Exactness: counts are exact BIGINTs; the score is a 9-dp-rounded
+    integer ratio; the threshold compares the ALREADY-rounded score so
+    the decision boundary is bit-identical cross-engine; the mean is
+    the catalog's micro-quantized davg.
+
+    Scale shape: pure map work per document (two regex passes over the
+    text) into ONE map-side-combined groupBy on the tiny (lang, source)
+    grid. No joins, no windows, text never shuffles."""
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    sym = F.length(F.regexp_replace(F.col("text"), "[^{}();=<>]", ""))
+    dig = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    scored = d.select(
+        "lang",
+        "source",
+        F.round(
+            (2.0 * sym + dig) / F.col("n_chars").cast("double"), 9
+        ).alias("score"),
+    )
+    return (
+        scored.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("score") >= _CODE_THRESHOLD, 1))
+            .cast("bigint")
+            .alias("flagged_code"),
+            F.round(
+                F.sum(F.round(F.col("score") * 1e6).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                / 1e6,
+                9,
+            ).alias("mean_score"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b rank correlation on the daily (revenue, order-count) pairs
+# --------------------------------------------------------------------------
+
+
+def _sql_kendall_tau() -> str:
+    return """
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS d,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS x,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+),
+cd AS (
+  SELECT
+    CAST(count(*) FILTER (WHERE (a.x - b.x) * (a.y - b.y) > 0) AS BIGINT) AS c,
+    CAST(count(*) FILTER (WHERE (a.x - b.x) * (a.y - b.y) < 0) AS BIGINT) AS dd
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+tx AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) / 2), 0) AS BIGINT) AS n1
+  FROM (SELECT count(*) AS t FROM daily GROUP BY x) WHERE t > 1
+),
+ty AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) / 2), 0) AS BIGINT) AS n2
+  FROM (SELECT count(*) AS t FROM daily GROUP BY y) WHERE t > 1
+)
+SELECT n AS n_days, c AS concordant, dd AS discordant,
+       round((c - dd)
+             / sqrt((n * (n - 1) / 2.0 - n1) * (n * (n - 1) / 2.0 - n2)),
+             9) AS tau_b
+FROM cd, nn, tx, ty
+"""
+
+
+@register(
+    "stats_kendall_tau_daily",
+    oracle=_sql_kendall_tau(),
+    tags=("stats", "correlation", "kendall"),
+)
+def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily revenue and daily
+    order count — the tie-corrected pair-concordance complement to
+    ``stats_spearman_corr`` (tau is the probability statement 'a random
+    pair of days orders the same way on both metrics', the more robust
+    of the two rank correlations under heavy ties). Concordant and
+    discordant counts are exact BIGINTs from sign tests on integer
+    differences; the tie corrections n1/n2 are exact integer sums over
+    the value-group sizes; tau is one closed-form double over five
+    integers — identical on both engines.
+
+    Scale shape: the pair enumeration is a self-join of the DAY-GRAIN
+    frame — bounded by the time horizon squared (10 years ≈ 6.7M
+    pairs), never the raw table; a broadcast NLJ of the tiny day frame
+    is the right plan (the iso_regression_pav precedent). The raw scan
+    reduces map-side to one row per day first. Tie groups and the
+    grand count stitch in as 1-row broadcasts (the funnel idiom)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount", "l_orderkey"
+    )
+    daily = (
+        li.groupBy(F.date_trunc("day", "l_shipdate").alias("d"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100.0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.count_distinct(F.col("l_orderkey")).cast("bigint").alias("y"),
+        )
+        .localCheckpoint(eager=True)  # feeds pairs, ties, and the count
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    prod = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    cd = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .agg(
+            F.count(F.when(prod > 0, 1)).cast("bigint").alias("c"),
+            F.count(F.when(prod < 0, 1)).cast("bigint").alias("dd"),
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tx_ = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("t") * (F.col("t") - 1) / 2), F.lit(0))
+            .cast("bigint")
+            .alias("n1")
+        )
+    )
+    ty_ = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("t") * (F.col("t") - 1) / 2), F.lit(0))
+            .cast("bigint")
+            .alias("n2")
+        )
+    )
+    half = F.col("n") * (F.col("n") - 1) / F.lit(2.0)
+    return (
+        cd.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tx_))
+        .crossJoin(F.broadcast(ty_))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("c").alias("concordant"),
+            F.col("dd").alias("discordant"),
+            F.round(
+                (F.col("c") - F.col("dd"))
+                / F.sqrt((half - F.col("n1")) * (half - F.col("n2"))),
+                9,
+            ).alias("tau_b"),
+        )
+    )

@@ -246,6 +246,10 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # hourly frame (the ts_autocorrelation idiom) — both scalar
         "stats_grubbs_test",
         "stats_ljung_box",
+        # r7: Kendall tau's pair enumeration IS an inequality self-join
+        # of the bounded day-grain frame (iso_regression_pav precedent),
+        # and its tie/count scalars stitch via 1-row broadcasts
+        "stats_kendall_tau_daily",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

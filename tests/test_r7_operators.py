@@ -123,3 +123,115 @@ def test_assortativity_matches_python_replay(spark):
     assert row["n_edges"] == len(edges)
     assert abs(row["assortativity"] - round(r_expect, 9)) < 1e-9
     assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_l_diversity_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+    cls = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        band = _q_half_up(r["c_acctbal"] * 100.0) // 100_000
+        cls[(r["c_nationkey"], band)][r["c_mktsegment"]] += 1
+    n_classes = len(cls)
+    min_l = min(len(v) for v in cls.values())
+    below = {k: v for k, v in cls.items() if len(v) < 3}
+    rows_below = sum(sum(v.values()) for v in below.values())
+    n_rows = sum(sum(v.values()) for v in cls.values())
+    ent = []
+    for v in cls.values():
+        k = sum(v.values())
+        ent.append(sum(-(c / k) * math.log(c / k) for c in v.values()))
+    out = REGISTRY["privacy_l_diversity"].fn(spark, SF_DIR).collect()[0]
+    assert out["n_classes"] == n_classes
+    assert out["n_rows"] == n_rows
+    assert out["min_distinct_l"] == min_l
+    assert out["classes_below_l"] == len(below)
+    assert (out["rows_below_l"] or 0) == rows_below
+    assert abs(out["min_entropy_l"] - round(math.exp(min(ent)), 9)) < 1e-8
+    assert 1.0 <= out["min_entropy_l"] <= out["min_distinct_l"] + 1e-9
+
+
+def test_dp_laplace_matches_python_replay(spark):
+    import hashlib
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select("c_nationkey").collect()
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF_DIR}/nation.parquet").collect()
+    }
+    counts = defaultdict(int)
+    for r in cust:
+        counts[nat[r["c_nationkey"]]] += 1
+    out = {r["n_name"]: r for r in REGISTRY["privacy_dp_laplace_counts"].fn(spark, SF_DIR).collect()}
+    assert set(out) == set(counts)
+    for name, true_c in counts.items():
+        h = int(hashlib.md5(f"23|{name}".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / 2.0**60
+        noise = -(1.0) * (1.0 if u >= 0.5 else -1.0) * math.log(1.0 - 2.0 * abs(u - 0.5))
+        r = out[name]
+        assert r["true_count"] == true_c
+        assert abs(r["noisy_count"] - round(true_c + noise, 6)) < 1e-6
+        assert r["laplace_scale"] == 1.0
+    # noise is symmetric and unbounded but ln(1-2|u-.5|) stays finite here
+    assert all(abs(r["noisy_count"] - r["true_count"]) < 50 for r in out.values())
+
+
+def test_code_detect_matches_python_replay(spark):
+    import re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).collect()
+    agg = defaultdict(lambda: [0, 0, 0])  # n, flagged, micro-sum
+    for r in docs:
+        if r["n_chars"] <= 0:
+            continue
+        sym = len(re.sub(r"[^{}();=<>]", "", r["text"]))
+        dig = len(re.sub(r"[^0-9]", "", r["text"]))
+        score = round((2.0 * sym + dig) / r["n_chars"], 9)
+        a = agg[(r["lang"], r["source"])]
+        a[0] += 1
+        a[1] += 1 if score >= 0.05 else 0
+        a[2] += _q_half_up(score * 1e6)
+    out = {(r["lang"], r["source"]): r for r in REGISTRY["text_code_detect"].fn(spark, SF_DIR).collect()}
+    assert set(out) == set(agg)
+    for k, (n, fl, ssum) in agg.items():
+        r = out[k]
+        assert (r["n_docs"], r["flagged_code"]) == (n, fl)
+        assert abs(r["mean_score"] - round(ssum / n / 1e6, 9)) < 1e-9
+
+
+def test_kendall_tau_matches_python_replay(spark):
+    daily_rev = _daily_revenue_cents(spark)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_shipdate", "l_orderkey"
+    ).collect()
+    daily_cnt = defaultdict(set)
+    for r in li:
+        daily_cnt[r["l_shipdate"].date()].add(r["l_orderkey"])
+    days = sorted(daily_rev)
+    xy = [(daily_rev[d], len(daily_cnt[d])) for d in days]
+    c = d = 0
+    for i in range(len(xy)):
+        for j in range(i + 1, len(xy)):
+            p = (xy[i][0] - xy[j][0]) * (xy[i][1] - xy[j][1])
+            if p > 0:
+                c += 1
+            elif p < 0:
+                d += 1
+    n = len(xy)
+    tie = lambda idx: sum(
+        t * (t - 1) // 2
+        for t in defaultdict(
+            int, {v: sum(1 for p in xy if p[idx] == v) for v in {p[idx] for p in xy}}
+        ).values()
+        if t > 1
+    )
+    n1, n2 = tie(0), tie(1)
+    n0 = n * (n - 1) / 2.0
+    tau = (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+    row = REGISTRY["stats_kendall_tau_daily"].fn(spark, SF_DIR).collect()[0]
+    assert (row["n_days"], row["concordant"], row["discordant"]) == (n, c, d)
+    assert abs(row["tau_b"] - round(tau, 9)) < 1e-9
+    assert -1.0 <= row["tau_b"] <= 1.0
