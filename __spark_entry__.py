@@ -82,6 +82,10 @@ _DRIVER_HEAD: list[str] = [
     "privacy_dp_laplace_counts",
     "text_code_detect",
     "stats_kendall_tau_daily",
+    "ts_hampel_outliers",
+    "finance_macd",
+    "source_partition_pruning",
+    "ts_sax_symbols",
     # (3) re-confirmation fill: r1-era greens (oldest standing verdicts,
     # r1 order), displaced one-for-one by new r7 entries
     "a_lifetime_rate_curve",
@@ -95,10 +99,6 @@ _DRIVER_HEAD: list[str] = [
     "d1_dedup_first_event",
     "b2bin_value_histogram",
     "f_scalars_part_category",
-    "f_json_props",
-    "p_filters_inlist",
-    "topk_orders_per_customer",
-    "rollup_lineitem_status",
 ]
 
 

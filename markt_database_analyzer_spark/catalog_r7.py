@@ -1042,3 +1042,457 @@ def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_b"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hampel filter outliers on the daily revenue series (rolling median/MAD)
+# --------------------------------------------------------------------------
+
+_HAMPEL_HALF = 3  # centered window of 7 days
+_HAMPEL_K = 3.0  # flag beyond 3 scaled MADs
+_MAD_C = 1.4826  # normal-consistency constant
+
+
+def _sql_hampel() -> str:
+    # lower median of a sorted integer list: element (n+1)//2, 1-indexed
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS d,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS x
+  FROM lineitem GROUP BY 1
+),
+win AS (
+  SELECT d, x,
+         list(x) OVER (ORDER BY d
+                       ROWS BETWEEN {_HAMPEL_HALF} PRECEDING
+                                AND {_HAMPEL_HALF} FOLLOWING) AS arr
+  FROM daily
+),
+med AS (
+  SELECT d, x, len(arr) AS w,
+         list_sort(arr)[(len(arr) + 1) // 2] AS med,
+         arr
+  FROM win
+),
+mad AS (
+  SELECT d, x, w, med,
+         list_sort(list_transform(arr, v -> abs(v - med)))[(w + 1) // 2] AS mad
+  FROM med
+)
+SELECT d, x, med, mad,
+       round(abs(x - med) / ({_MAD_C} * mad), 9) AS score
+FROM mad
+WHERE mad > 0 AND abs(x - med) > {_HAMPEL_K} * {_MAD_C} * mad
+ORDER BY d
+"""
+
+
+@register(
+    "ts_hampel_outliers",
+    oracle=_sql_hampel(),
+    tags=("timeseries", "outlier", "hampel", "robust"),
+)
+def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over the daily revenue series: a centered 7-day
+    rolling window, the window's LOWER median and median absolute
+    deviation (both exact order statistics of integer cents — the lower
+    median is element (w+1)//2 of the sorted window, so even-sized edge
+    windows never average two values and both engines pick the same
+    element), and a flag where |x − med| > 3·1.4826·MAD — the robust
+    spike detector that, unlike ``stats_grubbs_test``'s global z-score,
+    survives level shifts and trend because the reference is local.
+    Zero-MAD windows (≥4 equal values) cannot vote and are excluded —
+    the standard Hampel degenerate-window contract.
+
+    Exactness: everything up to the final score is integer arithmetic
+    on exact cents; the score is one rounded double ratio; the flag
+    compares integers (|x−med| vs a double bound on both engines from
+    identical text).
+
+    Scale shape: one map-side-combined day groupBy; the rolling window
+    runs over the DAY-GRAIN frame (bounded by the horizon — the
+    ts_autocorrelation precedent), with O(w log w) per row for the two
+    in-window sorts."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    w = Window.orderBy("d").rowsBetween(-_HAMPEL_HALF, _HAMPEL_HALF)
+    arr = F.collect_list("x").over(w)
+    win = daily.select("d", "x", arr.alias("arr"))
+    lower_med = lambda a: F.element_at(  # noqa: E731
+        F.array_sort(a), ((F.size(a) + 1) / 2).cast("int")
+    )
+    med = win.select("d", "x", F.size("arr").alias("w"), lower_med(F.col("arr")).alias("med"), "arr")
+    dev = F.transform(F.col("arr"), lambda v: F.abs(v - F.col("med")))
+    mad = med.select("d", "x", "med", lower_med(dev).alias("mad"))
+    return (
+        mad.where(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("x") - F.col("med")) > _HAMPEL_K * _MAD_C * F.col("mad"))
+        )
+        .select(
+            "d",
+            "x",
+            "med",
+            "mad",
+            F.round(
+                F.abs(F.col("x") - F.col("med")) / (F.lit(_MAD_C) * F.col("mad")), 9
+            ).alias("score"),
+        )
+        .orderBy("d")
+    )
+
+
+# --------------------------------------------------------------------------
+# MACD (12/26/9) on the daily revenue series as one literal linear filter
+# --------------------------------------------------------------------------
+
+_MACD_L_EMA = 104  # EMA truncation depth (≈ 4x the slow span)
+_MACD_L9 = 27  # signal EMA truncation depth (3x its span)
+_MACD_LX = _MACD_L_EMA + _MACD_L9 - 1  # = 130, the x-lag depth
+
+
+def _macd_weights() -> tuple[list[int], list[int]]:
+    """Index-mapped INTEGER weight vectors (nano-grid: round(w·1e9)) for
+    the window array (oldest-first, 1-indexed, current row last):
+    W_MACD[i] pairs with arr[i] so that macd_t = Σ W_MACD[i]·arr[i]/1e9;
+    likewise W_SIG for the signal line (the 9-EMA of macd, pre-convolved
+    into x-space so ONE window frame serves both). Truncated EMAs are
+    re-normalized over their depth, so full-window rows need no adaptive
+    divisor.
+
+    Why integers: float weight literals are NOT engine-portable — DuckDB
+    parses a 17-digit decimal literal through DECIMAL and lands 1 ulp
+    off Python/Spark's strtod on some values, which flipped term
+    roundings here. Quantizing the coefficients themselves to the nano
+    grid makes every term an exact BIGINT·BIGINT product and the whole
+    filter integer arithmetic — bit-identical by construction (the
+    operator's spec is then 'MACD with nano-quantized coefficients',
+    error ≤1e-9 per unit weight)."""
+
+    def ema_w(span: int, depth: int) -> list[float]:
+        a = 2.0 / (span + 1.0)
+        w = [a * (1.0 - a) ** j for j in range(depth)]
+        s = sum(w)
+        return [v / s for v in w]
+
+    w12 = ema_w(12, _MACD_L_EMA)
+    w26 = ema_w(26, _MACD_L_EMA)
+    wm = [w12[j] - w26[j] for j in range(_MACD_L_EMA)]  # macd lag weights
+    w9 = ema_w(9, _MACD_L9)
+    conv = [
+        sum(
+            w9[m] * wm[lag - m]
+            for m in range(_MACD_L9)
+            if 0 <= lag - m < _MACD_L_EMA
+        )
+        for lag in range(_MACD_LX)
+    ]
+    # arr[i] (1-indexed, oldest first, size LX) holds x_{t-(LX-i)}
+    w_macd = [
+        int(round((wm[_MACD_LX - i] if _MACD_LX - i < _MACD_L_EMA else 0.0) * 1e9))
+        for i in range(1, _MACD_LX + 1)
+    ]
+    w_sig = [int(round(conv[_MACD_LX - i] * 1e9)) for i in range(1, _MACD_LX + 1)]
+    return w_macd, w_sig
+
+
+def _sql_macd() -> str:
+    w_macd, w_sig = _macd_weights()
+    wm_lit = "CAST([" + ", ".join(str(v) for v in w_macd) + "] AS BIGINT[])"
+    ws_lit = "CAST([" + ", ".join(str(v) for v in w_sig) + "] AS BIGINT[])"
+    # exact integer convolution (cents × nano-weights), ONE division at
+    # the end: /1e9 undoes the weight grid, leaving cents
+    qsum = (
+        "CAST(list_aggregate(list_transform(range(1, {n} + 1), "
+        "i -> CAST(arr[i] AS HUGEINT) * ({w})[i]), 'sum') "
+        "AS DOUBLE) / 1000000000.0"
+    )
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS d,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS x
+  FROM lineitem GROUP BY 1
+),
+win AS (
+  SELECT d, x,
+         list(x) OVER (ORDER BY d
+                       ROWS BETWEEN {_MACD_LX - 1} PRECEDING
+                                AND CURRENT ROW) AS arr
+  FROM daily
+),
+f AS (
+  SELECT d, x,
+         {qsum.format(n=_MACD_LX, w=wm_lit)} AS macd,
+         {qsum.format(n=_MACD_LX, w=ws_lit)} AS signal
+  FROM win WHERE len(arr) = {_MACD_LX}
+)
+SELECT d, x, round(macd, 6) AS macd_cents,
+       round(signal, 6) AS signal_cents,
+       round(macd - signal, 6) AS histogram_cents
+FROM f ORDER BY d
+"""
+
+
+@register(
+    "finance_macd",
+    oracle=_sql_macd(),
+    tags=("finance", "macd", "timeseries", "ema"),
+)
+def finance_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12, 26, 9) on the daily revenue series, computed as ONE
+    literal linear filter: both the macd line (EMA12 − EMA26) and its
+    signal line (the 9-EMA of macd) are fixed-coefficient convolutions
+    of the raw series once the truncated EMAs are pre-convolved in the
+    driver — so a single 130-row window array serves both lines and the
+    recursive definition never touches the cluster (the
+    ``w_ewma_smoothed`` discipline generalized: any composition of
+    truncated EMAs is a literal FIR filter). Warm-up rows (t < 130) are
+    excluded — full-window semantics, re-normalized truncated weights.
+
+    Exactness: the filter coefficients are nano-grid INTEGERS rendered
+    into both programs, so every term is an exact integer product of
+    cents × nano-weights and the convolution is pure (order-free)
+    integer arithmetic — no float enters until the single final
+    division (see ``_macd_weights`` for why float literals are not
+    engine-portable).
+
+    Scale shape: one map-side-combined day groupBy, then one bounded
+    window over the day-grain frame with O(130) work per row — pure
+    codegen via zip_with/aggregate, no UDF, no recursion."""
+    from pyspark.sql import Window
+
+    w_macd, w_sig = _macd_weights()
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    w = Window.orderBy("d").rowsBetween(-(_MACD_LX - 1), 0)
+    win = daily.select("d", "x", F.collect_list("x").over(w).alias("arr"))
+
+    def filt(weights: list[int]):
+        warr = F.array(*[F.lit(v).cast("decimal(38,0)") for v in weights])
+        terms = F.zip_with(F.col("arr"), warr, lambda v, wt: v * wt)
+        return (
+            F.aggregate(
+                terms,
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, t: acc + t,
+            ).cast("double")
+            / 1e9
+        )
+
+    f = win.where(F.size("arr") == _MACD_LX).select(
+        "d", "x", filt(w_macd).alias("macd"), filt(w_sig).alias("signal")
+    )
+    return f.select(
+        "d",
+        "x",
+        F.round("macd", 6).alias("macd_cents"),
+        F.round("signal", 6).alias("signal_cents"),
+        F.round(F.col("macd") - F.col("signal"), 6).alias("histogram_cents"),
+    ).orderBy("d")
+
+
+# --------------------------------------------------------------------------
+# Hive-partitioned write + partition-pruned read (the at-rest layout op)
+# --------------------------------------------------------------------------
+
+_PRUNE_LO, _PRUNE_HI = "2024-01-10", "2024-01-16"
+
+
+def _sql_partition_pruning() -> str:
+    davg_v = SQL_DAVG.format(x="value")
+    return f"""
+SELECT strftime(ts, '%Y-%m-%d') AS event_day, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       {davg_v} AS avg_value
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '{_PRUNE_LO}' AND '{_PRUNE_HI}'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _scratch_r7(sf_dir: str, tag: str) -> str:
+    import hashlib
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/mda_r7_{tag}_{h}"
+
+
+@register(
+    "source_partition_pruning",
+    oracle=_sql_partition_pruning(),
+    tags=("source", "layout", "partitioning", "scale"),
+)
+def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned at-rest layout, end to end: write the events
+    projection PARTITIONED BY day (``partitionBy`` → one directory per
+    day), re-read, and aggregate a one-week slice — the layout decision
+    that turns a 100 TB scan into a 23 TB-skipped one: the day filter
+    prunes at PLANNING time (``PartitionFilters`` on the scan — whole
+    directories never open, vs ``stats_zone_map_pruning``'s row-group
+    min/max skipping which still lists every file). The write half is
+    part of the entry by design, like ``source_orc_roundtrip``: a
+    layout claim without the sink is half a claim. The plan property is
+    pinned by ``test_partition_pruning_reaches_scan``.
+
+    Exactness: the oracle replays the same day-string derivation and
+    filter from the original parquet; counts are exact BIGINTs, the
+    mean is the catalog's micro-quantized davg.
+
+    Scale shape: the write shuffles once on the partition column (a
+    day-grain repartition keeps one file per day instead of
+    tasks×days small files); the read scans ONLY the 7 matching
+    directories; the aggregate is map-side combined on the pruned
+    slice."""
+    path = _scratch_r7(sf_dir, "part")
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+        "event_type",
+        "value",
+    )
+    # one file per partition directory, not tasks × days
+    ev.repartition("event_day").write.mode("overwrite").partitionBy(
+        "event_day"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    # partition-column type inference reads event_day back as DATE; the
+    # filter stays on the raw partition column (so it prunes at planning
+    # time), and only the OUTPUT re-derives the string form
+    return (
+        back.where(
+            F.col("event_day").between(
+                F.lit(_PRUNE_LO).cast("date"), F.lit(_PRUNE_HI).cast("date")
+            )
+        )
+        .groupBy(F.date_format("event_day", "yyyy-MM-dd").alias("event_day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            davg("value").alias("avg_value"),
+        )
+        .orderBy("event_day", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# SAX symbolization of the daily PAA series (alphabet size 4)
+# --------------------------------------------------------------------------
+
+# N(0,1) quartile breakpoints for a 4-letter alphabet (the SAX table)
+_SAX_B = "0.6744897501960817"
+
+
+def _sql_sax() -> str:
+    davg_x = SQL_DAVG.format(x="value")
+    davg_p = SQL_DAVG.format(x="p")
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, {davg_x} AS x
+  FROM events GROUP BY 1
+),
+paa AS (
+  SELECT date_trunc('day', h) AS seg, {SQL_DAVG.format(x='x')} AS p
+  FROM hourly GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         {davg_p} AS mu,
+         (CAST(SUM(CAST(round(p * p * 1000000.0) AS HUGEINT)) AS DOUBLE)
+            / count(*)) / 1000000.0 AS m2
+  FROM paa
+),
+z AS (
+  SELECT seg, p, mu, sqrt(m2 - mu * mu) AS sd
+  FROM paa, m
+)
+SELECT seg, round(p, 9) AS paa,
+       round((p - mu) / sd, 9) AS z,
+       CASE WHEN (p - mu) / sd < -{_SAX_B} THEN 'a'
+            WHEN (p - mu) / sd < 0.0 THEN 'b'
+            WHEN (p - mu) / sd < {_SAX_B} THEN 'c'
+            ELSE 'd' END AS symbol
+FROM z ORDER BY seg
+"""
+
+
+@register(
+    "ts_sax_symbols",
+    oracle=_sql_sax(),
+    tags=("timeseries", "sax", "symbolic", "datamining"),
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin/Keogh) of the engagement series: hourly
+    mean values → day-grain PAA (piecewise aggregate approximation —
+    the segment boundary is the calendar day, so no global index is
+    needed) → z-normalize against the PAA moments → map to a 4-letter
+    alphabet at the N(0,1) quartile breakpoints (±0.6745, 0). The
+    symbolic form is what motif discovery, series indexing, and
+    anomaly grammars consume — 30 points of 2-bit resolution standing
+    in for 43k raw events at sf0.01.
+
+    Exactness: PAA values are the catalog's micro-quantized davg; the
+    moment pair (mu, E[p²]) comes from micro-quantized integer sums, so
+    sd and every z are identical double expressions; symbols compare
+    the same doubles against the same shared breakpoint literal.
+
+    Scale shape: two map-side-combined groupBys (hour, then day), a
+    1-row moment broadcast (scalar idiom), pure map assignment. The
+    series frames are horizon-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        davg("value").alias("x")
+    )
+    paa = hourly.groupBy(F.date_trunc("day", "h").alias("seg")).agg(
+        davg("x").alias("p")
+    )
+    m = paa.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        davg("p").alias("mu"),
+        (
+            F.sum(F.round(F.col("p") * F.col("p") * 1e6).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+            / 1e6
+        ).alias("m2"),
+    )
+    b = float(_SAX_B)
+    z = paa.crossJoin(F.broadcast(m)).select(
+        "seg",
+        "p",
+        "mu",
+        F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")).alias("sd"),
+    )
+    zz = (F.col("p") - F.col("mu")) / F.col("sd")
+    return z.select(
+        "seg",
+        F.round("p", 9).alias("paa"),
+        F.round(zz, 9).alias("z"),
+        F.when(zz < -b, "a")
+        .when(zz < 0.0, "b")
+        .when(zz < b, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    ).orderBy("seg")

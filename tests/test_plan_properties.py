@@ -250,6 +250,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # of the bounded day-grain frame (iso_regression_pav precedent),
         # and its tie/count scalars stitch via 1-row broadcasts
         "stats_kendall_tau_daily",
+        # r7: SAX broadcasts the 1-row PAA moment pair onto the segment
+        # frame — the scalar idiom
+        "ts_sax_symbols",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name
@@ -270,6 +273,22 @@ def test_column_pruning_reaches_scan(spark):
     scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
     assert "l_comment" not in scan and "l_shipmode" not in scan
     assert "l_orderkey" in scan
+
+
+def test_partition_pruning_reaches_scan(spark):
+    """source_partition_pruning's claim: the day filter must prune at
+    PLANNING time — PartitionFilters on the scan of the hive-partitioned
+    layout, so non-matching directories never open."""
+    from markt_database_analyzer_spark.catalog import REGISTRY
+
+    df = REGISTRY["source_partition_pruning"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        line for line in plan.splitlines()
+        if "FileScan parquet" in line and "/tmp/mda_r7_part_" in line
+    )
+    assert "PartitionFilters: [" in scan, scan
+    assert "event_day" in scan.split("PartitionFilters")[1][:200], scan
 
 
 def test_filter_pushdown_reaches_scan(spark):

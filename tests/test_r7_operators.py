@@ -235,3 +235,100 @@ def test_kendall_tau_matches_python_replay(spark):
     assert (row["n_days"], row["concordant"], row["discordant"]) == (n, c, d)
     assert abs(row["tau_b"] - round(tau, 9)) < 1e-9
     assert -1.0 <= row["tau_b"] <= 1.0
+
+
+def test_hampel_matches_python_replay(spark):
+    daily = _daily_revenue_cents(spark)
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    flagged = {}
+    for i, d in enumerate(days):
+        win = xs[max(0, i - 3): i + 4]
+        sw = sorted(win)
+        med = sw[(len(sw) + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in win)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        if mad > 0 and abs(xs[i] - med) > 3.0 * 1.4826 * mad:
+            flagged[d] = (xs[i], med, mad)
+    rows = {r["d"].date(): r for r in REGISTRY["ts_hampel_outliers"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == set(flagged)
+    for d, (x, med, mad) in flagged.items():
+        r = rows[d]
+        assert (r["x"], r["med"], r["mad"]) == (x, med, mad)
+        assert abs(r["score"] - round(abs(x - med) / (1.4826 * mad), 9)) < 1e-9
+        assert r["score"] > 3.0
+
+
+def test_macd_matches_python_replay(spark):
+    from markt_database_analyzer_spark.catalog_r7 import _MACD_LX, _macd_weights
+
+    w_macd, w_sig = _macd_weights()
+    daily = _daily_revenue_cents(spark)
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    rows = {r["d"].date(): r for r in REGISTRY["finance_macd"].fn(spark, SF_DIR).collect()}
+    expect_days = days[_MACD_LX - 1:]
+    assert set(rows) == set(expect_days)
+    for i, d in enumerate(expect_days):
+        arr = xs[i: i + _MACD_LX]
+        macd = sum(v * w for v, w in zip(arr, w_macd)) / 1e9
+        sig = sum(v * w for v, w in zip(arr, w_sig)) / 1e9
+        r = rows[d]
+        # tolerance 2e-6: python round() is half-even while the engines
+        # round half-up, and S/1e9 lands on exact 5e-7 ties; the
+        # bit-exact pin is the DuckDB differential
+        assert abs(r["macd_cents"] - round(macd, 6)) < 2e-6
+        assert abs(r["signal_cents"] - round(sig, 6)) < 2e-6
+        assert abs(r["histogram_cents"] - round(macd - sig, 6)) < 2e-6
+    # the filter coefficients are near-zero-sum (EMA12n − EMA26n both sum
+    # to 1), so a constant series yields macd ≈ signal ≈ 0 up to the
+    # per-coefficient nano-quantization residue (|Σ| ≤ depth/2 nano-units)
+    assert abs(sum(w_macd)) <= _MACD_LX  # nano-units
+    assert abs(sum(w_sig)) <= _MACD_LX
+
+
+def test_partition_pruning_roundtrip_counts(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("ts", "event_type").collect()
+    agg = defaultdict(int)
+    for r in ev:
+        day = r["ts"].strftime("%Y-%m-%d")
+        if "2024-01-10" <= day <= "2024-01-16":
+            agg[(day, r["event_type"])] += 1
+    rows = {(r["event_day"], r["event_type"]): r["n"] for r in REGISTRY["source_partition_pruning"].fn(spark, SF_DIR).collect()}
+    assert rows == dict(agg)
+    # the output day is the STRING form (type-stable vs the oracle even
+    # though the partition column reads back as DATE)
+    assert all(isinstance(k[0], str) for k in rows)
+
+
+def test_sax_matches_python_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("ts", "value").collect()
+    by_hour = defaultdict(list)
+    for r in ev:
+        by_hour[r["ts"].replace(minute=0, second=0, microsecond=0)].append(r["value"])
+    hx = {
+        h: sum(_q_half_up(v * 1e6) for v in vs) / len(vs) / 1e6
+        for h, vs in by_hour.items()
+    }
+    by_day = defaultdict(list)
+    for h, x in hx.items():
+        by_day[h.date()].append(x)
+    paa = {
+        d: sum(_q_half_up(x * 1e6) for x in xs) / len(xs) / 1e6
+        for d, xs in by_day.items()
+    }
+    n = len(paa)
+    mu = sum(_q_half_up(p * 1e6) for p in paa.values()) / n / 1e6
+    m2 = sum(_q_half_up(p * p * 1e6) for p in paa.values()) / n / 1e6
+    sd = math.sqrt(m2 - mu * mu)
+    b = 0.6744897501960817
+    rows = {r["seg"].date(): r for r in REGISTRY["ts_sax_symbols"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == set(paa)
+    for d, p in paa.items():
+        z = (p - mu) / sd
+        sym = "a" if z < -b else "b" if z < 0 else "c" if z < b else "d"
+        r = rows[d]
+        assert abs(r["paa"] - round(p, 9)) < 1e-9
+        assert abs(r["z"] - round(z, 9)) < 1e-9
+        assert r["symbol"] == sym
+    assert {r["symbol"] for r in rows.values()} <= set("abcd")
