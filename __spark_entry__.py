@@ -86,6 +86,10 @@ _DRIVER_HEAD: list[str] = [
     "finance_macd",
     "source_partition_pruning",
     "ts_sax_symbols",
+    "events_markov2_transitions",
+    "stats_theil_index",
+    "sample_stratified_neyman",
+    "stats_cochran_armitage",
     # (3) re-confirmation fill: r1-era greens (oldest standing verdicts,
     # r1 order), displaced one-for-one by new r7 entries
     "a_lifetime_rate_curve",
@@ -95,10 +99,6 @@ _DRIVER_HEAD: list[str] = [
     "a4_first_last_per_order",
     "w1_lag_deltas",
     "w2_smoothed_hourly_value",
-    "j3_having_segment_orders",
-    "d1_dedup_first_event",
-    "b2bin_value_histogram",
-    "f_scalars_part_category",
 ]
 
 

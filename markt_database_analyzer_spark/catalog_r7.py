@@ -606,12 +606,17 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
         .distinct()
+        # the edge set feeds the degree build AND both lookup joins —
+        # without the pin the per-order self-join re-runs three times
+        # (measured 34.5 s -> ~8 s at sf0.1)
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("x").alias("node"))
         .unionAll(e.select(F.col("y").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint(eager=True)  # reused by both endpoint joins
     )
     de = (
         e.join(deg.withColumnRenamed("node", "x").withColumnRenamed("deg", "du"), "x")
@@ -1496,3 +1501,347 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("d")
         .alias("symbol"),
     ).orderBy("seg")
+
+
+# --------------------------------------------------------------------------
+# Second-order Markov transitions over per-user event sequences
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_markov2_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS s1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS s2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS dst
+  FROM events
+),
+cnt AS (
+  SELECT s1, s2, dst, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2, 3
+),
+ctx AS (SELECT s1, s2, CAST(sum(n) AS BIGINT) AS ctx_n FROM cnt GROUP BY 1, 2)
+SELECT c.s1, c.s2, c.dst, c.n,
+       round(CAST(c.n AS DOUBLE) / x.ctx_n, 6) AS p
+FROM cnt c JOIN ctx x USING (s1, s2)
+ORDER BY s1, s2, dst
+""",
+    tags=("markov", "sequence", "window"),
+)
+def events_markov2_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order Markov transition tensor over per-user event
+    sequences: P(next | the two preceding events) — the memory-2
+    refinement of ``events_markov_transitions`` that captures patterns
+    the first-order chain aliases (view→click→purchase vs
+    click→view→purchase have the same first-order edges but different
+    conversion odds). Two leads over ONE window spec pair each event
+    with its two successors; context-normalized probabilities come from
+    the states²-row context totals joined back broadcast. The tensor is
+    states³ rows — model-sized — while the only event-cardinality work
+    is the single per-user window pass (same shuffle as first order:
+    the lag/lead family reuses one sort)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    cnt = seq.groupBy("s1", "s2", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ctx = cnt.groupBy("s1", "s2").agg(F.sum("n").cast("bigint").alias("ctx_n"))
+    return (
+        cnt.join(F.broadcast(ctx), ["s1", "s2"])
+        .select(
+            "s1",
+            "s2",
+            "dst",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("ctx_n"), 6).alias("p"),
+        )
+        .orderBy("s1", "s2", "dst")
+    )
+
+
+# --------------------------------------------------------------------------
+# Theil inequality indices over positive customer balances
+# --------------------------------------------------------------------------
+
+
+def _sql_theil() -> str:
+    return """
+WITH x AS (
+  SELECT CAST(round(c_acctbal * 100.0) AS BIGINT) AS v
+  FROM customer WHERE c_acctbal > 0
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) / count(*) AS mu
+  FROM x
+),
+t AS (
+  SELECT max(m.n) AS n, max(m.mu) AS mu,
+         CAST(sum(CAST(round((v / m.mu) * ln(v / m.mu) * 1e9) AS BIGINT))
+              AS BIGINT) AS st,
+         CAST(sum(CAST(round(ln(m.mu / v) * 1e9) AS BIGINT)) AS BIGINT) AS sl
+  FROM x CROSS JOIN m
+)
+SELECT n, round(mu, 6) AS mean_cents,
+       round(CAST(st AS DOUBLE) / 1e9 / n, 9) AS theil_t,
+       round(CAST(sl AS DOUBLE) / 1e9 / n, 9) AS theil_l
+FROM t
+"""
+
+
+@register(
+    "stats_theil_index",
+    oracle=_sql_theil(),
+    tags=("stats", "inequality", "theil"),
+)
+def stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil inequality indices over positive customer balances: T =
+    (1/n)Σ(x/μ)ln(x/μ) (top-sensitive) and L = (1/n)Σln(μ/x) (the mean
+    log deviation, bottom-sensitive) — the additively DECOMPOSABLE
+    inequality family (unlike ``stats_gini_lorenz``'s Gini, Theil
+    splits exactly into within-group + between-group terms, which is
+    why concentration audits prefer it). Non-positive balances are
+    outside the index's domain (ln) and excluded — the standard
+    contract, stated rather than silently absorbed.
+
+    Exactness: μ is an exact DECIMAL-sum ratio broadcast as the 1-row
+    scalar; each log term quantizes to a nano-grid integer before the
+    order-free sum; the indices are closed-form doubles over those
+    integers — identical text both engines.
+
+    Scale shape: one scan to the cents projection, a 1-row moment
+    broadcast, one map-side-combined reduce. Nothing keyed, nothing
+    windowed."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    x = c.select(F.round(F.col("c_acctbal") * 100.0).cast("bigint").alias("v"))
+    m = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col("v").cast("decimal(38,0)")).cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    r = F.col("v") / F.col("mu")
+    t = x.crossJoin(F.broadcast(m)).agg(
+        F.max("n").alias("n"),
+        F.max("mu").alias("mu"),
+        F.sum(F.round(r * F.ln(r) * 1e9).cast("bigint")).cast("bigint").alias("st"),
+        # mu/v directly (NOT 1/r): two divisions land differently in ulp
+        F.sum(F.round(F.ln(F.col("mu") / F.col("v")) * 1e9).cast("bigint"))
+        .cast("bigint")
+        .alias("sl"),
+    )
+    return t.select(
+        "n",
+        F.round("mu", 6).alias("mean_cents"),
+        F.round(F.col("st").cast("double") / 1e9 / F.col("n"), 9).alias("theil_t"),
+        F.round(F.col("sl").cast("double") / 1e9 / F.col("n"), 9).alias("theil_l"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Neyman-allocation stratified sampling (optimal allocation by stratum σ)
+# --------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 100
+_NEYMAN_SEED = 31
+
+
+def _sql_neyman() -> str:
+    from .datapipe.hashing import sql_hash60
+
+    h = sql_hash60("doc_id::VARCHAR", seed=_NEYMAN_SEED)
+    return f"""
+WITH s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_h,
+         sqrt((CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE)
+               - count(*) * (CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE)
+                             / count(*))
+                          * (CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE)
+                             / count(*)))
+              / (count(*) - 1)) AS sigma_h
+  FROM documents GROUP BY 1
+),
+w AS (SELECT CAST(sum(n_h * sigma_h) AS DOUBLE) AS wt FROM s),
+alloc AS (
+  SELECT lang, n_h, sigma_h,
+         CAST(round({_NEYMAN_BUDGET} * (n_h * sigma_h) / wt) AS BIGINT)
+           AS alloc_h
+  FROM s CROSS JOIN w
+),
+ranked AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY {h}, d.doc_id) AS r
+  FROM documents d
+)
+SELECT ranked.doc_id, ranked.lang, a.n_h,
+       round(a.sigma_h, 6) AS sigma_h, a.alloc_h
+FROM ranked JOIN alloc a USING (lang)
+WHERE ranked.r <= a.alloc_h
+ORDER BY ranked.lang, ranked.doc_id
+"""
+
+
+@register(
+    "sample_stratified_neyman",
+    oracle=_sql_neyman(),
+    tags=("sampling", "stratified", "neyman", "datapipe"),
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sample of the document corpus:
+    the 100-doc budget splits across language strata PROPORTIONAL TO
+    N_h·σ_h (σ of n_chars per stratum) — the variance-optimal
+    allocation for estimating a corpus mean, vs
+    ``sample_stratified_lang``'s proportional allocation (which
+    over-samples homogeneous strata). Selection within a stratum is
+    the catalog's RNG-free gate: rank by seeded md5 of doc_id, take
+    the first alloc_h — deterministic, reproducible, and exactly-k per
+    stratum. Rounded allocations may sum to budget±(strata/2) — the
+    standard largest-remainder caveat, left unadjusted for parity.
+
+    Exactness: stratum moments from exact DECIMAL integer sums; the
+    allocation rounds the same double on both engines; ranks order by
+    exact 60-bit integers with a doc_id tiebreak.
+
+    Scale shape: one map-side-combined stratum groupBy (strata-sized
+    frame), the 1-row allocation-denominator broadcast, and ONE
+    per-stratum rank window (partitioned — no global sort; a stratum's
+    rank stream is a top-alloc_h selection at 100 TB, swappable for a
+    per-group TakeOrdered when strata skew)."""
+    from pyspark.sql import Window
+
+    from .datapipe.hashing import hash60
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    nd = F.col("n_chars").cast("decimal(38,0)")
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sqrt(
+            (
+                F.sum(nd * F.col("n_chars")).cast("double")
+                - F.count(F.lit(1))
+                * (F.sum(nd).cast("double") / F.count(F.lit(1)))
+                * (F.sum(nd).cast("double") / F.count(F.lit(1)))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sigma_h"),
+    )
+    w = s.agg(F.sum(F.col("n_h") * F.col("sigma_h")).cast("double").alias("wt"))
+    alloc = s.crossJoin(F.broadcast(w)).select(
+        "lang",
+        "n_h",
+        "sigma_h",
+        F.round(F.lit(_NEYMAN_BUDGET) * (F.col("n_h") * F.col("sigma_h")) / F.col("wt"))
+        .cast("bigint")
+        .alias("alloc_h"),
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        hash60(F.col("doc_id").cast("string"), seed=_NEYMAN_SEED), "doc_id"
+    )
+    ranked = d.select("doc_id", "lang", F.row_number().over(wr).alias("r"))
+    return (
+        ranked.join(F.broadcast(alloc), "lang")
+        .where(F.col("r") <= F.col("alloc_h"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_h",
+            F.round("sigma_h", 6).alias("sigma_h"),
+            "alloc_h",
+        )
+        .orderBy("lang", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cochran-Armitage trend test: purchase rate across ordered dayparts
+# --------------------------------------------------------------------------
+
+
+def _sql_cochran_armitage() -> str:
+    phi = _PHI.format(z="abs(z)")
+    return f"""
+WITH g AS (
+  SELECT (hour(ts) // 6) + 1 AS s,
+         CAST(count(*) AS BIGINT) AS n_i,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS r_i
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(r_i) AS BIGINT) AS r,
+         CAST(sum(s * r_i) AS BIGINT) AS sr,
+         CAST(sum(s * n_i) AS BIGINT) AS sn,
+         CAST(sum(s * s * n_i) AS BIGINT) AS ssn
+  FROM g
+),
+z AS (
+  SELECT n, r,
+         (sr - CAST(r AS DOUBLE) * sn / n)
+           / sqrt((CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
+                  * (ssn - CAST(sn AS DOUBLE) * sn / n)) AS z
+  FROM m
+)
+SELECT n, r, round(z, 9) AS z_stat,
+       round(2.0 * (1.0 - ({phi})), 6) AS p_value
+FROM z
+"""
+
+
+@register(
+    "stats_cochran_armitage",
+    oracle=_sql_cochran_armitage(),
+    tags=("stats", "trend", "categorical"),
+)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test for purchase rate across the four
+    ORDERED dayparts (night/morning/afternoon/evening, scores 1..4):
+    does conversion rise monotonically through the day, as a trend —
+    one degree of freedom — rather than the unordered heterogeneity
+    ``stats_chi2_lang_source`` tests? T = Σs·r − R·Σs·n/N normalized by
+    the score-weighted binomial variance; two-sided p via the shared
+    Bowling Φ.
+
+    Exactness: all five sufficient statistics are exact BIGINT sums
+    over the 4-row daypart frame; z and p are closed-form doubles over
+    those integers, identical text both engines.
+
+    Scale shape: ONE map-side-combined groupBy to 4 rows, then a 1-row
+    reduce. No joins, no windows."""
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type")
+    g = ev.groupBy(((F.hour("ts") / 6).cast("int") + 1).alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("r_i"),
+    )
+    m = g.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("r_i").cast("bigint").alias("r"),
+        F.sum(F.col("s") * F.col("r_i")).cast("bigint").alias("sr"),
+        F.sum(F.col("s") * F.col("n_i")).cast("bigint").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i")).cast("bigint").alias("ssn"),
+    )
+    rn = F.col("r").cast("double") / F.col("n")
+    z = (F.col("sr") - F.col("r").cast("double") * F.col("sn") / F.col("n")) / F.sqrt(
+        rn * (F.lit(1.0) - rn)
+        * (F.col("ssn") - F.col("sn").cast("double") * F.col("sn") / F.col("n"))
+    )
+    az = F.abs(z)
+    phi = 1.0 / (1.0 + F.exp(F.lit(-1.5976) * az - F.lit(0.07056) * az * az * az))
+    return m.select(
+        "n",
+        "r",
+        F.round(z, 9).alias("z_stat"),
+        F.round(2.0 * (F.lit(1.0) - phi), 6).alias("p_value"),
+    )

@@ -253,6 +253,11 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # r7: SAX broadcasts the 1-row PAA moment pair onto the segment
         # frame — the scalar idiom
         "ts_sax_symbols",
+        # r7: Theil broadcasts the 1-row mean onto the cents projection;
+        # Neyman broadcasts the 1-row allocation denominator onto the
+        # strata frame — both the scalar idiom
+        "stats_theil_index",
+        "sample_stratified_neyman",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

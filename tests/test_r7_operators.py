@@ -332,3 +332,114 @@ def test_sax_matches_python_replay(spark):
         assert abs(r["z"] - round(z, 9)) < 1e-9
         assert r["symbol"] == sym
     assert {r["symbol"] for r in rows.values()} <= set("abcd")
+
+
+def test_markov2_matches_python_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    cnt = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort()
+        types = [t for _, _, t in seq]
+        for i in range(len(types) - 2):
+            cnt[(types[i], types[i + 1], types[i + 2])] += 1
+    ctx = defaultdict(int)
+    for (s1, s2, _), n in cnt.items():
+        ctx[(s1, s2)] += n
+    rows = {(r["s1"], r["s2"], r["dst"]): r for r in REGISTRY["events_markov2_transitions"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == set(cnt)
+    for k, n in cnt.items():
+        r = rows[k]
+        assert r["n"] == n
+        assert abs(r["p"] - round(n / ctx[k[:2]], 6)) < 1e-6
+    # probabilities row-normalize per context
+    by_ctx = defaultdict(float)
+    for k, r in rows.items():
+        by_ctx[k[:2]] += r["n"] / ctx[k[:2]]
+    assert all(abs(v - 1.0) < 1e-9 for v in by_ctx.values())
+
+
+def test_theil_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF_DIR}/customer.parquet").select("c_acctbal").collect()
+    xs = [_q_half_up(r["c_acctbal"] * 100.0) for r in rows if r["c_acctbal"] > 0]
+    n = len(xs)
+    mu = sum(xs) / n
+    st = sum(_q_half_up((v / mu) * math.log(v / mu) * 1e9) for v in xs)
+    sl = sum(_q_half_up(math.log(mu / v) * 1e9) for v in xs)
+    out = REGISTRY["stats_theil_index"].fn(spark, SF_DIR).collect()[0]
+    assert out["n"] == n
+    assert abs(out["mean_cents"] - round(mu, 6)) < 1e-6
+    assert abs(out["theil_t"] - round(st / 1e9 / n, 9)) < 1e-9
+    assert abs(out["theil_l"] - round(sl / 1e9 / n, 9)) < 1e-9
+    # Jensen: both indices nonnegative, T >= 0, L >= 0
+    assert out["theil_t"] >= 0 and out["theil_l"] >= 0
+
+
+def test_neyman_matches_python_replay(spark):
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    strata = defaultdict(list)
+    for r in docs:
+        strata[r["lang"]].append(r)
+    stats = {}
+    for lang, rs in strata.items():
+        n = len(rs)
+        s1 = sum(r["n_chars"] for r in rs)
+        s2 = sum(r["n_chars"] ** 2 for r in rs)
+        sigma = math.sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1))
+        stats[lang] = (n, sigma)
+    wt = sum(n * s for n, s in stats.values())
+    expect = {}
+    for lang, (n, sigma) in stats.items():
+        alloc = int(round(100 * (n * sigma) / wt))
+        ranked = sorted(
+            strata[lang],
+            key=lambda r: (
+                int(hashlib.md5(f"31|{r['doc_id']}".encode()).hexdigest()[:15], 16),
+                r["doc_id"],
+            ),
+        )[:alloc]
+        for r in ranked:
+            expect[r["doc_id"]] = (lang, n, alloc)
+    rows = {r["doc_id"]: r for r in REGISTRY["sample_stratified_neyman"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == set(expect)
+    for did, (lang, n, alloc) in expect.items():
+        r = rows[did]
+        assert (r["lang"], r["n_h"], r["alloc_h"]) == (lang, n, alloc)
+    # per-stratum sampled counts equal the allocation exactly
+    got = defaultdict(int)
+    for r in rows.values():
+        got[r["lang"]] += 1
+    assert all(got[lang] == rows_alloc for lang, (_, _, rows_alloc) in
+               {k: (v[0], v[1], v[2]) for k, v in expect.items()}.items() for rows_alloc in []) or True
+    for lang in got:
+        alloc = next(v[2] for v in expect.values() if v[0] == lang)
+        assert got[lang] == alloc
+
+
+def test_cochran_armitage_matches_python_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("ts", "event_type").collect()
+    g = defaultdict(lambda: [0, 0])
+    for r in ev:
+        s = r["ts"].hour // 6 + 1
+        g[s][0] += 1
+        g[s][1] += 1 if r["event_type"] == "purchase" else 0
+    n = sum(v[0] for v in g.values())
+    rr = sum(v[1] for v in g.values())
+    sr = sum(s * v[1] for s, v in g.items())
+    sn = sum(s * v[0] for s, v in g.items())
+    ssn = sum(s * s * v[0] for s, v in g.items())
+    p = rr / n
+    z = (sr - rr * sn / n) / math.sqrt(p * (1 - p) * (ssn - sn * sn / n))
+    row = REGISTRY["stats_cochran_armitage"].fn(spark, SF_DIR).collect()[0]
+    assert (row["n"], row["r"]) == (n, rr)
+    assert abs(row["z_stat"] - round(z, 9)) < 1e-9
+    assert abs(row["p_value"] - round(2 * (1 - _phi(abs(z))), 6)) < 1e-6
+    assert 0.0 <= row["p_value"] <= 1.0

@@ -406,6 +406,42 @@ R6E_ENTRIES = [
     "dedup_lsh_recall_eval",
 ]
 
+# Round-7: the five r6-queued entries that still lacked sf1 rows plus
+# the thirteen new-in-r7 entries, measured at the same sf1 volume
+# (relational replication). The volume rows: the cuts-path lift deciles
+# push 10x docs through the distinct-domain prefix sum; code-detect is
+# two regex passes over 10x text; assortativity's edge self-join grows
+# with the (disjoint-replica) co-purchase graph; beta/ljung/sax/macd/
+# hampel/grubbs/runs/heatmap/kendall reduce to hour- or day-grain
+# frames (volume-invariant after the first groupBy), so wall should
+# track the scan; the as-of join and hash-gate audits repeat their
+# banded/ECDF shapes at 10x events.
+R7_ENTRIES = [
+    "stats_bayes_beta_binomial",
+    "stats_runs_test",
+    "events_dow_hour_heatmap",
+    "join_asof_nearest",
+    "dq_hash_gate_uniformity",
+    "eval_lift_gains_deciles_cuts",
+    "stats_grubbs_test",
+    "stats_ljung_box",
+    "finance_beta_capm",
+    "graph_degree_assortativity",
+    "privacy_l_diversity",
+    "privacy_dp_laplace_counts",
+    "text_code_detect",
+    "stats_kendall_tau_daily",
+    "ts_hampel_outliers",
+    "finance_macd",
+    "source_partition_pruning",
+    "ts_sax_symbols",
+    # batch 4
+    "events_markov2_transitions",
+    "stats_theil_index",
+    "sample_stratified_neyman",
+    "stats_cochran_armitage",
+]
+
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
 
 _R3_TABLES = {
@@ -478,14 +514,15 @@ def main() -> None:
     r6c_mode = "--r6c" in sys.argv
     r6d_mode = "--r6d" in sys.argv
     r6e_mode = "--r6e" in sys.argv
+    r7_mode = "--r7" in sys.argv
 
-    if r3_mode or r4_mode or r5_mode or r6_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode:
+    if r3_mode or r4_mode or r5_mode or r6_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode or r7_mode:
         print("building 10x relational replication ...", file=sys.stderr)
         big_rel = build_10x_rel(spark)
     else:
         print("building 10x replication ...", file=sys.stderr)
         big_dir = build_10x(spark)
-    if r5_mode or r6_mode or not (r3_mode or r4_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode):
+    if r5_mode or r6_mode or not (r3_mode or r4_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode or r7_mode):
         print("building 10x distinct-content replication ...", file=sys.stderr)
         big_distinct_dir = build_10x(spark, distinct=True)
 
@@ -520,7 +557,9 @@ def main() -> None:
         )
         return rec
 
-    if r6e_mode:
+    if r7_mode:
+        rows_r7 = measure(R7_ENTRIES, big_rel)
+    elif r6e_mode:
         rows_r6e = measure(R6E_ENTRIES, big_rel)
     elif r6d_mode:
         rows_r6d = measure(R6D_ENTRIES, big_rel)
@@ -558,6 +597,30 @@ def main() -> None:
     md_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_EVIDENCE.md"
     )
+    if r7_mode:
+        lines = [
+            "",
+            "## Round-7 at sf1 (five r6 stragglers + the new r7 entries)",
+            "",
+            "Same sf1 relational-replication protocol as the tables above. "
+            "The cuts-path lift deciles (10x docs through the distinct-"
+            "domain prefix sum), code-detect's regex passes, and the "
+            "assortativity edge join are the volume rows; the stats/ts "
+            "entries reduce to hour- or day-grain frames after one "
+            "map-side-combined groupBy, so wall should track the scan.",
+            "",
+        ]
+        lines += table(rows_r7)
+        lines += [""]
+        prev = open(md_path).read() if os.path.exists(md_path) else ""
+        marker = "\n## Round-7 at sf1"
+        if marker in prev:
+            prev = prev[: prev.index(marker)]
+        with open(md_path, "w") as f:
+            f.write(prev.rstrip("\n") + "\n" + "\n".join(lines))
+        print("appended round-7 sf1 section to SCALE_EVIDENCE.md", file=sys.stderr)
+        return
+
     if r6e_mode:
         lines = [
             "",
