@@ -90,15 +90,15 @@ _DRIVER_HEAD: list[str] = [
     "stats_theil_index",
     "sample_stratified_neyman",
     "stats_cochran_armitage",
+    "embeddings_norm_histogram",
+    "stats_capture_recapture",
+    "dq_id_completeness",
+    "agg_geometric_harmonic_means",
     # (3) re-confirmation fill: r1-era greens (oldest standing verdicts,
     # r1 order), displaced one-for-one by new r7 entries
     "a_lifetime_rate_curve",
     "b1_events_per_slot",
     "b2_initial_rate_by_month",
-    "j1_revenue_by_priority",
-    "a4_first_last_per_order",
-    "w1_lag_deltas",
-    "w2_smoothed_hourly_value",
 ]
 
 

@@ -1845,3 +1845,300 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 9).alias("z_stat"),
         F.round(2.0 * (F.lit(1.0) - phi), 6).alias("p_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding norm histogram (the vector-quality audit before ANN indexing)
+# --------------------------------------------------------------------------
+
+_NORM_BINS = 10
+
+
+def _sql_norm_hist() -> str:
+    return f"""
+WITH n AS (
+  SELECT vec_id,
+         sqrt(list_aggregate(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings
+),
+b AS (
+  SELECT CAST(least(floor(nrm / 0.5), {_NORM_BINS - 1}) AS BIGINT) AS bin,
+         nrm
+  FROM n
+)
+SELECT bin,
+       round(bin * 0.5, 1) AS lo,
+       round((bin + 1) * 0.5, 1) AS hi,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(min(nrm), 9) AS min_norm,
+       round(max(nrm), 9) AS max_norm
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@register(
+    "embeddings_norm_histogram",
+    oracle=_sql_norm_hist(),
+    tags=("embeddings", "quality", "histogram", "datapipe"),
+)
+def embeddings_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm histogram of the embedding corpus (0.5-wide bins, last
+    bin open) — the vector-quality audit run before ANN indexing:
+    un-normalized embeddings break cosine≈dot shortcuts, near-zero
+    norms flag dead encoder outputs, and a bimodal histogram flags a
+    mixed-encoder corpus. The norm is a JVM-side array fold
+    (transform + aggregate — no UDF, no explode: the row count stays
+    the vector count, not vectors × dims).
+
+    Exactness: float32 components widen to double BEFORE squaring on
+    both engines; the fold order is index order on both (Spark
+    aggregate, DuckDB list_aggregate), so the sum is the same double;
+    bin ids are integer floors of identical doubles.
+
+    Scale shape: pure map work into a map-side-combined groupBy on a
+    10-row bin domain."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = emb.select(F.sqrt(sq).alias("nrm"))
+    b = n.select(
+        F.least(F.floor(F.col("nrm") / 0.5), F.lit(_NORM_BINS - 1))
+        .cast("bigint")
+        .alias("bin"),
+        "nrm",
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.min("nrm"), 9).alias("min_norm"),
+            F.round(F.max("nrm"), 9).alias("max_norm"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") * 0.5, 1).alias("lo"),
+            F.round((F.col("bin") + 1) * 0.5, 1).alias("hi"),
+            "n_vecs",
+            "min_norm",
+            "max_norm",
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Lincoln-Petersen capture-recapture population estimate
+# --------------------------------------------------------------------------
+
+_CR_SPLIT = "2024-01-16"  # capture window: before; recapture: on/after
+
+
+def _sql_capture_recapture() -> str:
+    return f"""
+WITH cap AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts < TIMESTAMP '{_CR_SPLIT} 00:00:00'
+),
+recap AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '{_CR_SPLIT} 00:00:00'
+),
+s AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM cap) AS n1,
+         (SELECT CAST(count(*) AS BIGINT) FROM recap) AS n2,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM cap JOIN recap USING (user_id)) AS m
+)
+SELECT n1, n2, m,
+       round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0, 6)
+         AS n_hat_chapman,
+       round(CAST(n1 AS DOUBLE) * n2 / m, 6) AS n_hat_lp
+FROM s
+"""
+
+
+@register(
+    "stats_capture_recapture",
+    oracle=_sql_capture_recapture(),
+    tags=("stats", "estimation", "capture-recapture"),
+)
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen / Chapman capture-recapture estimate of the
+    total user population from two observation windows (first vs
+    second half-month): users 'captured' early, 'recaptured' late, and
+    the overlap m gives N̂ = n1·n2/m (Chapman's +1 form is the
+    bias-corrected standard) — the ecology estimator product teams
+    reuse to size an audience only partially observed in any window
+    (and dedup teams reuse to size a corpus from two crawls). The
+    same structure as ``sketch_kmv_intersection``'s estimate, but
+    exact: distinct sets intersect via one equi-join on user_id.
+
+    Exactness: all three counts are exact BIGINTs; the estimators are
+    closed-form doubles over them.
+
+    Scale shape: two map-side-combined distincts partitioned on
+    user_id and one equi-join on the same key — co-partitioned, no
+    broadcast needed at any scale; the funnel stitch is three 1-row
+    aggregates (the scalar idiom)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    split = F.lit(f"{_CR_SPLIT} 00:00:00").cast("timestamp")
+    cap = ev.where(F.col("ts") < split).select("user_id").distinct()
+    recap = ev.where(F.col("ts") >= split).select("user_id").distinct()
+    n1 = cap.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    n2 = recap.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    m = cap.join(recap, "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n1",
+            "n2",
+            "m",
+            F.round(
+                ((F.col("n1") + 1).cast("double") * (F.col("n2") + 1))
+                / (F.col("m") + 1)
+                - 1.0,
+                6,
+            ).alias("n_hat_chapman"),
+            F.round(
+                F.col("n1").cast("double") * F.col("n2") / F.col("m"), 6
+            ).alias("n_hat_lp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Monotonic-id completeness audit (gaps / duplicates in event_id)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_id_completeness",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS BIGINT) AS id_min,
+       CAST(max(event_id) AS BIGINT) AS id_max,
+       CAST(max(event_id) - min(event_id) + 1 - count(DISTINCT event_id)
+            AS BIGINT) AS n_missing,
+       CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dup_rows,
+       round(count(DISTINCT event_id)
+             / CAST(max(event_id) - min(event_id) + 1 AS DOUBLE), 9)
+         AS density
+FROM events
+""",
+    tags=("dq", "completeness", "audit"),
+)
+def dq_id_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-id completeness audit of the event stream: row count
+    vs distinct ids (duplicate detection), the id range vs distinct
+    count (GAP detection — a CDC/ingest pipeline that dropped a batch
+    leaves missing ids), and the resulting density — the first check a
+    data-quality suite runs on any sequence-keyed feed, complementing
+    ``dq_freshness_lag``'s time axis with the key axis.
+
+    Exactness: every cell is exact BIGINT arithmetic over one
+    aggregate; density is one rounded integer ratio.
+
+    Scale shape: ONE aggregation with a count-distinct (Spark expands
+    it to a two-stage partial/final plan automatically — map-side
+    distinct per partition, then merge); no joins, no windows."""
+    return _t(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct(F.col("event_id")).cast("bigint").alias("n_distinct"),
+        F.min("event_id").cast("bigint").alias("id_min"),
+        F.max("event_id").cast("bigint").alias("id_max"),
+        (
+            F.max("event_id")
+            - F.min("event_id")
+            + 1
+            - F.count_distinct(F.col("event_id"))
+        )
+        .cast("bigint")
+        .alias("n_missing"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("event_id")))
+        .cast("bigint")
+        .alias("n_dup_rows"),
+        F.round(
+            F.count_distinct(F.col("event_id"))
+            / (F.max("event_id") - F.min("event_id") + 1).cast("double"),
+            9,
+        ).alias("density"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Geometric and harmonic means per event type (the rate-correct means)
+# --------------------------------------------------------------------------
+
+
+def _sql_gh_means() -> str:
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(exp(CAST(sum(CAST(round(ln(value) * 1e9) AS HUGEINT)) AS DOUBLE)
+                 / 1e9 / count(*)), 9) AS geometric_mean,
+       round(count(*)
+             / (CAST(sum(CAST(round((1.0 / value) * 1e9) AS HUGEINT))
+                     AS DOUBLE) / 1e9), 9) AS harmonic_mean
+FROM events WHERE value > 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "agg_geometric_harmonic_means",
+    oracle=_sql_gh_means(),
+    tags=("aggregation", "stats", "means"),
+)
+def agg_geometric_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric and harmonic means of event value per type — the means
+    that are CORRECT for multiplicative quantities (growth factors,
+    ratios: geometric) and for rates (throughputs, speeds: harmonic),
+    where the arithmetic mean the rest of the catalog reports
+    overstates both. Non-positive values are outside both domains and
+    excluded — stated, not absorbed.
+
+    Exactness: each ln / reciprocal term quantizes to a nano-grid
+    integer before the order-free sum (the catalog discipline for
+    non-associative float reductions); exp of identical doubles closes
+    the geometric mean.
+
+    Scale shape: ONE map-side-combined groupBy over the type domain.
+    Nothing else."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value") > 0)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.exp(
+                    F.sum(F.round(F.ln("value") * 1e9).cast("decimal(38,0)")).cast(
+                        "double"
+                    )
+                    / 1e9
+                    / F.count(F.lit(1))
+                ),
+                9,
+            ).alias("geometric_mean"),
+            F.round(
+                F.count(F.lit(1))
+                / (
+                    F.sum(
+                        F.round((F.lit(1.0) / F.col("value")) * 1e9).cast(
+                            "decimal(38,0)"
+                        )
+                    ).cast("double")
+                    / 1e9
+                ),
+                9,
+            ).alias("harmonic_mean"),
+        )
+        .orderBy("event_type")
+    )

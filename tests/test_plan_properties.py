@@ -258,6 +258,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # strata frame — both the scalar idiom
         "stats_theil_index",
         "sample_stratified_neyman",
+        # r7: capture-recapture stitches three 1-row aggregates into the
+        # single output row — the funnel scalar idiom
+        "stats_capture_recapture",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -443,3 +443,76 @@ def test_cochran_armitage_matches_python_replay(spark):
     assert abs(row["z_stat"] - round(z, 9)) < 1e-9
     assert abs(row["p_value"] - round(2 * (1 - _phi(abs(z))), 6)) < 1e-6
     assert 0.0 <= row["p_value"] <= 1.0
+
+
+def test_norm_histogram_matches_python_replay(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("embedding").collect()
+    bins = defaultdict(lambda: [0, float("inf"), float("-inf")])
+    for r in emb:
+        nrm = math.sqrt(sum(float(x) * float(x) for x in r["embedding"]))
+        b = min(int(nrm // 0.5), 9)
+        cell = bins[b]
+        cell[0] += 1
+        cell[1] = min(cell[1], nrm)
+        cell[2] = max(cell[2], nrm)
+    rows = {r["bin"]: r for r in REGISTRY["embeddings_norm_histogram"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == set(bins)
+    for b, (n, lo, hi) in bins.items():
+        r = rows[b]
+        assert r["n_vecs"] == n
+        assert abs(r["min_norm"] - round(lo, 9)) < 1e-8
+        assert abs(r["max_norm"] - round(hi, 9)) < 1e-8
+        # max_norm is 9-dp rounded, so it may touch hi from below
+        assert r["lo"] <= r["min_norm"] <= r["max_norm"] <= r["hi"] + 1e-9 or b == 9
+
+
+def test_capture_recapture_matches_python_replay(spark):
+    from datetime import datetime
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id", "ts").collect()
+    split = datetime(2024, 1, 16)
+    cap = {r["user_id"] for r in ev if r["ts"] < split}
+    recap = {r["user_id"] for r in ev if r["ts"] >= split}
+    n1, n2, m = len(cap), len(recap), len(cap & recap)
+    row = REGISTRY["stats_capture_recapture"].fn(spark, SF_DIR).collect()[0]
+    assert (row["n1"], row["n2"], row["m"]) == (n1, n2, m)
+    assert abs(row["n_hat_chapman"] - round((n1 + 1) * (n2 + 1) / (m + 1) - 1, 6)) < 1e-6
+    assert abs(row["n_hat_lp"] - round(n1 * n2 / m, 6)) < 1e-6
+    # estimates bound below by the observed union
+    assert row["n_hat_lp"] >= len(cap | recap) - 1e-6
+
+
+def test_id_completeness_matches_python_replay(spark):
+    ids = [r["event_id"] for r in spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_id").collect()]
+    d = len(set(ids))
+    row = REGISTRY["dq_id_completeness"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_rows"] == len(ids)
+    assert row["n_distinct"] == d
+    assert (row["id_min"], row["id_max"]) == (min(ids), max(ids))
+    assert row["n_missing"] == max(ids) - min(ids) + 1 - d
+    assert row["n_dup_rows"] == len(ids) - d
+    assert abs(row["density"] - round(d / (max(ids) - min(ids) + 1), 9)) < 1e-9
+
+
+def test_gh_means_matches_python_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_type", "value").collect()
+    g = defaultdict(lambda: [0, 0, 0])  # n, sum q(ln v), sum q(1/v)
+    for r in ev:
+        if r["value"] <= 0:
+            continue
+        a = g[r["event_type"]]
+        a[0] += 1
+        a[1] += _q_half_up(math.log(r["value"]) * 1e9)
+        a[2] += _q_half_up((1.0 / r["value"]) * 1e9)
+    rows = {r["event_type"]: r for r in REGISTRY["agg_geometric_harmonic_means"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == set(g)
+    for t, (n, sl, sr) in g.items():
+        r = rows[t]
+        assert r["n"] == n
+        gm = math.exp(sl / 1e9 / n)
+        hm = n / (sr / 1e9)
+        assert abs(r["geometric_mean"] - round(gm, 9)) < 1e-8
+        assert abs(r["harmonic_mean"] - round(hm, 9)) < 1e-8
+        # HM <= GM <= AM ordering holds for positive data
+        am = sum(rr["value"] for rr in ev if rr["event_type"] == t and rr["value"] > 0) / n
+        assert r["harmonic_mean"] <= r["geometric_mean"] + 1e-9 <= am + 1e-6
