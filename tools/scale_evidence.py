@@ -440,6 +440,11 @@ R7_ENTRIES = [
     "stats_theil_index",
     "sample_stratified_neyman",
     "stats_cochran_armitage",
+    # batch 5
+    "embeddings_norm_histogram",
+    "stats_capture_recapture",
+    "dq_id_completeness",
+    "agg_geometric_harmonic_means",
 ]
 
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
