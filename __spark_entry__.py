@@ -118,7 +118,12 @@ _DRIVER_TAIL: list[str] = [
 # unverdicted entry is neither in the 50-window nor in this queue.
 # Every queued entry is value-pinned per-commit by the local
 # differential (tools/check_oracle.py).
-_NEXT_WINDOW_QUEUE: list[str] = []
+_NEXT_WINDOW_QUEUE: list[str] = [
+    "similarity_cosine_hist_sample",
+    "ts_pettitt_changepoint",
+    "vocab_heaps_law_fit",
+    "multimodal_payload_dedup",
+]
 
 
 def _ordered_names() -> list[str]:

@@ -2142,3 +2142,450 @@ def agg_geometric_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise-cosine distribution audit on a hash-gated sample
+# --------------------------------------------------------------------------
+
+_COS_SAMPLE_MOD = 5  # keep vec_id hash % 5 == 0 → ~20% of the corpus
+_COS_SEED = 37
+_COS_BINS = 20  # width-0.1 bins over [-1, 1]
+
+
+def _sql_cosine_hist() -> str:
+    from .datapipe.hashing import sql_hash60
+
+    gate = f"({sql_hash60('vec_id::VARCHAR', seed=_COS_SEED)} % {_COS_SAMPLE_MOD} = 0)"
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {gate}
+),
+n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM s
+),
+p AS (
+  SELECT list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+           'sum') / (a.nrm * b.nrm) AS cosv
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+),
+b AS (
+  SELECT CAST(least(floor((cosv + 1.0) / 0.1), {_COS_BINS - 1}) AS BIGINT)
+           AS bin
+  FROM p
+)
+SELECT bin,
+       round(bin * 0.1 - 1.0, 1) AS lo,
+       round((bin + 1) * 0.1 - 1.0, 1) AS hi,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@register(
+    "similarity_cosine_hist_sample",
+    oracle=_sql_cosine_hist(),
+    tags=("similarity", "audit", "histogram", "sample"),
+)
+def similarity_cosine_hist_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution over a hash-gated ~20% sample of the
+    embedding corpus (width-0.1 bins) — the threshold-calibration audit
+    run BEFORE committing an LSH/near-dup cutoff: the histogram shows
+    where the random-pair mass sits (near 0 for healthy encoders) and
+    whether a near-dup mode exists above the intended threshold. Exact
+    all-pairs on a sample IS the operator (the
+    dedup_ngram_jaccard_sample precedent); the corpus-sized path is the
+    banded LSH family this audit parameterizes.
+
+    Exactness: the RNG-free md5 gate picks the identical sample; dot
+    products fold in index order with float32→double widening on both
+    engines; bin ids are integer floors of identical doubles.
+
+    Scale shape: the sample size is a tuning constant (gate modulus),
+    so the pair join is sample², independent of corpus growth; the
+    histogram combine is map-side over a 20-bin domain."""
+    from .datapipe.hashing import hash60
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    s = emb.where(
+        F.pmod(hash60(F.col("vec_id").cast("string"), seed=_COS_SEED), F.lit(_COS_SAMPLE_MOD)) == 0
+    )
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = s.select("vec_id", "embedding", F.sqrt(sq).alias("nrm")).localCheckpoint(
+        eager=True
+    )
+    a = n.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
+        (dot / (F.col("na") * F.col("nb"))).alias("cosv")
+    )
+    return (
+        pairs.select(
+            F.least(F.floor((F.col("cosv") + 1.0) / 0.1), F.lit(_COS_BINS - 1))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.col("bin") * 0.1 - 1.0, 1).alias("lo"),
+            F.round((F.col("bin") + 1) * 0.1 - 1.0, 1).alias("hi"),
+            "n_pairs",
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pettitt rank-based changepoint test on the daily revenue series
+# --------------------------------------------------------------------------
+
+
+def _sql_pettitt() -> str:
+    return """
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS d,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS x
+  FROM lineitem GROUP BY 1
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+mr AS (
+  SELECT d,
+         CAST(2 * rank() OVER (ORDER BY x)
+              + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS mr2
+  FROM daily
+),
+u AS (
+  SELECT d,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+         CAST(sum(mr2) OVER (ORDER BY d
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS s2
+  FROM mr
+),
+ut AS (
+  SELECT d, t * (n + 1) - s2 AS u_t
+  FROM u CROSS JOIN nn WHERE t < n
+),
+best AS (
+  SELECT d, u_t FROM ut ORDER BY abs(u_t) DESC, d LIMIT 1
+)
+SELECT best.d AS changepoint_day, best.u_t AS u_stat, nn.n AS n_days,
+       round(2.0 * exp(-6.0 * u_t * u_t
+                       / (CAST(n AS DOUBLE) * n * n + n * n)), 6)
+         AS p_value
+FROM best, nn
+"""
+
+
+@register(
+    "ts_pettitt_changepoint",
+    oracle=_sql_pettitt(),
+    tags=("timeseries", "changepoint", "nonparametric"),
+)
+def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint test on the daily revenue series:
+    U_t = Σ_{i≤t} Σ_{j>t} sign(x_j − x_i), the split day maximizing
+    |U_t|, and the standard approximate p-value 2·exp(−6U²/(n³+n²)) —
+    the NONPARAMETRIC complement to ``events_changepoint_cusum`` (rank
+    signs, so a single spike can't drag the break the way a mean-shift
+    CUSUM can). The pairwise definition is NOT enumerated: by the
+    antisymmetry of sign over the prefix, U_t = t(n+1) − 2·S_t where
+    S_t is the running sum of MIDRANKS (property-verified against the
+    O(n³) definition under heavy ties) — doubled midranks keep every
+    quantity an exact BIGINT, and the whole statistic reduces to two
+    rank windows plus one running sum over the day-grain frame
+    (O(n log n); the first cut of this entry enumerated the triple
+    join and took 256 s at sf0.01 — the identity makes it ~2 s).
+
+    Exactness: mr2 = 2·rank + tie_count − 1 and U_t are exact BIGINTs;
+    the argmax orders on (|U| desc, day); p is one closed-form double.
+
+    Scale shape: day-grain only after one map-side-combined groupBy;
+    the rank/running-sum windows run over the horizon-bounded day
+    frame (the ts_autocorrelation precedent)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    daily = (
+        li.groupBy(F.date_trunc("day", "l_shipdate").alias("d"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mr = daily.select(
+        "d",
+        (
+            2 * F.rank().over(Window.orderBy("x"))
+            + F.count(F.lit(1)).over(Window.partitionBy("x"))
+            - 1
+        )
+        .cast("bigint")
+        .alias("mr2"),
+    )
+    wd = Window.orderBy("d")
+    u = mr.select(
+        "d",
+        F.row_number().over(wd).cast("bigint").alias("t"),
+        F.sum("mr2")
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    ut = (
+        u.crossJoin(F.broadcast(nn))
+        .where(F.col("t") < F.col("n"))
+        .select("d", "n", (F.col("t") * (F.col("n") + 1) - F.col("s2")).alias("u_t"))
+    )
+    best = ut.orderBy(F.desc(F.abs(F.col("u_t"))), "d").limit(1)
+    nd = F.col("n").cast("double")
+    return best.select(
+        F.col("d").alias("changepoint_day"),
+        F.col("u_t").alias("u_stat"),
+        F.col("n").alias("n_days"),
+        F.round(
+            2.0
+            * F.exp(
+                F.lit(-6.0) * F.col("u_t") * F.col("u_t") / (nd * nd * nd + nd * nd)
+            ),
+            6,
+        ).alias("p_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Heaps' law fit: vocabulary growth V = k·N^beta over corpus prefixes
+# --------------------------------------------------------------------------
+
+_HEAPS_POINTS = 10
+
+
+def _sql_heaps() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH {sql_cuts_ctes("documents", "doc_id", _HEAPS_POINTS)},
+cl AS (SELECT coalesce(list(c ORDER BY b), []) AS cs FROM cuts),
+dtok AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+),
+doc_b AS (
+  SELECT 1 + len(list_filter(cl.cs, x -> doc_id > x)) AS bucket,
+         CAST(len({toks}) AS BIGINT) AS n_toks
+  FROM documents, cl
+),
+ncum AS (
+  SELECT cp, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+  FROM doc_b, unnest(generate_series(doc_b.bucket, {_HEAPS_POINTS})) AS u(cp)
+  GROUP BY cp
+),
+fo AS (
+  SELECT tok, min(doc_id) AS first_doc FROM dtok GROUP BY tok
+),
+fo_b AS (
+  SELECT 1 + len(list_filter(cl.cs, x -> first_doc > x)) AS bucket
+  FROM fo, cl
+),
+vcum AS (
+  SELECT cp, CAST(count(*) AS BIGINT) AS v_types
+  FROM fo_b, unnest(generate_series(fo_b.bucket, {_HEAPS_POINTS})) AS u(cp)
+  GROUP BY cp
+),
+pts AS (
+  SELECT CAST(round(ln(n_tokens) * 1e9) AS BIGINT) AS a,
+         CAST(round(ln(v_types) * 1e9) AS BIGINT) AS b
+  FROM ncum JOIN vcum USING (cp)
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS np,
+         CAST(sum(CAST(a AS HUGEINT)) AS DOUBLE) / 1e9 AS sa,
+         CAST(sum(CAST(b AS HUGEINT)) AS DOUBLE) / 1e9 AS sb,
+         CAST(sum(CAST(a AS HUGEINT) * a) AS DOUBLE) / 1e18 AS saa,
+         CAST(sum(CAST(a AS HUGEINT) * b) AS DOUBLE) / 1e18 AS sab
+  FROM pts
+)
+SELECT np AS n_points,
+       round((np * sab - sa * sb) / (np * saa - sa * sa), 6) AS beta,
+       round(exp(sb / np - ((np * sab - sa * sb) / (np * saa - sa * sa))
+                           * (sa / np)), 6) AS k_coef
+FROM s
+"""
+
+
+@register(
+    "vocab_heaps_law_fit",
+    oracle=_sql_heaps(),
+    tags=("text", "vocabulary", "heaps", "scaling-law"),
+)
+def vocab_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth, V(N) = k·N^β, over ten
+    corpus prefixes: prefix checkpoints are exact doc_id deciles (the
+    equi-depth cut machinery), the token count N_d at each checkpoint
+    accumulates via the explode(sequence(bucket, 10)) cover trick (no
+    window, no inequality join), and the vocabulary size V_d counts
+    tokens whose FIRST-occurrence doc falls at or before the
+    checkpoint — min(doc_id) per token makes 'cumulative distinct'
+    distributable, the trick that turns a sequential vocabulary scan
+    into two groupBys. β̂ comes from the closed-form log-log OLS over
+    the 10-point frame (nano-quantized logs, exact integer moment
+    sums) — the corpus-scaling readout (β≈0.5 for natural text) that
+    sizes tokenizer vocabularies and dedup budgets before a crawl
+    10×es.
+
+    Scale shape: one token explode → groupBy(token) min (the only
+    volume shuffle), one doc-grain pass, two 10-row cover aggregations,
+    one 1-row fit. The cut derivation is the distributed prefix sum."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.tokens("text").alias("toks")
+    ).localCheckpoint(eager=True)  # feeds cuts, N-cum, and the explode
+    cuts = equi_depth_cut_points(docs, F.col("doc_id"), _HEAPS_POINTS)
+    doc_b = docs.select(
+        bucket_by_cuts(F.col("doc_id"), cuts).alias("bucket"),
+        F.size("toks").cast("bigint").alias("n_toks"),
+    )
+    ncum = (
+        doc_b.select(
+            F.explode(F.sequence(F.col("bucket"), F.lit(_HEAPS_POINTS))).alias("cp"),
+            "n_toks",
+        )
+        .groupBy("cp")
+        .agg(F.sum("n_toks").cast("bigint").alias("n_tokens"))
+    )
+    fo = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    vcum = (
+        fo.select(bucket_by_cuts(F.col("first_doc"), cuts).alias("bucket"))
+        .select(
+            F.explode(F.sequence(F.col("bucket"), F.lit(_HEAPS_POINTS))).alias("cp")
+        )
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v_types"))
+    )
+    pts = ncum.join(F.broadcast(vcum), "cp").select(
+        F.round(F.ln("n_tokens") * 1e9).cast("bigint").alias("a"),
+        F.round(F.ln("v_types") * 1e9).cast("bigint").alias("b"),
+    )
+    ad = F.col("a").cast("decimal(38,0)")
+    bd = F.col("b").cast("decimal(38,0)")
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        (F.sum(ad).cast("double") / 1e9).alias("sa"),
+        (F.sum(bd).cast("double") / 1e9).alias("sb"),
+        (F.sum(ad * F.col("a")).cast("double") / 1e18).alias("saa"),
+        (F.sum(ad * F.col("b")).cast("double") / 1e18).alias("sab"),
+    )
+    slope = (F.col("np") * F.col("sab") - F.col("sa") * F.col("sb")) / (
+        F.col("np") * F.col("saa") - F.col("sa") * F.col("sa")
+    )
+    return s.select(
+        F.col("np").alias("n_points"),
+        F.round(slope, 6).alias("beta"),
+        F.round(F.exp(F.col("sb") / F.col("np") - slope * (F.col("sa") / F.col("np"))), 6).alias(
+            "k_coef"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal payload dedup accounting (content-hash clusters + bytes saved)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_payload_dedup",
+    oracle="""
+WITH p AS (
+  SELECT md5(text) AS content_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+cl AS (
+  SELECT content_id, CAST(count(*) AS BIGINT) AS copies,
+         CAST(max(n_bytes) AS BIGINT) AS n_bytes
+  FROM p GROUP BY 1
+)
+SELECT CAST(sum(copies) AS BIGINT) AS n_payloads,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(count(*) FILTER (WHERE copies > 1) AS BIGINT) AS dup_clusters,
+       CAST(max(copies) AS BIGINT) AS max_copies,
+       CAST(sum(copies * n_bytes) AS BIGINT) AS bytes_total,
+       CAST(sum((copies - 1) * n_bytes) AS BIGINT) AS bytes_redundant,
+       round(sum((copies - 1) * n_bytes)
+             / CAST(sum(copies * n_bytes) AS DOUBLE), 9) AS dedup_ratio
+FROM cl
+""",
+    tags=("multimodal", "dedup", "storage", "datapipe"),
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup accounting over opaque binary payloads (the
+    documents' bytes standing in for media blobs, as everywhere in the
+    multimodal family): cluster by md5 content id and report the
+    STORAGE ledger — distinct payloads, duplicate clusters, total vs
+    redundant bytes, and the dedup ratio — the numbers that size a
+    content-addressed blob store before ingesting a crawl's media.
+    ``dedup_exact_groups`` picks winners; this entry prices the
+    duplication. The hash is computed on the payload bytes (md5 of the
+    UTF-8 encoding = DuckDB's md5 of the VARCHAR), so the text itself
+    never shuffles — 16-byte ids and byte counts do.
+
+    Exactness: every cell is exact BIGINT arithmetic; the ratio is one
+    rounded integer quotient.
+
+    Scale shape: map to (content_id, n_bytes), ONE map-side-combined
+    groupBy on the hash, one 1-row combine."""
+    from .datapipe.multimodal import to_payload
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.md5(to_payload("text")).alias("content_id"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
+    cl = d.groupBy("content_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("copies"),
+        F.max("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+    return cl.agg(
+        F.sum("copies").cast("bigint").alias("n_payloads"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.count(F.when(F.col("copies") > 1, 1)).cast("bigint").alias("dup_clusters"),
+        F.max("copies").cast("bigint").alias("max_copies"),
+        F.sum(F.col("copies") * F.col("n_bytes")).cast("bigint").alias("bytes_total"),
+        F.sum((F.col("copies") - 1) * F.col("n_bytes"))
+        .cast("bigint")
+        .alias("bytes_redundant"),
+        F.round(
+            F.sum((F.col("copies") - 1) * F.col("n_bytes"))
+            / F.sum(F.col("copies") * F.col("n_bytes")).cast("double"),
+            9,
+        ).alias("dedup_ratio"),
+    )

@@ -261,6 +261,11 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # r7: capture-recapture stitches three 1-row aggregates into the
         # single output row — the funnel scalar idiom
         "stats_capture_recapture",
+        # r7: the cosine audit is all-pairs BY DEFINITION on the
+        # hash-gated sample (dedup_ngram_jaccard_sample precedent);
+        # Pettitt broadcasts the 1-row day count onto the U_t frame
+        "similarity_cosine_hist_sample",
+        "ts_pettitt_changepoint",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

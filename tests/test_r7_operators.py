@@ -516,3 +516,114 @@ def test_gh_means_matches_python_replay(spark):
         # HM <= GM <= AM ordering holds for positive data
         am = sum(rr["value"] for rr in ev if rr["event_type"] == t and rr["value"] > 0) / n
         assert r["harmonic_mean"] <= r["geometric_mean"] + 1e-9 <= am + 1e-6
+
+
+def test_cosine_hist_matches_python_replay(spark):
+    import hashlib
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding").collect()
+    sample = [
+        r for r in emb
+        if int(hashlib.md5(f"37|{r['vec_id']}".encode()).hexdigest()[:15], 16) % 5 == 0
+    ]
+    bins = defaultdict(int)
+    vecs = [([float(x) for x in r["embedding"]], r["vec_id"]) for r in sample]
+    norms = {vid: math.sqrt(sum(x * x for x in v)) for v, vid in vecs}
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            va, ida = vecs[i]
+            vb, idb = vecs[j]
+            c = sum(x * y for x, y in zip(va, vb)) / (norms[ida] * norms[idb])
+            bins[min(int((c + 1.0) // 0.1), 19)] += 1
+    rows = {r["bin"]: r["n_pairs"] for r in REGISTRY["similarity_cosine_hist_sample"].fn(spark, SF_DIR).collect()}
+    assert rows == dict(bins)
+    assert sum(rows.values()) == len(vecs) * (len(vecs) - 1) // 2
+
+
+def test_pettitt_matches_python_bruteforce(spark):
+    """The rank identity U_t = t(n+1) - 2*S_t is pinned here against the
+    O(n^2)-per-split pairwise DEFINITION on the sf0.001 day series."""
+    daily = _daily_revenue_cents(spark)
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    n = len(xs)
+    best_u, best_d = None, None
+    for t in range(1, n):
+        u = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(t)
+            for j in range(t, n)
+        )
+        if best_u is None or abs(u) > abs(best_u):
+            best_u, best_d = u, days[t - 1]
+    row = REGISTRY["ts_pettitt_changepoint"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_days"] == n
+    assert row["u_stat"] == best_u
+    assert row["changepoint_day"].date() == best_d
+    p = 2.0 * math.exp(-6.0 * best_u * best_u / (float(n) ** 3 + float(n) ** 2))
+    assert abs(row["p_value"] - round(p, 6)) < 1e-6
+
+
+def test_heaps_matches_python_replay(spark):
+    import re as _re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text").collect()
+    toks = {
+        r["doc_id"]: [t for t in _re.split(r"\s+", r["text"].strip().lower()) if t]
+        for r in docs
+    }
+    ids = sorted(toks)
+    n = len(ids)
+    cuts = [sorted(ids)[(b * n + 9) // 10 - 1] for b in range(1, 10)]
+    def bucket(i):
+        return 1 + sum(1 for c in cuts if i > c)
+    ncum = defaultdict(int)
+    for i, ts in toks.items():
+        for cp in range(bucket(i), 11):
+            ncum[cp] += len(ts)
+    first = {}
+    for i in ids:
+        for t in toks[i]:
+            first.setdefault(t, i)
+    vcum = defaultdict(int)
+    for t, i in first.items():
+        for cp in range(bucket(i), 11):
+            vcum[cp] += 1
+    pts = [(_q_half_up(math.log(ncum[cp]) * 1e9), _q_half_up(math.log(vcum[cp]) * 1e9)) for cp in sorted(ncum)]
+    np_ = len(pts)
+    sa = sum(a for a, _ in pts) / 1e9
+    sb = sum(b for _, b in pts) / 1e9
+    saa = sum(a * a for a, _ in pts) / 1e18
+    sab = sum(a * b for a, b in pts) / 1e18
+    beta = (np_ * sab - sa * sb) / (np_ * saa - sa * sa)
+    k = math.exp(sb / np_ - beta * (sa / np_))
+    row = REGISTRY["vocab_heaps_law_fit"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_points"] == np_
+    assert abs(row["beta"] - round(beta, 6)) < 1e-5
+    assert abs(row["k_coef"] - round(k, 6)) < max(1e-4 * k, 1e-5)
+    # sublinear vocabulary growth; the synthetic generator's FINITE
+    # vocabulary saturates within the first decile at sf0.001, so beta
+    # can legitimately round to 0 here (natural text sits near 0.5)
+    assert 0.0 <= row["beta"] < 1.0
+
+
+def test_payload_dedup_matches_python_replay(spark):
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text").collect()
+    cl = defaultdict(lambda: [0, 0])
+    for r in docs:
+        b = r["text"].encode("utf-8")
+        k = hashlib.md5(b).hexdigest()
+        cl[k][0] += 1
+        cl[k][1] = len(b)
+    n_payloads = sum(c for c, _ in cl.values())
+    bytes_total = sum(c * nb for c, nb in cl.values())
+    bytes_red = sum((c - 1) * nb for c, nb in cl.values())
+    row = REGISTRY["multimodal_payload_dedup"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_payloads"] == n_payloads
+    assert row["n_distinct"] == len(cl)
+    assert row["dup_clusters"] == sum(1 for c, _ in cl.values() if c > 1)
+    assert row["max_copies"] == max(c for c, _ in cl.values())
+    assert (row["bytes_total"], row["bytes_redundant"]) == (bytes_total, bytes_red)
+    assert abs(row["dedup_ratio"] - round(bytes_red / bytes_total, 9)) < 1e-9
