@@ -123,6 +123,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "ts_pettitt_changepoint",
     "vocab_heaps_law_fit",
     "multimodal_payload_dedup",
+    "stats_friedman_test",
+    "stats_bartlett_test",
+    "stats_odds_ratio_ci",
+    "pack_token_budget_truncation",
 ]
 
 

@@ -2589,3 +2589,430 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("dedup_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Friedman rank test: do event types differ, blocking by day?
+# --------------------------------------------------------------------------
+
+
+def _sql_friedman() -> str:
+    davg_v = SQL_DAVG.format(x="value")
+    phi = _PHI.format(z="z")
+    return f"""
+WITH cell AS (
+  SELECT date_trunc('day', ts) AS d, event_type, {davg_v} AS x
+  FROM events GROUP BY 1, 2
+),
+complete AS (
+  SELECT d FROM cell GROUP BY d
+  HAVING count(*) = (SELECT count(DISTINCT event_type) FROM events)
+),
+r AS (
+  SELECT cell.d, event_type,
+         CAST(2 * rank() OVER (PARTITION BY cell.d ORDER BY x)
+              + count(*) OVER (PARTITION BY cell.d, x) - 1 AS BIGINT) AS mr2
+  FROM cell JOIN complete USING (d)
+),
+rs AS (
+  SELECT event_type, CAST(sum(mr2) AS BIGINT) AS r2_sum,
+         CAST(count(*) AS BIGINT) AS n_blocks
+  FROM r GROUP BY 1
+),
+q AS (
+  SELECT CAST(max(n_blocks) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         12.0 / (max(n_blocks) * count(*) * (count(*) + 1))
+           * sum((r2_sum / 2.0) * (r2_sum / 2.0))
+           - 3.0 * max(n_blocks) * (count(*) + 1) AS q
+  FROM rs
+),
+z AS (
+  SELECT n, k, q,
+         (cbrt(q / (k - 1)) - (1.0 - 2.0 / (9.0 * (k - 1))))
+           / sqrt(2.0 / (9.0 * (k - 1))) AS z
+  FROM q
+)
+SELECT n AS n_blocks, k AS k_treatments, round(q, 9) AS q_stat,
+       round(1.0 - ({phi}), 6) AS p_value
+FROM z
+"""
+
+
+@register(
+    "stats_friedman_test",
+    oracle=_sql_friedman(),
+    tags=("stats", "nonparametric", "friedman"),
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: do the event types differ in mean value,
+    BLOCKING by day? Each complete day ranks its k type means
+    (midranks, doubled to stay integer — the Pettitt discipline), and
+    Q = 12/(nk(k+1))·ΣR_j² − 3n(k+1) with the Wilson-Hilferty χ²(k−1)
+    p-value — the repeated-measures complement to
+    ``stats_kruskal_wallis`` (which pools all days and so confounds
+    day-to-day level shifts with type differences; Friedman removes
+    the block effect). Incomplete days (a type with zero events) are
+    excluded — the standard complete-block contract.
+
+    Exactness: cell means are the micro-quantized davg; doubled
+    midranks and rank sums are exact BIGINTs; Q/z/p are identical
+    closed-form doubles.
+
+    Scale shape: one map-side-combined (day, type) groupBy; the rank
+    window partitions BY DAY (k rows per partition — never a global
+    sort); the rest is a k-row reduce."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cell = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(davg("value").alias("x"))
+    k_types = ev.select("event_type").distinct().count()
+    complete = (
+        cell.groupBy("d").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") == k_types)
+    ).select("d")
+    r = cell.join(F.broadcast(complete), "d").select(
+        "event_type",
+        (
+            2 * F.rank().over(Window.partitionBy("d").orderBy("x"))
+            + F.count(F.lit(1)).over(Window.partitionBy("d", "x"))
+            - 1
+        )
+        .cast("bigint")
+        .alias("mr2"),
+    )
+    rs = r.groupBy("event_type").agg(
+        F.sum("mr2").cast("bigint").alias("r2_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    q = rs.agg(
+        F.max("n_blocks").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (
+            F.lit(12.0)
+            / (F.max("n_blocks") * F.count(F.lit(1)) * (F.count(F.lit(1)) + 1))
+            * F.sum((F.col("r2_sum") / 2.0) * (F.col("r2_sum") / 2.0))
+            - 3.0 * F.max("n_blocks") * (F.count(F.lit(1)) + 1)
+        ).alias("q"),
+    )
+    dfq = (F.col("k") - 1).cast("double")
+    z = (F.cbrt(F.col("q") / dfq) - (F.lit(1.0) - 2.0 / (9.0 * dfq))) / F.sqrt(
+        2.0 / (9.0 * dfq)
+    )
+    phi = 1.0 / (1.0 + F.exp(F.lit(-1.5976) * z - F.lit(0.07056) * z * z * z))
+    return q.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.round("q", 9).alias("q_stat"),
+        F.round(F.lit(1.0) - phi, 6).alias("p_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bartlett test of variance homogeneity across event types
+# --------------------------------------------------------------------------
+
+
+def _sql_bartlett() -> str:
+    phi = _PHI.format(z="z")
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_h,
+         CAST(sum(CAST(round(value * 1000000.0) AS HUGEINT)) AS DOUBLE)
+           / 1e6 AS s1,
+         CAST(sum(CAST(round(value * 1000000.0) AS HUGEINT)
+                  * CAST(round(value * 1000000.0) AS HUGEINT)) AS DOUBLE)
+           / 1e12 AS s2
+  FROM events GROUP BY 1
+),
+v AS (
+  SELECT event_type, n_h,
+         (s2 - s1 * s1 / n_h) / (n_h - 1) AS var_h
+  FROM g
+),
+s AS (
+  SELECT CAST(sum(n_h) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         sum((n_h - 1) * var_h) AS ssw,
+         sum((n_h - 1) * ln(var_h)) AS slog,
+         sum(1.0 / (n_h - 1)) AS sinv
+  FROM v
+),
+t AS (
+  SELECT n, k,
+         ((n - k) * ln(ssw / (n - k)) - slog)
+           / (1.0 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1))) AS t
+  FROM s
+),
+z AS (
+  SELECT n, k, t,
+         (cbrt(t / (k - 1)) - (1.0 - 2.0 / (9.0 * (k - 1))))
+           / sqrt(2.0 / (9.0 * (k - 1))) AS z
+  FROM t
+)
+SELECT n, k, round(t, 9) AS t_stat, round(1.0 - ({phi}), 6) AS p_value
+FROM z
+"""
+
+
+@register(
+    "stats_bartlett_test",
+    oracle=_sql_bartlett(),
+    tags=("stats", "variance", "bartlett"),
+)
+def stats_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett test of variance homogeneity across event types — the
+    PARAMETRIC complement to ``stats_levene_brownforsythe`` (Bartlett
+    is more powerful under normality, Brown-Forsythe robust without
+    it; a variance-QA suite reports both). T compares the pooled
+    log-variance to the mean of group log-variances with the standard
+    correction factor; p via Wilson-Hilferty χ²(k−1).
+
+    Exactness: group moments are exact micro-quantized integer sums
+    (Σx, Σx² on the micro grid, HUGEINT/DECIMAL-safe); variances, T,
+    and p are identical closed-form doubles over them.
+
+    Scale shape: ONE map-side-combined groupBy to k rows, then a 1-row
+    reduce. No joins, no windows."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    q = F.round(F.col("value") * 1e6).cast("decimal(38,0)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        (F.sum(q).cast("double") / 1e6).alias("s1"),
+        (F.sum(q * q).cast("double") / 1e12).alias("s2"),
+    )
+    v = g.select(
+        "n_h",
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_h")) / (F.col("n_h") - 1)).alias(
+            "var_h"
+        ),
+    )
+    s = v.agg(
+        F.sum("n_h").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum((F.col("n_h") - 1) * F.col("var_h")).alias("ssw"),
+        F.sum((F.col("n_h") - 1) * F.ln("var_h")).alias("slog"),
+        F.sum(F.lit(1.0) / (F.col("n_h") - 1)).alias("sinv"),
+    )
+    nk = (F.col("n") - F.col("k")).cast("double")
+    t = ((F.col("n") - F.col("k")) * F.ln(F.col("ssw") / nk) - F.col("slog")) / (
+        F.lit(1.0) + (F.col("sinv") - 1.0 / nk) / (3.0 * (F.col("k") - 1))
+    )
+    ts = s.select("n", "k", t.alias("t"))
+    dfq = (F.col("k") - 1).cast("double")
+    z = (F.cbrt(F.col("t") / dfq) - (F.lit(1.0) - 2.0 / (9.0 * dfq))) / F.sqrt(
+        2.0 / (9.0 * dfq)
+    )
+    phi = 1.0 / (1.0 + F.exp(F.lit(-1.5976) * z - F.lit(0.07056) * z * z * z))
+    return ts.select(
+        "n",
+        "k",
+        F.round("t", 9).alias("t_stat"),
+        F.round(F.lit(1.0) - phi, 6).alias("p_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Odds ratio + Woolf CI for the hash-split experiment
+# --------------------------------------------------------------------------
+
+
+def _sql_odds_ratio() -> str:
+    from .datapipe.hashing import sql_hash60
+
+    arm = f"({sql_hash60('user_id::VARCHAR', seed=_BB_SEED_OR)} % 2)"
+    return f"""
+WITH u AS (
+  SELECT user_id, {arm} AS arm,
+         CAST(CASE WHEN count(*) FILTER (WHERE event_type = 'purchase')
+                        >= {_OR_HEAVY} THEN 1 ELSE 0 END
+              AS BIGINT) AS converted
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS a,
+    CAST(sum(CASE WHEN arm = 1 AND converted = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS b,
+    CAST(sum(CASE WHEN arm = 0 AND converted = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS c,
+    CAST(sum(CASE WHEN arm = 0 AND converted = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS d
+  FROM u
+)
+SELECT a, b, c, d,
+       round((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c), 9)
+         AS odds_ratio,
+       round(exp(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))
+                 - 1.959963984540054
+                   * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 9)
+         AS ci_lo,
+       round(exp(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))
+                 + 1.959963984540054
+                   * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 9)
+         AS ci_hi
+FROM c
+"""
+
+
+_BB_SEED_OR = 7  # the CUPED/TOST/SRM/power/beta-binomial split
+_OR_HEAVY = 14  # 'heavy purchaser' outcome: >= median purchase count
+# (any-purchase conversion is DEGENERATE on this fixture — every sf0.01
+# user purchases at least once, so two 2x2 cells are zero and the odds
+# ratio is undefined; the heavy-purchaser cut keeps all four cells
+# populated at every SF)
+
+
+@register(
+    "stats_odds_ratio_ci",
+    oracle=_sql_odds_ratio(),
+    tags=("stats", "experimentation", "odds-ratio"),
+)
+def stats_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of the HEAVY-PURCHASER outcome (≥14 purchases, the
+    fixture median — any-purchase conversion is degenerate here: every
+    sf0.01 user purchases, zeroing two 2×2 cells) for treatment vs
+    control on the seed-7 hash split, with the Woolf 95% CI:
+    OR = ad/bc from the user-level table,
+    CI = exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)) — the effect-size report
+    epidemiology and A/B readouts publish next to the risk difference,
+    multiplicative where ``stats_bayes_beta_binomial``'s posterior
+    difference is additive (same split, same unit — the experiment
+    family's shared fixture). The CI is on the log scale, so no support
+    clamping is needed (exp keeps it positive by construction — the
+    lesson of the beta-binomial's clamp, designed out here).
+
+    Exactness: the four cells are exact BIGINTs from one
+    groupBy-user pass + one 1-row combine; OR and CI are identical
+    closed-form doubles.
+
+    Scale shape: one map-side-combined user groupBy, one 1-row
+    reduce."""
+    from .datapipe.hashing import hash60
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= _OR_HEAVY, 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("converted")
+    ).select(
+        F.pmod(hash60(F.col("user_id").cast("string"), seed=_BB_SEED_OR), F.lit(2)).alias(
+            "arm"
+        ),
+        "converted",
+    )
+    c = u.agg(
+        F.sum(F.when((F.col("arm") == 1) & (F.col("converted") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("converted") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("converted") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("converted") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    orr = (F.col("a").cast("double") * F.col("d")) / (
+        F.col("b").cast("double") * F.col("c")
+    )
+    se = F.sqrt(
+        F.lit(1.0) / F.col("a")
+        + F.lit(1.0) / F.col("b")
+        + F.lit(1.0) / F.col("c")
+        + F.lit(1.0) / F.col("d")
+    )
+    z95 = F.lit(1.959963984540054)
+    return c.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(orr, 9).alias("odds_ratio"),
+        F.round(F.exp(F.ln(orr) - z95 * se), 9).alias("ci_lo"),
+        F.round(F.exp(F.ln(orr) + z95 * se), 9).alias("ci_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget truncation packing (middle-out: keep head + tail)
+# --------------------------------------------------------------------------
+
+_TRUNC_BUDGET = 64
+_TRUNC_HEAD = 48  # tail keeps BUDGET - HEAD = 16
+
+
+def _sql_trunc() -> str:
+    toks = tx.sql_tokens("text")
+    tail = _TRUNC_BUDGET - _TRUNC_HEAD
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+k AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) <= {_TRUNC_BUDGET} THEN toks
+              ELSE list_concat(toks[1:{_TRUNC_HEAD}],
+                               toks[len(toks) - {tail} + 1:len(toks)])
+         END AS kept
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(len(kept) AS BIGINT) AS kept_tokens,
+       (n_tokens > {_TRUNC_BUDGET}) AS truncated,
+       md5(array_to_string(kept, ' ')) AS kept_digest
+FROM k ORDER BY doc_id
+"""
+
+
+@register(
+    "pack_token_budget_truncation",
+    oracle=_sql_trunc(),
+    tags=("packing", "truncation", "datapipe"),
+)
+def pack_token_budget_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Middle-out truncation to a 64-token budget: documents over
+    budget keep their first 48 and last 16 tokens (head carries the
+    thesis, tail the conclusion — the 'middle truncation' long-context
+    heuristic, vs naive head-only truncation that loses endings) — the
+    map-only packing step that runs BEFORE ``pack_chunks_documents``
+    when a pipeline caps per-example length instead of chunking. The
+    kept sequence is pinned by an md5 digest of the re-joined tokens,
+    so the oracle verifies the exact token LIST, not just its length.
+
+    Exactness: token slices are 1-indexed closed ranges on identical
+    whitespace tokenizations; the digest hashes the identical joined
+    string.
+
+    Scale shape: pure map work, one row per document, text never
+    shuffles (the output carries counts and a 16-byte digest)."""
+    tail = _TRUNC_BUDGET - _TRUNC_HEAD
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.tokens("text").alias("toks")
+    )
+    n = F.size("toks")
+    kept = F.when(n <= _TRUNC_BUDGET, F.col("toks")).otherwise(
+        F.concat(
+            F.slice(F.col("toks"), 1, _TRUNC_HEAD),
+            F.slice(F.col("toks"), -tail, tail),
+        )
+    )
+    k = t.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        kept.alias("kept"),
+    )
+    return k.select(
+        "doc_id",
+        "n_tokens",
+        F.size("kept").cast("bigint").alias("kept_tokens"),
+        (F.col("n_tokens") > _TRUNC_BUDGET).alias("truncated"),
+        F.md5(F.encode(F.array_join("kept", " "), "UTF-8")).alias("kept_digest"),
+    ).orderBy("doc_id")

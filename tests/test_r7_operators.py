@@ -627,3 +627,103 @@ def test_payload_dedup_matches_python_replay(spark):
     assert row["max_copies"] == max(c for c, _ in cl.values())
     assert (row["bytes_total"], row["bytes_redundant"]) == (bytes_total, bytes_red)
     assert abs(row["dedup_ratio"] - round(bytes_red / bytes_total, 9)) < 1e-9
+
+
+def test_friedman_matches_python_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("ts", "event_type", "value").collect()
+    cells = defaultdict(list)
+    for r in ev:
+        cells[(r["ts"].date(), r["event_type"])].append(r["value"])
+    k_types = len({t for _, t in cells})
+    days = defaultdict(dict)
+    for (d, t), vs in cells.items():
+        days[d][t] = sum(_q_half_up(v * 1e6) for v in vs) / len(vs) / 1e6
+    complete = {d: m for d, m in days.items() if len(m) == k_types}
+    r2sum = defaultdict(int)
+    for d, m in complete.items():
+        vals = sorted(m.values())
+        for t, x in m.items():
+            lo = vals.index(x) + 1
+            hi = len(vals) - vals[::-1].index(x)
+            r2sum[t] += lo + hi  # doubled midrank
+    n = len(complete)
+    k = k_types
+    q = 12.0 / (n * k * (k + 1)) * sum((v / 2.0) ** 2 for v in r2sum.values()) - 3.0 * n * (k + 1)
+    row = REGISTRY["stats_friedman_test"].fn(spark, SF_DIR).collect()[0]
+    assert (row["n_blocks"], row["k_treatments"]) == (n, k)
+    assert abs(row["q_stat"] - round(q, 9)) < 1e-6
+    assert 0.0 <= row["p_value"] <= 1.0
+
+
+def test_bartlett_matches_python_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_type", "value").collect()
+    g = defaultdict(lambda: [0, 0, 0])
+    for r in ev:
+        qv = _q_half_up(r["value"] * 1e6)
+        a = g[r["event_type"]]
+        a[0] += 1
+        a[1] += qv
+        a[2] += qv * qv
+    var = {t: ((s2 / 1e12) - (s1 / 1e6) ** 2 / n) / (n - 1) for t, (n, s1, s2) in g.items()}
+    n = sum(v[0] for v in g.values())
+    k = len(g)
+    ssw = sum((g[t][0] - 1) * var[t] for t in g)
+    slog = sum((g[t][0] - 1) * math.log(var[t]) for t in g)
+    sinv = sum(1.0 / (g[t][0] - 1) for t in g)
+    t_stat = ((n - k) * math.log(ssw / (n - k)) - slog) / (
+        1.0 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1))
+    )
+    row = REGISTRY["stats_bartlett_test"].fn(spark, SF_DIR).collect()[0]
+    assert (row["n"], row["k"]) == (n, k)
+    assert abs(row["t_stat"] - round(t_stat, 9)) < 1e-6
+    assert 0.0 <= row["p_value"] <= 1.0
+
+
+def test_odds_ratio_matches_python_replay(spark):
+    import hashlib
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id", "event_type").collect()
+    np_ = defaultdict(int)
+    for r in ev:
+        if r["event_type"] == "purchase":
+            np_[r["user_id"]] += 1
+        else:
+            np_.setdefault(r["user_id"], 0)
+    cells = [0, 0, 0, 0]  # a, b, c, d
+    for uid, c in np_.items():
+        arm = int(hashlib.md5(f"7|{uid}".encode()).hexdigest()[:15], 16) % 2
+        conv = 1 if c >= 14 else 0
+        if arm == 1 and conv:
+            cells[0] += 1
+        elif arm == 1:
+            cells[1] += 1
+        elif conv:
+            cells[2] += 1
+        else:
+            cells[3] += 1
+    a, b, c, d = cells
+    orr = (a * d) / (b * c)
+    se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    row = REGISTRY["stats_odds_ratio_ci"].fn(spark, SF_DIR).collect()[0]
+    assert (row["a"], row["b"], row["c"], row["d"]) == (a, b, c, d)
+    assert abs(row["odds_ratio"] - round(orr, 9)) < 1e-9
+    assert abs(row["ci_lo"] - round(math.exp(math.log(orr) - 1.959963984540054 * se), 9)) < 1e-8
+    assert abs(row["ci_hi"] - round(math.exp(math.log(orr) + 1.959963984540054 * se), 9)) < 1e-8
+    assert 0 < row["ci_lo"] <= row["odds_ratio"] <= row["ci_hi"]
+
+
+def test_truncation_matches_python_replay(spark):
+    import hashlib
+    import re as _re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text").collect()
+    rows = {r["doc_id"]: r for r in REGISTRY["pack_token_budget_truncation"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {r["doc_id"] for r in docs}
+    for r in docs:
+        toks = [t for t in _re.split(r"\s+", r["text"].strip().lower()) if t]
+        kept = toks if len(toks) <= 64 else toks[:48] + toks[-16:]
+        out = rows[r["doc_id"]]
+        assert out["n_tokens"] == len(toks)
+        assert out["kept_tokens"] == len(kept) and len(kept) <= 64
+        assert out["truncated"] == (len(toks) > 64)
+        assert out["kept_digest"] == hashlib.md5(" ".join(kept).encode()).hexdigest()
