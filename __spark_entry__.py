@@ -127,6 +127,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "stats_bartlett_test",
     "stats_odds_ratio_ci",
     "pack_token_budget_truncation",
+    "stats_anderson_darling",
+    "stats_cooks_distance",
 ]
 
 

@@ -3016,3 +3016,276 @@ def pack_token_budget_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") > _TRUNC_BUDGET).alias("truncated"),
         F.md5(F.encode(F.array_join("kept", " "), "UTF-8")).alias("kept_digest"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Anderson-Darling normality test on the daily log-revenue series
+# --------------------------------------------------------------------------
+
+
+def _sql_anderson_darling() -> str:
+    phi_z = _PHI.format(z="z")
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS d,
+         CAST(round(ln(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                           * 100.0) AS BIGINT)) AS DOUBLE))
+                    * 1e9) AS BIGINT) AS v
+  FROM lineitem GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) / count(*) / 1e9 AS mu,
+         sqrt((CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) / 1e18
+               - count(*) * (CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE)
+                             / count(*) / 1e9)
+                          * (CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE)
+                             / count(*) / 1e9))
+              / (count(*) - 1)) AS sigma
+  FROM daily
+),
+r AS (
+  SELECT CAST(row_number() OVER (ORDER BY v, d) AS BIGINT) AS i,
+         (v / 1e9 - mu) / sigma AS z, n
+  FROM daily, m
+),
+f AS (
+  SELECT i, n, {phi_z} AS fz FROM r
+),
+s AS (
+  SELECT max(n) AS n,
+         sum((2.0 * i - 1) * ln(fz) + (2.0 * n + 1 - 2.0 * i) * ln(1.0 - fz))
+           AS t
+  FROM f
+)
+SELECT n AS n_days, round(-CAST(n AS DOUBLE) - t / n, 9) AS a_sq
+FROM s
+"""
+
+
+@register(
+    "stats_anderson_darling",
+    oracle=_sql_anderson_darling(),
+    tags=("stats", "normality", "anderson-darling"),
+)
+def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling normality statistic on the daily LOG-revenue
+    series: A² = −n − (1/n)Σ[(2i−1)·ln F(zᵢ) + (2n+1−2i)·ln(1−F(zᵢ))]
+    — the tail-weighted EDF test that catches the departures from
+    normality ``stats_lognormal_fit_ks``'s KS misses (KS weighs the
+    middle; A-D weighs the tails, where revenue distributions actually
+    break). The folded single-pass form replaces the textbook's
+    paired-rank (i, n+1−i) sum — algebraically identical, and it needs
+    only ONE rank per row. F is the catalog's shared Bowling Φ, so A²
+    is comparable across entries, not against scipy's tables —
+    documented approximation, identical text both engines.
+
+    Exactness: log values quantize to nano-BIGINTs (the lognormal-KS
+    discipline) so moments are exact-integer ratios; the (v, d) rank
+    order is total; the term sum is over doubles but both engines sum
+    the SAME doubles in the SAME window-imposed order.
+
+    Scale shape: one map-side-combined day groupBy; one rank window
+    over the horizon-bounded day frame; one 1-row reduce."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        F.round(
+            F.ln(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount"))
+                        * 100.0
+                    ).cast("bigint")
+                ).cast("double")
+            )
+            * 1e9
+        )
+        .cast("bigint")
+        .alias("v")
+    )
+    vd = F.col("v").cast("decimal(38,0)")
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(vd).cast("double") / F.count(F.lit(1)) / 1e9).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(vd * F.col("v")).cast("double") / 1e18
+                - F.count(F.lit(1))
+                * (F.sum(vd).cast("double") / F.count(F.lit(1)) / 1e9)
+                * (F.sum(vd).cast("double") / F.count(F.lit(1)) / 1e9)
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sigma"),
+    )
+    w = Window.orderBy("v", "d")
+    r = daily.crossJoin(F.broadcast(m)).select(
+        F.row_number().over(w).cast("bigint").alias("i"),
+        ((F.col("v") / 1e9 - F.col("mu")) / F.col("sigma")).alias("z"),
+        "n",
+    )
+    fz = 1.0 / (
+        1.0
+        + F.exp(
+            F.lit(-1.5976) * F.col("z") - F.lit(0.07056) * F.col("z") * F.col("z") * F.col("z")
+        )
+    )
+    f = r.select("i", "n", fz.alias("fz"))
+    s = f.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            (2.0 * F.col("i") - 1) * F.ln("fz")
+            + (2.0 * F.col("n") + 1 - 2.0 * F.col("i")) * F.ln(F.lit(1.0) - F.col("fz"))
+        ).alias("t"),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(-F.col("n").cast("double") - F.col("t") / F.col("n"), 9).alias("a_sq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cook's distance: influence diagnostics on the daily revenue trend fit
+# --------------------------------------------------------------------------
+
+_COOKS_TOP = 5
+
+
+def _sql_cooks_distance() -> str:
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS d,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+),
+xi AS (
+  SELECT d, y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS x
+  FROM daily
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) / count(*) AS xbar,
+         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) / count(*) AS ybar,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE)
+           - count(*) * (CAST(sum(x) AS DOUBLE) / count(*))
+                      * (CAST(sum(x) AS DOUBLE) / count(*)) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE)
+           - count(*) * (CAST(sum(x) AS DOUBLE) / count(*))
+                      * (CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) / count(*))
+           AS sxy
+  FROM xi
+),
+e AS (
+  SELECT d, x, y, n, xbar, sxx,
+         y - (ybar + (sxy / sxx) * (x - xbar)) AS resid,
+         1.0 / n + (x - xbar) * (x - xbar) / sxx AS lev
+  FROM xi, m
+),
+s2 AS (
+  SELECT sum(resid * resid) / (max(n) - 2) AS s2 FROM e
+)
+SELECT d, y,
+       round(resid, 6) AS residual_cents,
+       round(lev, 9) AS leverage,
+       round(resid * resid * lev / (2.0 * s2 * (1.0 - lev) * (1.0 - lev)), 9)
+         AS cooks_d
+FROM e, s2
+ORDER BY resid * resid * lev / (2.0 * s2 * (1.0 - lev) * (1.0 - lev)) DESC, d
+LIMIT {_COOKS_TOP}
+"""
+
+
+@register(
+    "stats_cooks_distance",
+    oracle=_sql_cooks_distance(),
+    tags=("stats", "regression", "diagnostics"),
+)
+def stats_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance on the daily revenue trend fit: the 5 most
+    INFLUENTIAL days under the simple OLS of revenue on the day index
+    — D_i = e_i²·h_ii / (p·s²·(1−h_ii)²) with p=2 and the closed-form
+    simple-regression leverage h_ii = 1/n + (x_i−x̄)²/Sxx. The
+    regression-diagnostics readout ``regression_multiple_ols`` omits:
+    a day can have a modest residual but dominate the FIT (end-of-range
+    leverage), and Cook's D is what says 'this one day moved the
+    slope'. The argmax orders on the RAW statistic before rounding
+    (the stats_lognormal_fit_ks discipline).
+
+    Exactness: x is a dense rank over the total (day) order; all
+    moments are exact DECIMAL integer sums; residual/leverage/D are
+    identical closed-form doubles.
+
+    Scale shape: one map-side-combined day groupBy, one rank window
+    over the horizon-bounded day frame, a 1-row moment broadcast, a
+    TakeOrdered(5)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    xi = daily.select(
+        "d", "y", F.row_number().over(Window.orderBy("d")).cast("bigint").alias("x")
+    ).localCheckpoint(eager=True)  # feeds moments AND the residual pass
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    cnt = F.count(F.lit(1))
+    xbar = F.sum("x").cast("double") / cnt
+    ybar = F.sum(yd).cast("double") / cnt
+    m = xi.agg(
+        cnt.cast("bigint").alias("n"),
+        xbar.alias("xbar"),
+        ybar.alias("ybar"),
+        (F.sum(xd * F.col("x")).cast("double") - cnt * xbar * xbar).alias("sxx"),
+        (F.sum(xd * F.col("y")).cast("double") - cnt * xbar * ybar).alias("sxy"),
+    )
+    e = xi.crossJoin(F.broadcast(m)).select(
+        "d",
+        "y",
+        "n",
+        (
+            F.col("y")
+            - (
+                F.col("ybar")
+                + (F.col("sxy") / F.col("sxx")) * (F.col("x") - F.col("xbar"))
+            )
+        ).alias("resid"),
+        (
+            F.lit(1.0) / F.col("n")
+            + (F.col("x") - F.col("xbar")) * (F.col("x") - F.col("xbar")) / F.col("sxx")
+        ).alias("lev"),
+    )
+    s2 = e.agg(
+        (F.sum(F.col("resid") * F.col("resid")) / (F.max("n") - 2)).alias("s2")
+    )
+    cooks = (
+        F.col("resid")
+        * F.col("resid")
+        * F.col("lev")
+        / (2.0 * F.col("s2") * (F.lit(1.0) - F.col("lev")) * (F.lit(1.0) - F.col("lev")))
+    )
+    return (
+        e.crossJoin(F.broadcast(s2))
+        .orderBy(cooks.desc(), "d")
+        .limit(_COOKS_TOP)
+        .select(
+            "d",
+            "y",
+            F.round("resid", 6).alias("residual_cents"),
+            F.round("lev", 9).alias("leverage"),
+            F.round(cooks, 9).alias("cooks_d"),
+        )
+    )

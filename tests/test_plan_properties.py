@@ -266,6 +266,10 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # Pettitt broadcasts the 1-row day count onto the U_t frame
         "similarity_cosine_hist_sample",
         "ts_pettitt_changepoint",
+        # r7: A-D and Cook's D broadcast 1-row moment/scale aggregates
+        # onto the day frame — the scalar idiom
+        "stats_anderson_darling",
+        "stats_cooks_distance",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

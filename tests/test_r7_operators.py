@@ -727,3 +727,54 @@ def test_truncation_matches_python_replay(spark):
         assert out["kept_tokens"] == len(kept) and len(kept) <= 64
         assert out["truncated"] == (len(toks) > 64)
         assert out["kept_digest"] == hashlib.md5(" ".join(kept).encode()).hexdigest()
+
+
+def test_anderson_darling_matches_python_replay(spark):
+    daily = _daily_revenue_cents(spark)
+    vs = sorted(
+        (_q_half_up(math.log(x) * 1e9), d) for d, x in daily.items()
+    )
+    n = len(vs)
+    mu = sum(v for v, _ in vs) / n / 1e9
+    sd = math.sqrt(
+        (sum(v * v for v, _ in vs) / 1e18 - n * mu * mu) / (n - 1)
+    )
+    t = 0.0
+    for i, (v, _) in enumerate(vs, start=1):
+        z = (v / 1e9 - mu) / sd
+        fz = _phi(z)
+        t += (2 * i - 1) * math.log(fz) + (2 * n + 1 - 2 * i) * math.log(1 - fz)
+    a_sq = -n - t / n
+    row = REGISTRY["stats_anderson_darling"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["a_sq"] - round(a_sq, 9)) < 1e-6
+    assert row["a_sq"] > 0.0
+
+
+def test_cooks_distance_matches_python_replay(spark):
+    daily = _daily_revenue_cents(spark)
+    days = sorted(daily)
+    n = len(days)
+    xs = list(range(1, n + 1))
+    ys = [daily[d] for d in days]
+    xbar = sum(xs) / n
+    ybar = sum(ys) / n
+    sxx = sum(x * x for x in xs) - n * xbar * xbar
+    sxy = sum(x * y for x, y in zip(xs, ys)) - n * xbar * ybar
+    b = sxy / sxx
+    resid = [y - (ybar + b * (x - xbar)) for x, y in zip(xs, ys)]
+    lev = [1.0 / n + (x - xbar) ** 2 / sxx for x in xs]
+    s2 = sum(e * e for e in resid) / (n - 2)
+    dd = [
+        (e * e * h / (2.0 * s2 * (1 - h) ** 2), d, e, h)
+        for e, h, d in zip(resid, lev, days)
+    ]
+    top = sorted(dd, key=lambda t: (-t[0], t[1]))[:5]
+    rows = REGISTRY["stats_cooks_distance"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r, (cd, d, e, h) in zip(rows, top):
+        assert r["d"].date() == d
+        assert abs(r["cooks_d"] - round(cd, 9)) < 1e-7
+        assert abs(r["residual_cents"] - round(e, 6)) < 1e-4
+        assert abs(r["leverage"] - round(h, 9)) < 1e-9
+        assert 0.0 < r["leverage"] < 1.0
