@@ -129,6 +129,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "pack_token_budget_truncation",
     "stats_anderson_darling",
     "stats_cooks_distance",
+    "sample_pps_systematic",
+    "stats_hurst_exponent",
 ]
 
 

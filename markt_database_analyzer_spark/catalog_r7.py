@@ -3289,3 +3289,282 @@ def stats_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cooks, 9).alias("cooks_d"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PPS systematic sampling (probability proportional to size, RNG-free)
+# --------------------------------------------------------------------------
+
+_PPS_K = 50  # systematic picks
+
+
+def _sql_pps() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents WHERE n_chars > 0
+),
+cum AS (
+  SELECT doc_id, wt,
+         CAST(sum(wt) OVER (ORDER BY doc_id) AS BIGINT) AS c
+  FROM w
+),
+tot AS (SELECT CAST(sum(wt) AS BIGINT) AS t FROM w),
+hits AS (
+  SELECT doc_id, wt, c,
+         (CASE WHEN 2 * {_PPS_K} * c >= t
+               THEN (2 * {_PPS_K} * c - t) // (2 * t) + 1 ELSE 0 END)
+         - (CASE WHEN 2 * {_PPS_K} * (c - wt) >= t
+                 THEN (2 * {_PPS_K} * (c - wt) - t) // (2 * t) + 1 ELSE 0 END)
+           AS n_hits
+  FROM cum, tot
+)
+SELECT doc_id, wt AS n_chars, CAST(n_hits AS BIGINT) AS n_hits
+FROM hits WHERE n_hits > 0
+ORDER BY doc_id
+"""
+
+
+@register(
+    "sample_pps_systematic",
+    oracle=_sql_pps(),
+    tags=("sampling", "pps", "systematic", "datapipe"),
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample (probability proportional to size) of the
+    document corpus, 50 picks weighted by n_chars: selection points sit
+    at (2j+1)·T/(2k) along the cumulative-weight axis, and a document
+    is selected once per point its weight interval covers — the
+    classical survey-sampling design (large docs can be hit twice,
+    which IS pps-with-replacement's multiplicity) and the equal-WORK
+    sampler for inspection pipelines where a doc's review cost scales
+    with its length. Entirely RNG-free and exact: the usual 'random
+    start' is pinned at the half-interval offset, and hit counts are
+    pure integer arithmetic — #points ≤ x is ((2kx − T) div 2T) + 1 —
+    so no float ever decides a membership.
+
+    Scale shape: the cumulative weight is the distributed prefix sum
+    (range partition by doc_id — the equidepth machinery's shape, here
+    via the oracle-matching window over the doc frame at this SF, with
+    `value_counts_cum` as the documented 100 TB swap-in); hit counting
+    is map-only integer math; no joins beyond the 1-row total
+    broadcast."""
+    from pyspark.sql import Window
+
+    w = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select("doc_id", F.col("n_chars").cast("bigint").alias("wt"))
+    )
+    cum = w.select(
+        "doc_id",
+        "wt",
+        F.sum("wt")
+        .over(
+            Window.orderBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    tot = w.agg(F.sum("wt").cast("bigint").alias("t"))
+
+    two_t = 2 * F.col("t")
+
+    def npts(x):
+        # #selection points at or below x: ((2kx - T) floor-div 2T) + 1
+        # when 2kx >= T, else 0. EXACT integer floor division — a double
+        # floor(a/b) misfloors once operands pass 2^53, so divide the
+        # pmod-aligned numerator as DECIMAL (exactly divisible, so the
+        # truncating cast is the floor).
+        num = F.lit(2 * _PPS_K) * x - F.col("t")
+        aligned = (num - F.pmod(num, two_t)).cast("decimal(38,0)")
+        q = (aligned / two_t.cast("decimal(38,0)")).cast("bigint")
+        return F.when(F.lit(2 * _PPS_K) * x >= F.col("t"), q + 1).otherwise(0)
+
+    hi = npts(F.col("c"))
+    lo = npts(F.col("c") - F.col("wt"))
+    hits = cum.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.col("wt").alias("n_chars"),
+        (hi - lo).cast("bigint").alias("n_hits"),
+    )
+    return hits.where(F.col("n_hits") > 0).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis of the hourly series
+# --------------------------------------------------------------------------
+
+_HURST_SIZES = (16, 32, 64, 128)
+
+
+def _sql_hurst() -> str:
+    davg_x = SQL_DAVG.format(x="value")
+    sizes = ", ".join(str(s) for s in _HURST_SIZES)
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, {davg_x} AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i FROM hourly
+),
+blk AS (
+  SELECT s, (i - 1) // s AS b, i, x
+  FROM idx, unnest([{sizes}]) AS u(s)
+),
+full_blocks AS (
+  SELECT s, b FROM blk GROUP BY s, b HAVING count(*) = s
+),
+bm AS (
+  SELECT blk.s, blk.b, {SQL_DAVG.format(x='x')} AS m
+  FROM blk JOIN full_blocks USING (s, b) GROUP BY blk.s, blk.b
+),
+dev AS (
+  SELECT blk.s, blk.b, blk.i,
+         CAST(round((x - m) * 1e9) AS BIGINT) AS d9,
+         CAST(round((x - m) * (x - m) * 1e9) AS BIGINT) AS dd9
+  FROM blk JOIN bm ON blk.s = bm.s AND blk.b = bm.b
+),
+y AS (
+  SELECT s, b, dd9,
+         CAST(sum(d9) OVER (PARTITION BY s, b ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS yt
+  FROM dev
+),
+rs AS (
+  SELECT s, b,
+         ((greatest(max(yt), 0) - least(min(yt), 0)) / 1e9)
+           / sqrt(CAST(sum(dd9) AS DOUBLE) / 1e9 / s) AS rs_b
+  FROM y GROUP BY s, b
+),
+pt AS (
+  SELECT s,
+         CAST(round(ln(CAST(s AS DOUBLE)) * 1e9) AS BIGINT) AS a,
+         CAST(round(ln((CAST(SUM(CAST(round(rs_b * 1000000.0) AS HUGEINT))
+                             AS DOUBLE) / count(*)) / 1000000.0) * 1e9)
+              AS BIGINT) AS bb
+  FROM rs GROUP BY s
+),
+f AS (
+  SELECT CAST(count(*) AS BIGINT) AS np,
+         CAST(sum(CAST(a AS HUGEINT)) AS DOUBLE) / 1e9 AS sa,
+         CAST(sum(CAST(bb AS HUGEINT)) AS DOUBLE) / 1e9 AS sb,
+         CAST(sum(CAST(a AS HUGEINT) * a) AS DOUBLE) / 1e18 AS saa,
+         CAST(sum(CAST(a AS HUGEINT) * bb) AS DOUBLE) / 1e18 AS sab
+  FROM pt
+)
+SELECT np AS n_sizes,
+       round((np * sab - sa * sb) / (np * saa - sa * sa), 6) AS hurst_h
+FROM f
+"""
+
+
+@register(
+    "stats_hurst_exponent",
+    oracle=_sql_hurst(),
+    tags=("stats", "timeseries", "hurst", "long-memory"),
+)
+def stats_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly engagement series via classical
+    rescaled-range analysis: for block sizes s ∈ {16,32,64,128}, each
+    complete block's R/S = (range of cumulative mean-deviations) /
+    (population σ), averaged per size, and Ĥ is the log-log OLS slope
+    — the long-memory diagnostic (H≈0.5 random walk increments, H>0.5
+    persistent trends) that says whether ``ts_autocorrelation``'s decay
+    carries structure or noise. R spans the walk's
+    full excursion INCLUDING its 0 start: greatest(max Y, 0) −
+    least(min Y, 0), the classical convention.
+
+    Exactness: per-block deviation increments quantize to nano-BIGINTs,
+    so every cumulative walk value AND the range are exact integers;
+    block σ comes from the quantized square sums; per-size means
+    micro-quantize; the final slope is the Heaps-fit integer-moment
+    form.
+
+    Scale shape: the series is an hourly aggregate first (720 points at
+    sf0.01); the size explode is 4×; all windows partition by (size,
+    block) — no un-partitioned pass except the one bounded series
+    index (the ts_autocorrelation precedent)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        davg("value").alias("x")
+    )
+    idx = hourly.select(
+        "x", F.row_number().over(Window.orderBy("h")).cast("bigint").alias("i")
+    )
+    blk = idx.select(
+        F.explode(F.array(*[F.lit(s) for s in _HURST_SIZES])).alias("s"),
+        "i",
+        "x",
+    ).select(
+        "s", F.floor((F.col("i") - 1) / F.col("s")).cast("bigint").alias("b"), "i", "x"
+    ).localCheckpoint(eager=True)
+    full_blocks = (
+        blk.groupBy("s", "b").agg(F.count(F.lit(1)).alias("c")).where(
+            F.col("c") == F.col("s")
+        ).select("s", "b")
+    )
+    bm = (
+        blk.join(full_blocks, ["s", "b"])
+        .groupBy("s", "b")
+        .agg(davg("x").alias("m"))
+    )
+    dev = blk.join(bm, ["s", "b"]).select(
+        "s",
+        "b",
+        "i",
+        F.round((F.col("x") - F.col("m")) * 1e9).cast("bigint").alias("d9"),
+        F.round((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")) * 1e9)
+        .cast("bigint")
+        .alias("dd9"),
+    )
+    wy = (
+        Window.partitionBy("s", "b")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    y = dev.select(
+        "s", "b", "dd9", F.sum("d9").over(wy).cast("bigint").alias("yt")
+    )
+    rs = y.groupBy("s", "b").agg(
+        (
+            ((F.greatest(F.max("yt"), F.lit(0)) - F.least(F.min("yt"), F.lit(0))) / 1e9)
+            / F.sqrt(F.sum("dd9").cast("double") / 1e9 / F.max(F.col("s")))
+        ).alias("rs_b")
+    )
+    pt = rs.groupBy("s").agg(
+        F.round(F.ln(F.col("s").cast("double")) * 1e9)
+        .cast("bigint")
+        .alias("a"),
+        F.round(
+            F.ln(
+                F.sum(F.round(F.col("rs_b") * 1e6).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                / 1e6
+            )
+            * 1e9
+        )
+        .cast("bigint")
+        .alias("bb"),
+    )
+    ad = F.col("a").cast("decimal(38,0)")
+    f = pt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        (F.sum(ad).cast("double") / 1e9).alias("sa"),
+        (F.sum(F.col("bb").cast("decimal(38,0)")).cast("double") / 1e9).alias("sb"),
+        (F.sum(ad * F.col("a")).cast("double") / 1e18).alias("saa"),
+        (F.sum(ad * F.col("bb")).cast("double") / 1e18).alias("sab"),
+    )
+    slope = (F.col("np") * F.col("sab") - F.col("sa") * F.col("sb")) / (
+        F.col("np") * F.col("saa") - F.col("sa") * F.col("sa")
+    )
+    return f.select(
+        F.col("np").alias("n_sizes"), F.round(slope, 6).alias("hurst_h")
+    )

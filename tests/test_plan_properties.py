@@ -270,6 +270,8 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # onto the day frame — the scalar idiom
         "stats_anderson_darling",
         "stats_cooks_distance",
+        # r7: PPS broadcasts the 1-row weight total onto the cum frame
+        "sample_pps_systematic",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -778,3 +778,76 @@ def test_cooks_distance_matches_python_replay(spark):
         assert abs(r["residual_cents"] - round(e, 6)) < 1e-4
         assert abs(r["leverage"] - round(h, 9)) < 1e-9
         assert 0.0 < r["leverage"] < 1.0
+
+
+def test_pps_systematic_matches_python_replay(spark):
+    docs = sorted(
+        (r["doc_id"], r["n_chars"])
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "n_chars").collect()
+        if r["n_chars"] > 0
+    )
+    total = sum(w for _, w in docs)
+    k = 50
+    expect = {}
+    c = 0
+    for did, w in docs:
+        lo_c, c = c, c + w
+        # points p_j = (2j+1)T/(2k); hits = #j with lo_c < p_j <= c
+        def npts(x):
+            if 2 * k * x < total:
+                return 0
+            return (2 * k * x - total) // (2 * total) + 1
+        h = npts(c) - npts(lo_c)
+        if h > 0:
+            expect[did] = (w, h)
+    rows = {r["doc_id"]: r for r in REGISTRY["sample_pps_systematic"].fn(spark, SF_DIR).collect()}
+    assert {d: (r["n_chars"], r["n_hits"]) for d, r in rows.items()} == expect
+    assert sum(h for _, h in expect.values()) == k
+    # selection probability is proportional to size: every hit doc's
+    # weight exceeds the smallest skipped doc only on average, but the
+    # interval guarantee is exact: any doc with w >= T/k MUST be hit
+    for did, w in docs:
+        if w * 2 * k >= 2 * total:
+            assert did in expect
+
+
+def test_hurst_matches_python_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("ts", "value").collect()
+    by_hour = defaultdict(list)
+    for r in ev:
+        by_hour[r["ts"].replace(minute=0, second=0, microsecond=0)].append(r["value"])
+    xs = [
+        sum(_q_half_up(v * 1e6) for v in by_hour[h]) / len(by_hour[h]) / 1e6
+        for h in sorted(by_hour)
+    ]
+    pts = []
+    for s in (16, 32, 64, 128):
+        rs_q = []
+        for b in range(len(xs) // s):
+            seg = xs[b * s:(b + 1) * s]
+            if len(seg) < s:
+                continue
+            m = sum(_q_half_up(v * 1e6) for v in seg) / s / 1e6
+            d9 = [_q_half_up((v - m) * 1e9) for v in seg]
+            dd9 = [_q_half_up((v - m) * (v - m) * 1e9) for v in seg]
+            yt, mx, mn = 0, 0, 0
+            for d in d9:
+                yt += d
+                mx, mn = max(mx, yt), min(mn, yt)
+            sd = math.sqrt(sum(dd9) / 1e9 / s)
+            rs_q.append(_q_half_up(((mx - mn) / 1e9) / sd * 1e6))
+        if rs_q:
+            pts.append((
+                _q_half_up(math.log(s) * 1e9),
+                _q_half_up(math.log(sum(rs_q) / len(rs_q) / 1e6) * 1e9),
+            ))
+    np_ = len(pts)
+    sa = sum(a for a, _ in pts) / 1e9
+    sb = sum(b for _, b in pts) / 1e9
+    saa = sum(a * a for a, _ in pts) / 1e18
+    sab = sum(a * b for a, b in pts) / 1e18
+    h = (np_ * sab - sa * sb) / (np_ * saa - sa * sa)
+    row = REGISTRY["stats_hurst_exponent"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_sizes"] == np_
+    assert abs(row["hurst_h"] - round(h, 6)) < 1e-4
+    assert 0.0 < row["hurst_h"] < 1.0

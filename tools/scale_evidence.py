@@ -445,6 +445,17 @@ R7_ENTRIES = [
     "stats_capture_recapture",
     "dq_id_completeness",
     "agg_geometric_harmonic_means",
+    # batches 6-8
+    "similarity_cosine_hist_sample",
+    "ts_pettitt_changepoint",
+    "vocab_heaps_law_fit",
+    "multimodal_payload_dedup",
+    "stats_friedman_test",
+    "stats_bartlett_test",
+    "stats_odds_ratio_ci",
+    "pack_token_budget_truncation",
+    "stats_anderson_darling",
+    "stats_cooks_distance",
 ]
 
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
