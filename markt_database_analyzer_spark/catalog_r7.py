@@ -2668,9 +2668,14 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = ev.groupBy(
         F.date_trunc("day", "ts").alias("d"), "event_type"
     ).agg(davg("value").alias("x"))
-    k_types = ev.select("event_type").distinct().count()
+    # the type count rides as a 1-row broadcast scalar (the oracle's
+    # scalar subquery) — no eager driver action during plan build
+    kt = ev.agg(F.count_distinct(F.col("event_type")).alias("kt"))
     complete = (
-        cell.groupBy("d").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") == k_types)
+        cell.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(kt))
+        .where(F.col("c") == F.col("kt"))
     ).select("d")
     r = cell.join(F.broadcast(complete), "d").select(
         "event_type",
@@ -3054,8 +3059,9 @@ f AS (
 ),
 s AS (
   SELECT max(n) AS n,
-         sum((2.0 * i - 1) * ln(fz) + (2.0 * n + 1 - 2.0 * i) * ln(1.0 - fz))
-           AS t
+         CAST(sum(CAST(round(((2.0 * i - 1) * ln(fz)
+                              + (2.0 * n + 1 - 2.0 * i) * ln(1.0 - fz))
+                             * 1e9) AS HUGEINT)) AS DOUBLE) / 1e9 AS t
   FROM f
 )
 SELECT n AS n_days, round(-CAST(n AS DOUBLE) - t / n, 9) AS a_sq
@@ -3082,8 +3088,9 @@ def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: log values quantize to nano-BIGINTs (the lognormal-KS
     discipline) so moments are exact-integer ratios; the (v, d) rank
-    order is total; the term sum is over doubles but both engines sum
-    the SAME doubles in the SAME window-imposed order.
+    order is total; each row's EDF term quantizes to a nano-grid
+    integer before the order-free sum (a plain float sum's order
+    differs between Spark partial aggregation and DuckDB).
 
     Scale shape: one map-side-combined day groupBy; one rank window
     over the horizon-bounded day frame; one 1-row reduce."""
@@ -3135,11 +3142,13 @@ def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     f = r.select("i", "n", fz.alias("fz"))
+    term = (2.0 * F.col("i") - 1) * F.ln("fz") + (
+        2.0 * F.col("n") + 1 - 2.0 * F.col("i")
+    ) * F.ln(F.lit(1.0) - F.col("fz"))
     s = f.agg(
         F.max("n").alias("n"),
-        F.sum(
-            (2.0 * F.col("i") - 1) * F.ln("fz")
-            + (2.0 * F.col("n") + 1 - 2.0 * F.col("i")) * F.ln(F.lit(1.0) - F.col("fz"))
+        (
+            F.sum(F.round(term * 1e9).cast("decimal(38,0)")).cast("double") / 1e9
         ).alias("t"),
     )
     return s.select(
@@ -3187,7 +3196,9 @@ e AS (
   FROM xi, m
 ),
 s2 AS (
-  SELECT sum(resid * resid) / (max(n) - 2) AS s2 FROM e
+  SELECT (CAST(sum(CAST(round(resid * resid * 1e6) AS HUGEINT)) AS DOUBLE)
+          / 1e6) / (max(n) - 2) AS s2
+  FROM e
 )
 SELECT d, y,
        round(resid, 6) AS residual_cents,
@@ -3217,8 +3228,9 @@ def stats_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the stats_lognormal_fit_ks discipline).
 
     Exactness: x is a dense rank over the total (day) order; all
-    moments are exact DECIMAL integer sums; residual/leverage/D are
-    identical closed-form doubles.
+    moments are exact DECIMAL integer sums; s² quantizes each squared
+    residual to a micro-grid integer before the order-free sum;
+    residual/leverage/D are identical closed-form doubles.
 
     Scale shape: one map-side-combined day groupBy, one rank window
     over the horizon-bounded day frame, a 1-row moment broadcast, a
@@ -3269,7 +3281,13 @@ def stats_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lev"),
     )
     s2 = e.agg(
-        (F.sum(F.col("resid") * F.col("resid")) / (F.max("n") - 2)).alias("s2")
+        (
+            F.sum(F.round(F.col("resid") * F.col("resid") * 1e6).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 1e6
+            / (F.max("n") - 2)
+        ).alias("s2")
     )
     cooks = (
         F.col("resid")

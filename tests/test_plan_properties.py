@@ -272,6 +272,10 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         "stats_cooks_distance",
         # r7: PPS broadcasts the 1-row weight total onto the cum frame
         "sample_pps_systematic",
+        # r7: Friedman's completeness filter crossJoins the 1-row
+        # distinct-type count (the oracle's scalar subquery) — scalar
+        # idiom, replacing an eager driver-side count()
+        "stats_friedman_test",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -407,7 +407,7 @@ R6E_ENTRIES = [
 ]
 
 # Round-7: the five r6-queued entries that still lacked sf1 rows plus
-# the thirteen new-in-r7 entries, measured at the same sf1 volume
+# every new-in-r7 entry, measured at the same sf1 volume
 # (relational replication). The volume rows: the cuts-path lift deciles
 # push 10x docs through the distinct-domain prefix sum; code-detect is
 # two regex passes over 10x text; assortativity's edge self-join grows
@@ -456,6 +456,8 @@ R7_ENTRIES = [
     "pack_token_budget_truncation",
     "stats_anderson_darling",
     "stats_cooks_distance",
+    "sample_pps_systematic",
+    "stats_hurst_exponent",
 ]
 
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
