@@ -131,6 +131,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "stats_cooks_distance",
     "sample_pps_systematic",
     "stats_hurst_exponent",
+    "source_schema_evolution",
+    "events_entropy_rate",
 ]
 
 

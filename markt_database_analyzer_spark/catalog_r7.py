@@ -2148,7 +2148,7 @@ def agg_geometric_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pairwise-cosine distribution audit on a hash-gated sample
 # --------------------------------------------------------------------------
 
-_COS_SAMPLE_MOD = 5  # keep vec_id hash % 5 == 0 → ~20% of the corpus
+_COS_SAMPLE_N = 400  # FIXED panel size (volume-invariant by construction)
 _COS_SEED = 37
 _COS_BINS = 20  # width-0.1 bins over [-1, 1]
 
@@ -2156,10 +2156,15 @@ _COS_BINS = 20  # width-0.1 bins over [-1, 1]
 def _sql_cosine_hist() -> str:
     from .datapipe.hashing import sql_hash60
 
-    gate = f"({sql_hash60('vec_id::VARCHAR', seed=_COS_SEED)} % {_COS_SAMPLE_MOD} = 0)"
+    h = sql_hash60("vec_id::VARCHAR", seed=_COS_SEED)
     return f"""
-WITH s AS (
-  SELECT vec_id, embedding FROM embeddings WHERE {gate}
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY {h}, vec_id) AS r
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, embedding FROM ranked WHERE r <= {_COS_SAMPLE_N}
 ),
 n AS (
   SELECT vec_id, embedding,
@@ -2192,28 +2197,35 @@ FROM b GROUP BY bin ORDER BY bin
     tags=("similarity", "audit", "histogram", "sample"),
 )
 def similarity_cosine_hist_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise-cosine distribution over a hash-gated ~20% sample of the
-    embedding corpus (width-0.1 bins) — the threshold-calibration audit
-    run BEFORE committing an LSH/near-dup cutoff: the histogram shows
-    where the random-pair mass sits (near 0 for healthy encoders) and
-    whether a near-dup mode exists above the intended threshold. Exact
-    all-pairs on a sample IS the operator (the
-    dedup_ngram_jaccard_sample precedent); the corpus-sized path is the
-    banded LSH family this audit parameterizes.
+    """Pairwise-cosine distribution over a FIXED 400-vector panel (the
+    corpus's smallest seeded-md5 hashes — a deterministic uniform
+    sample whose SIZE does not grow with the corpus), width-0.1 bins —
+    the threshold-calibration audit run BEFORE committing an
+    LSH/near-dup cutoff: the histogram shows where the random-pair
+    mass sits (near 0 for healthy encoders) and whether a near-dup
+    mode exists above the intended threshold. Exact all-pairs on a
+    bounded sample IS the operator (the dedup_ngram_jaccard_sample /
+    dedup_lsh_recall_eval precedent); the corpus-sized path is the
+    banded LSH family this audit parameterizes. (The first cut used a
+    hash%5 RATE gate — that keeps a fraction, not a size, and the
+    pair count grew 100× at 10× data; the fixed panel is
+    volume-invariant by construction.)
 
-    Exactness: the RNG-free md5 gate picks the identical sample; dot
-    products fold in index order with float32→double widening on both
-    engines; bin ids are integer floors of identical doubles.
+    Exactness: the panel is the smallest-(hash, vec_id) prefix — a
+    total order both engines rank identically; dot products fold in
+    index order with float32→double widening; bin ids are integer
+    floors of identical doubles.
 
-    Scale shape: the sample size is a tuning constant (gate modulus),
-    so the pair join is sample², independent of corpus growth; the
+    Scale shape: panel selection is a TakeOrdered(400) (map-side
+    partial top-k, no global sort in Spark; the oracle's window is
+    the semantic spec); the pair join is 400², constant forever; the
     histogram combine is map-side over a 20-bin domain."""
     from .datapipe.hashing import hash60
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    s = emb.where(
-        F.pmod(hash60(F.col("vec_id").cast("string"), seed=_COS_SEED), F.lit(_COS_SAMPLE_MOD)) == 0
-    )
+    s = emb.orderBy(
+        hash60(F.col("vec_id").cast("string"), seed=_COS_SEED), "vec_id"
+    ).limit(_COS_SAMPLE_N)
     sq = F.aggregate(
         F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
@@ -3585,4 +3597,173 @@ def stats_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return f.select(
         F.col("np").alias("n_sizes"), F.round(slope, 6).alias("hurst_h")
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema-evolution read (mergeSchema over heterogeneous parquet batches)
+# --------------------------------------------------------------------------
+
+
+def _sql_schema_evolution() -> str:
+    davg_v = SQL_DAVG.format(x="value")
+    return f"""
+WITH unioned AS (
+  SELECT event_type, value, NULL AS value_eur
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_type, value, round(value * 0.92, 6) AS value_eur
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(value_eur) AS BIGINT) AS n_with_eur,
+       {davg_v} AS avg_value,
+       {SQL_DAVG.format(x='value_eur')} AS avg_value_eur
+FROM unioned GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "source_schema_evolution",
+    oracle=_sql_schema_evolution(),
+    tags=("source", "schema-evolution", "format"),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the storage layer, end to end: two parquet
+    batches with DIFFERENT schemas — the 'old' batch (even event ids)
+    lacks the value_eur column a later pipeline version added to the
+    'new' batch (odd ids) — land in one dataset directory and are read
+    back with ``mergeSchema=true``, which unions the schemas and
+    null-fills the missing column. This is the ingest reality every
+    long-lived table faces (producers upgrade mid-stream); the
+    aggregate pins that old rows read NULL (count skips them) and new
+    rows carry the derived value exactly. Spark's default
+    (first-footer schema) would silently DROP the new column when an
+    old file is listed first — mergeSchema is the correctness flag,
+    paid once at footer-merge planning time.
+
+    Exactness: the oracle replays the union semantics relationally;
+    counts are exact BIGINTs; means are the catalog's micro-quantized
+    davg (NULL-skipping on both engines).
+
+    Scale shape: write once per batch (day-grain repartition as in
+    source_partition_pruning); the merged read prunes/pushes exactly
+    like any parquet scan; the aggregate is map-side combined."""
+    path = _scratch_r7(sf_dir, "evolve")
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    old = ev.where(F.col("event_id") % 2 == 0).select("event_type", "value")
+    new = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_type",
+        "value",
+        F.round(F.col("value") * 0.92, 6).alias("value_eur"),
+    )
+    old.coalesce(4).write.mode("overwrite").parquet(f"{path}/batch=old")
+    new.coalesce(4).write.mode("overwrite").parquet(f"{path}/batch=new")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/batch=old", f"{path}/batch=new"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("value_eur").cast("bigint").alias("n_with_eur"),
+            davg("value").alias("avg_value"),
+            davg("value_eur").alias("avg_value_eur"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov-chain entropy rate of the event-type process
+# --------------------------------------------------------------------------
+
+
+def _sql_entropy_rate() -> str:
+    return """
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+cnt AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+rowt AS (SELECT src, CAST(sum(n) AS BIGINT) AS row_n FROM cnt GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt),
+h AS (
+  SELECT CAST(sum(CAST(round(-(CAST(c.n AS DOUBLE) / t.t)
+                             * ln(CAST(c.n AS DOUBLE) / r.row_n) * 1e9)
+                       AS BIGINT)) AS BIGINT) AS h9,
+         max(t.t) AS t
+  FROM cnt c JOIN rowt r USING (src) CROSS JOIN tot t
+)
+SELECT t AS n_transitions,
+       round(CAST(h9 AS DOUBLE) / 1e9, 9) AS entropy_rate_nats,
+       round(CAST(h9 AS DOUBLE) / 1e9 / ln(2.0), 9) AS entropy_rate_bits
+FROM h
+"""
+
+
+@register(
+    "events_entropy_rate",
+    oracle=_sql_entropy_rate(),
+    tags=("markov", "entropy", "information"),
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type process under the first-order
+    Markov model: H = −Σ_ij π_i·p_ij·ln p_ij with the stationary weight
+    taken as the EMPIRICAL transition mass (π_i·p_ij = n_ij/N — exact,
+    and the MLE), in nats and bits — 'how many bits does the next
+    action carry given the last one?', the one-number summary of
+    ``events_markov_transitions``' matrix that monitors journey
+    predictability drift (a UX change that makes behavior more
+    deterministic drops it).
+
+    Exactness: counts are exact BIGINTs from the same single window
+    pass as the transition entries; each −(n_ij/N)·ln(n_ij/n_i·) term
+    quantizes to a nano-grid integer before the order-free sum.
+
+    Scale shape: one per-user window pass (shared shape with the
+    Markov family), a states²-row frame, a 1-row total broadcast, one
+    reduce."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    cnt = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).localCheckpoint(eager=True)  # states²; feeds row totals AND terms
+    rowt = cnt.groupBy("src").agg(F.sum("n").cast("bigint").alias("row_n"))
+    tot = cnt.agg(F.sum("n").cast("bigint").alias("t"))
+    term = (
+        -(F.col("n").cast("double") / F.col("t"))
+        * F.ln(F.col("n").cast("double") / F.col("row_n"))
+    )
+    h = (
+        cnt.join(F.broadcast(rowt), "src")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.round(term * 1e9).cast("bigint")).cast("bigint").alias("h9"),
+            F.max("t").alias("t"),
+        )
+    )
+    return h.select(
+        F.col("t").alias("n_transitions"),
+        F.round(F.col("h9").cast("double") / 1e9, 9).alias("entropy_rate_nats"),
+        # divide by the ENGINE's ln(2.0), mirroring the oracle text — a
+        # Python literal could sit 1 ulp off the engine's computation
+        F.round(F.col("h9").cast("double") / 1e9 / F.ln(F.lit(2.0)), 9).alias(
+            "entropy_rate_bits"
+        ),
     )

@@ -276,6 +276,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # distinct-type count (the oracle's scalar subquery) — scalar
         # idiom, replacing an eager driver-side count()
         "stats_friedman_test",
+        # r7: the entropy rate broadcasts the 1-row transition total
+        # onto the states² frame — the scalar idiom
+        "events_entropy_rate",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

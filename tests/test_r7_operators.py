@@ -520,10 +520,13 @@ def test_cosine_hist_matches_python_replay(spark):
     import hashlib
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding").collect()
-    sample = [
-        r for r in emb
-        if int(hashlib.md5(f"37|{r['vec_id']}".encode()).hexdigest()[:15], 16) % 5 == 0
-    ]
+    sample = sorted(
+        emb,
+        key=lambda r: (
+            int(hashlib.md5(f"37|{r['vec_id']}".encode()).hexdigest()[:15], 16),
+            r["vec_id"],
+        ),
+    )[:400]
     bins = defaultdict(int)
     vecs = [([float(x) for x in r["embedding"]], r["vec_id"]) for r in sample]
     norms = {vid: math.sqrt(sum(x * x for x in v)) for v, vid in vecs}
@@ -849,3 +852,61 @@ def test_hurst_matches_python_replay(spark):
     assert row["n_sizes"] == np_
     assert abs(row["hurst_h"] - round(h, 6)) < 1e-4
     assert 0.0 < row["hurst_h"] < 1.0
+
+
+def test_schema_evolution_matches_python_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, n_eur, micro-sum v, micro-sum eur
+    for r in ev:
+        a = agg[r["event_type"]]
+        a[0] += 1
+        a[2] += _q_half_up(r["value"] * 1e6)
+        if r["event_id"] % 2 == 1:
+            a[1] += 1
+            a[3] += _q_half_up(round(r["value"] * 0.92, 6) * 1e6)
+    rows = {r["event_type"]: r for r in REGISTRY["source_schema_evolution"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == set(agg)
+    for t, (n, ne, sv, se) in agg.items():
+        r = rows[t]
+        assert (r["n"], r["n_with_eur"]) == (n, ne)
+        assert abs(r["avg_value"] - sv / n / 1e6) < 1e-6
+        assert abs(r["avg_value_eur"] - se / ne / 1e6) < 1e-6
+    # the old batch really lacks the column at rest: reading it alone
+    # (no mergeSchema) must not expose value_eur
+    import hashlib as _h
+
+    scratch = f"/tmp/mda_r7_evolve_{_h.md5(SF_DIR.encode()).hexdigest()[:8]}"
+    old_alone = spark.read.parquet(f"{scratch}/batch=old")
+    assert "value_eur" not in old_alone.columns
+
+
+def test_entropy_rate_matches_python_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    cnt = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort()
+        ts = [t for _, _, t in seq]
+        for a, b in zip(ts, ts[1:]):
+            cnt[(a, b)] += 1
+    rowt = defaultdict(int)
+    for (a, _), n in cnt.items():
+        rowt[a] += n
+    tot = sum(cnt.values())
+    h9 = sum(
+        _q_half_up(-(n / tot) * math.log(n / rowt[a]) * 1e9)
+        for (a, _), n in cnt.items()
+    )
+    row = REGISTRY["events_entropy_rate"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_transitions"] == tot
+    assert abs(row["entropy_rate_nats"] - round(h9 / 1e9, 9)) < 1e-9
+    assert abs(row["entropy_rate_bits"] - round(h9 / 1e9 / math.log(2.0), 9)) < 1e-8
+    # bounded by log2(#states)
+    k = len(rowt)
+    assert 0.0 <= row["entropy_rate_bits"] <= math.log2(k) + 1e-9
