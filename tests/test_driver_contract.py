@@ -28,7 +28,8 @@ assert e.entry(spark).count() > 0, "entry() empty"
 qs = e.queries()
 # events (nanos timestamps + TZ-sensitive windows), documents, streaming
 for name in ["b1_events_per_slot", "sessionize_events", "text_langid",
-             "streaming_tumbling_counts", "asof_join_last_event"]:
+             "streaming_tumbling_counts", "asof_join_last_event",
+             "stats_grubbs_test"]:  # r7 day-grain date_trunc under hostile TZ
     n = qs[name](spark, "/root/testdata/sf0.001").count()
     assert n > 0, f"{name} returned 0 rows"
 print("DRIVER-CONTRACT-OK")

@@ -458,6 +458,8 @@ R7_ENTRIES = [
     "stats_cooks_distance",
     "sample_pps_systematic",
     "stats_hurst_exponent",
+    "source_schema_evolution",
+    "events_entropy_rate",
 ]
 
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
