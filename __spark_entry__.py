@@ -133,6 +133,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "stats_hurst_exponent",
     "source_schema_evolution",
     "events_entropy_rate",
+    "stats_esd_outliers",
 ]
 
 

@@ -3767,3 +3767,143 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_rate_bits"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Generalized ESD: iterative most-extreme-day removal (k rounds, zero
+# driver state — the whole recursion is one lazy plan)
+# --------------------------------------------------------------------------
+
+_ESD_K = 5
+
+
+def _sql_esd() -> str:
+    base = """
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS d,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS x
+  FROM lineitem GROUP BY 1
+)"""
+    ctes = [base]
+    prev_excl = ""
+    for r in range(1, _ESD_K + 1):
+        excl = (
+            "WHERE d NOT IN (" + " UNION ALL ".join(
+                f"SELECT d FROM p{j}" for j in range(1, r)
+            ) + ")"
+            if r > 1
+            else ""
+        )
+        ctes.append(f"""
+rem{r} AS (SELECT d, x FROM daily {excl}),
+m{r} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+  FROM rem{r}
+),
+mm{r} AS (
+  SELECT n, sx / n AS mean,
+         sqrt((sxx - n * (sx / n) * (sx / n)) / (n - 1)) AS sd
+  FROM m{r}
+),
+p{r} AS (
+  SELECT {r} AS round, d, x,
+         abs(x - mean) / sd AS r_stat
+  FROM rem{r}, mm{r}
+  ORDER BY abs(x - mean) / sd DESC, d LIMIT 1
+)""")
+        prev_excl = excl
+    picks = " UNION ALL ".join(f"SELECT * FROM p{r}" for r in range(1, _ESD_K + 1))
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT CAST(round AS BIGINT) AS esd_round, d, x,
+       round(r_stat, 9) AS r_stat
+FROM ({picks}) ORDER BY esd_round
+"""
+    )
+
+
+@register(
+    "stats_esd_outliers",
+    oracle=_sql_esd(),
+    tags=("stats", "outlier", "esd", "iterative"),
+)
+def stats_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD (Rosner) outlier sequence on the daily revenue
+    series: 5 rounds of 'remove the most-studentized day, recompute the
+    moments' — the multi-outlier extension of ``stats_grubbs_test``
+    (whose single-shot statistic is MASKED when a second outlier
+    inflates the SD; ESD's re-estimation after each removal is the
+    fix, and the S-H-ESD anomaly pipeline's core loop). Each round
+    reports the picked day and its studentized statistic.
+
+    The recursion compiles to ONE LAZY PLAN — no driver loop, no
+    collects: round r's frame anti-joins the union of rounds 1..r−1's
+    single-row picks, its moments broadcast back (scalar idiom), and
+    its pick is a TakeOrdered(1). Five rounds = five tiny stages over
+    the day-grain frame; k is a compile-time constant exactly like the
+    EMA depths.
+
+    Exactness: the day frame is exact BIGINT cents; moments are exact
+    DECIMAL sums; each argmax orders on the RAW studentized deviation
+    (then day) before rounding."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    daily = (
+        li.groupBy(F.date_trunc("day", "l_shipdate").alias("d"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100.0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+        .localCheckpoint(eager=True)  # base of all five rounds
+    )
+    picks: list = []
+    rem = daily
+    for r in range(1, _ESD_K + 1):
+        xd = F.col("x").cast("decimal(38,0)")
+        s = rem.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(xd).cast("double").alias("sx"),
+            F.sum(xd * F.col("x")).cast("double").alias("sxx"),
+        )
+        mm = s.select(
+            "n",
+            (F.col("sx") / F.col("n")).alias("mean"),
+            F.sqrt(
+                (
+                    F.col("sxx")
+                    - F.col("n") * (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+                )
+                / (F.col("n") - 1)
+            ).alias("sd"),
+        )
+        p = (
+            rem.crossJoin(F.broadcast(mm))
+            .orderBy(F.desc(F.abs(F.col("x") - F.col("mean")) / F.col("sd")), "d")
+            .limit(1)
+            .select(
+                F.lit(r).cast("bigint").alias("esd_round"),
+                "d",
+                "x",
+                F.round(F.abs(F.col("x") - F.col("mean")) / F.col("sd"), 9).alias(
+                    "r_stat"
+                ),
+            )
+        )
+        picks.append(p)
+        rem = rem.join(p.select("d"), "d", "left_anti")
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("esd_round")

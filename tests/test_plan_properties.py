@@ -279,6 +279,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # r7: the entropy rate broadcasts the 1-row transition total
         # onto the states² frame — the scalar idiom
         "events_entropy_rate",
+        # r7: each ESD round broadcasts its 1-row moments onto the
+        # remaining day frame — the scalar idiom, five times
+        "stats_esd_outliers",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -910,3 +910,30 @@ def test_entropy_rate_matches_python_replay(spark):
     # bounded by log2(#states)
     k = len(rowt)
     assert 0.0 <= row["entropy_rate_bits"] <= math.log2(k) + 1e-9
+
+
+def test_esd_matches_python_replay(spark):
+    daily = _daily_revenue_cents(spark)
+    remaining = dict(daily)
+    expect = []
+    for rnd in range(1, 6):
+        n = len(remaining)
+        mean = sum(remaining.values()) / n
+        sd = math.sqrt(
+            (sum(x * x for x in remaining.values()) - n * mean * mean) / (n - 1)
+        )
+        day, x = max(
+            remaining.items(), key=lambda kv: (abs(kv[1] - mean) / sd, -kv[0].toordinal())
+        )
+        expect.append((rnd, day, x, abs(x - mean) / sd))
+        del remaining[day]
+    rows = REGISTRY["stats_esd_outliers"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r, (rnd, day, x, rstat) in zip(rows, expect):
+        assert r["esd_round"] == rnd
+        assert r["d"].date() == day
+        assert r["x"] == x
+        assert abs(r["r_stat"] - round(rstat, 9)) < 1e-9
+    # the studentized statistic re-estimates each round, so it need not
+    # be monotone — but all five picks are distinct days
+    assert len({r["d"] for r in rows}) == 5

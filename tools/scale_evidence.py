@@ -460,6 +460,7 @@ R7_ENTRIES = [
     "stats_hurst_exponent",
     "source_schema_evolution",
     "events_entropy_rate",
+    "stats_esd_outliers",
 ]
 
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
