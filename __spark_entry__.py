@@ -134,6 +134,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "source_schema_evolution",
     "events_entropy_rate",
     "stats_esd_outliers",
+    "join_asof_forward",
+    "ts_seasonal_mann_kendall",
 ]
 
 

@@ -3907,3 +3907,207 @@ def stats_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.orderBy("esd_round")
+
+
+# --------------------------------------------------------------------------
+# Forward as-of join (pandas merge_asof direction='forward')
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, arg_min(value, event_id) AS value,
+         -epoch_us(ts) AS nts
+  FROM events GROUP BY user_id, ts
+),
+o AS (
+  SELECT o_orderkey, o_custkey, -epoch_us(o_orderdate) AS nod FROM orders
+)
+SELECT o.o_orderkey AS o_orderkey, o.o_custkey AS user_id,
+       e.value AS value_asof_next
+FROM o ASOF LEFT JOIN e ON o.o_custkey = e.user_id AND e.nts <= o.nod
+ORDER BY o_orderkey
+""",
+    tags=("asof-join", "point-in-time", "forward"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each order, the value of that user's
+    EARLIEST event at or after the order date — the 'next observation
+    after the decision' lookup (label attribution, treatment-response,
+    next-touch) that mirrors ``asof_join_last_event``'s point-in-time
+    feature lookup. Spark runs the union-sentinel merge flipped to a
+    [current, following) frame (operators.asof.asof_join_next — one
+    shuffle, no row explosion); the oracle runs DuckDB's NATIVE ASOF
+    JOIN on NEGATED epoch timestamps (DuckDB's ASOF is backward-only;
+    time negation turns 'earliest at-or-after' into 'latest at-or-
+    before'), so the two implementations stay genuinely independent.
+    Equal-time right rows pre-reduce with arg_min on event_id (the
+    forward mirror of the backward entry's arg_max)."""
+    from .operators.asof import asof_join_next
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    events = _t(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    return (
+        asof_join_next(
+            orders, events, "user_id", "o_orderdate", "ts", "value", right_seq="event_id"
+        )
+        .select("o_orderkey", "user_id", F.col("value_asof_next"))
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal Mann-Kendall trend test (day-of-week seasons) on daily revenue
+# --------------------------------------------------------------------------
+
+
+def _sql_seasonal_mk() -> str:
+    return """
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS day, isodow(l_shipdate) AS g,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.g,
+         CAST(sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_g
+  FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day
+  GROUP BY 1
+),
+ties AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)) AS BIGINT) AS tv
+  FROM (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+),
+per AS (
+  SELECT p.g, t.n_g, p.s_g,
+         (CAST(t.n_g AS DOUBLE) * (t.n_g - 1) * (2 * t.n_g + 5) - t.tv) / 18.0
+           AS var_g
+  FROM pairs p JOIN ties t USING (g)
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n_days,
+         CAST(count(*) AS BIGINT) AS n_seasons,
+         CAST(sum(s_g) AS BIGINT) AS s_stat,
+         sum(var_g) AS var_s
+  FROM per
+)
+SELECT n_days, n_seasons, s_stat, round(var_s, 6) AS var_s,
+       round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                  ELSE 0.0 END, 6) AS z
+FROM tot
+"""
+
+
+@register(
+    "ts_seasonal_mann_kendall",
+    oracle=_sql_seasonal_mk(),
+    tags=("timeseries", "stats", "trend", "seasonal"),
+)
+def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch-Slack) on daily revenue with
+    day-of-week seasons: Kendall's S computed WITHIN each weekday
+    stream (Monday vs other Mondays, never Monday vs Saturday), summed
+    with summed tie-corrected variances and the continuity-corrected z
+    — the trend test that a weekly cycle cannot fool, where the plain
+    ``ts_mann_kendall_trend`` counts every weekend-vs-weekday pair as
+    (anti-)trend evidence. The standard hydrology/KPI long-run monotone
+    trend readout.
+
+    Exactness: daily totals are exact BIGINT cents; every S_g and tie
+    term is integer (HUGEINT/DECIMAL-safe); z is one closed-form
+    double.
+
+    Scale shape: pair enumeration joins WITHIN seasons on the
+    day-grain pre-aggregate — (days/7)² per season, bounded by the
+    horizon, never raw rows; the season frames then reduce to 7 rows
+    and one total."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    daily = li.groupBy(
+        F.date_trunc("day", "l_shipdate").alias("day"),
+        F.dayofweek("l_shipdate").alias("g"),  # grouping key only; any
+        # fixed weekday numbering partitions the days identically
+    ).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("v")
+    ).localCheckpoint(eager=True)  # feeds pairs AND ties
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.day") < F.col("b.day")))
+        .groupBy(F.col("a.g").alias("g"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.v") > F.col("a.v"), 1)
+                .when(F.col("b.v") < F.col("a.v"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_g")
+        )
+    )
+    ch = F.col("c").cast("decimal(38,0)")
+    ties = (
+        daily.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(ch * (F.col("c") - 1) * (2 * F.col("c") + 5))
+            .cast("bigint")
+            .alias("tv"),
+        )
+    )
+    per = pairs.join(ties, "g").select(
+        "g",
+        "n_g",
+        "s_g",
+        (
+            (
+                F.col("n_g").cast("double")
+                * (F.col("n_g") - 1)
+                * (2 * F.col("n_g") + 5)
+                - F.col("tv")
+            )
+            / 18.0
+        ).alias("var_g"),
+    )
+    tot = per.agg(
+        F.sum("n_g").cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_seasons"),
+        F.sum("s_g").cast("bigint").alias("s_stat"),
+        F.sum("var_g").alias("var_s"),
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return tot.select(
+        "n_days",
+        "n_seasons",
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+    )

@@ -60,3 +60,45 @@ def asof_join_last(
         .filter(F.col("_side") == 1)
         .drop("_t", "_side", "_seq", "_v")
     )
+
+
+def asof_join_next(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    value_col: str,
+    right_seq: str | None = None,
+) -> DataFrame:
+    """Forward as-of join (pandas merge_asof direction='forward'): all
+    ``left`` columns plus ``<value_col>_asof_next`` = the ``value_col``
+    of the EARLIEST right row with ``right_time >= left_time`` for the
+    same ``key`` (null if none). The mirror of :func:`asof_join_last`:
+    same union-sentinel merge — one shuffle, no row explosion — with
+    the frame flipped to [current row, unbounded following] and left
+    rows sorted BEFORE equal-time right rows so at-time matches count.
+    Equal-time right ties break on ascending ``right_seq``."""
+    out_col = f"{value_col}_asof_next"
+    seq = F.col(right_seq) if right_seq else F.lit(0)
+    lt = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(0)).withColumn(
+        "_seq", F.lit(None).cast("long")
+    ).withColumn("_v", F.lit(None).cast(right.schema[value_col].dataType))
+    rt = right.select(
+        F.col(key),
+        F.col(right_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        seq.cast("long").alias("_seq"),
+        F.col(value_col).alias("_v"),
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_side", "_seq")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return (
+        u.withColumn(out_col, F.first("_v", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 0)
+        .drop("_t", "_side", "_seq", "_v")
+    )

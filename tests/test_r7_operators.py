@@ -937,3 +937,70 @@ def test_esd_matches_python_replay(spark):
     # the studentized statistic re-estimates each round, so it need not
     # be monotone — but all five picks are distinct days
     assert len({r["d"] for r in rows}) == 5
+
+
+def test_asof_forward_matches_python_replay(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts", "value", "event_id"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+    for v in by_user.values():
+        v.sort()
+    rows = {r["o_orderkey"]: r for r in REGISTRY["join_asof_forward"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {o["o_orderkey"] for o in orders}
+    n_matched = 0
+    for o in orders:
+        seq = by_user.get(o["o_custkey"], [])
+        nxt = next((val for ts, _, val in seq if ts >= o["o_orderdate"]), None)
+        got = rows[o["o_orderkey"]]["value_asof_next"]
+        if nxt is None:
+            assert got is None
+        else:
+            assert abs(got - nxt) < 1e-12
+            n_matched += 1
+    assert n_matched > 0  # the fixture really exercises matches
+
+
+def test_seasonal_mk_matches_python_replay(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_shipdate", "l_extendedprice", "l_discount"
+    ).collect()
+    daily = defaultdict(int)
+    for r in li:
+        daily[r["l_shipdate"].date()] += _q_half_up(
+            r["l_extendedprice"] * (1.0 - r["l_discount"]) * 100.0
+        )
+    seasons = defaultdict(list)
+    for d in sorted(daily):
+        seasons[d.isoweekday()].append(daily[d])
+    s_tot, var_tot, n_tot = 0, 0.0, 0
+    for xs in seasons.values():
+        n = len(xs)
+        n_tot += n
+        s = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        s_tot += s
+        tie = defaultdict(int)
+        for x in xs:
+            tie[x] += 1
+        tv = sum(c * (c - 1) * (2 * c + 5) for c in tie.values())
+        var_tot += (n * (n - 1) * (2 * n + 5) - tv) / 18.0
+    z = (
+        (s_tot - 1) / math.sqrt(var_tot)
+        if s_tot > 0
+        else (s_tot + 1) / math.sqrt(var_tot)
+        if s_tot < 0
+        else 0.0
+    )
+    row = REGISTRY["ts_seasonal_mann_kendall"].fn(spark, SF_DIR).collect()[0]
+    assert (row["n_days"], row["n_seasons"], row["s_stat"]) == (n_tot, len(seasons), s_tot)
+    assert abs(row["var_s"] - round(var_tot, 6)) < 1e-6
+    assert abs(row["z"] - round(z, 6)) < 1e-6

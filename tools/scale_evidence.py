@@ -461,6 +461,8 @@ R7_ENTRIES = [
     "source_schema_evolution",
     "events_entropy_rate",
     "stats_esd_outliers",
+    "join_asof_forward",
+    "ts_seasonal_mann_kendall",
 ]
 
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
