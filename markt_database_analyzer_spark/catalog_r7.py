@@ -42,6 +42,7 @@ WITH scored AS (
                       / CAST(len({toks}) AS DOUBLE) * 1e9)
               AS BIGINT) AS s9
   FROM documents
+  WHERE len({toks}) > 0
 ),
 {sql_cuts_ctes("scored", "s9", 10)},
 cl AS (SELECT coalesce(list(c ORDER BY b), []) AS cs FROM cuts),
@@ -97,7 +98,12 @@ def eval_lift_gains_deciles_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT nano-ratios before the cut derivation so the domain groupBy
     is exact integer equality on both engines."""
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select("lang", tx.tokens("text").alias("toks"))
+    # zero-token guard (ADVICE r8): an empty-token document would make
+    # the stopword ratio 0/0 — NULL in Spark, raise/NaN in DuckDB — so
+    # both programs exclude it identically before scoring.
+    base = docs.select("lang", tx.tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
     stop = F.filter(F.col("toks"), lambda t: t.isin("the", "a", "of", "and", "is"))
     scored = base.select(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
@@ -672,7 +678,9 @@ cls AS (
   SELECT cell.c_nationkey, cell.bal_band,
          CAST(max(k) AS BIGINT) AS k,
          CAST(count(*) AS BIGINT) AS distinct_l,
-         sum(-(c / CAST(k AS DOUBLE)) * ln(c / CAST(k AS DOUBLE))) AS h
+         CAST(sum(CAST(round(-(c / CAST(k AS DOUBLE))
+                             * ln(c / CAST(k AS DOUBLE)) * 1e9)
+                       AS BIGINT)) AS BIGINT) AS h9
   FROM cell JOIN cls_k USING (c_nationkey, bal_band)
   GROUP BY 1, 2
 )
@@ -685,7 +693,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_classes,
          AS rows_below_l,
        round(coalesce(sum(k) FILTER (WHERE distinct_l < {_LDIV_L}), 0)
              / CAST(sum(k) AS DOUBLE), 9) AS at_risk_fraction,
-       round(exp(min(h)), 9) AS min_entropy_l
+       round(exp(CAST(min(h9) AS DOUBLE) / 1e9), 9) AS min_entropy_l
 FROM cls
 """
 
@@ -707,10 +715,12 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     l bounds attribute disclosure.
 
     Exactness: cell and class counts are exact BIGINTs; each class
-    entropy is Σ −(c/k)·ln(c/k) over exact integer ratios — identical
-    closed-form text on both engines (the oracle computes k via a
-    window over the cell frame; Spark carries it through the two-level
-    groupBy). min/exp are order-free.
+    entropy term −(c/k)·ln(c/k) is an identical closed-form expression
+    over exact integer ratios on both engines AND quantizes to the
+    bigint nano-grid BEFORE the per-class sum (the catalog's standard
+    discipline — a raw double Σ is summation-order sensitive), so the
+    class entropies are exact integers; min/exp at the end are
+    order-free.
 
     Scale shape: two map-side-combined groupBys (cells, then classes —
     both bounded by attribute-domain products, never the table), then
@@ -736,13 +746,19 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("k")
     )
     p = F.col("c") / F.col("k").cast("double")
+    # each −p·ln p term quantizes to the bigint nano-grid BEFORE the sum
+    # (ADVICE r8): a raw double sum is summation-order sensitive, and
+    # this was the one r7 float reduction skipping the catalog's
+    # nano-grid discipline.
     cls = (
         cell.join(ktot, ["c_nationkey", "bal_band"])
         .groupBy("c_nationkey", "bal_band")
         .agg(
             F.max("k").alias("k"),
             F.count(F.lit(1)).cast("bigint").alias("distinct_l"),
-            F.sum(-p * F.ln(p)).alias("h"),
+            F.sum(F.round(-p * F.ln(p) * 1e9, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("h9"),
         )
     )
     below = F.col("distinct_l") < _LDIV_L
@@ -757,7 +773,7 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("k").cast("double"),
             9,
         ).alias("at_risk_fraction"),
-        F.round(F.exp(F.min("h")), 9).alias("min_entropy_l"),
+        F.round(F.exp(F.min("h9").cast("double") / 1e9), 9).alias("min_entropy_l"),
     )
 
 
@@ -1664,12 +1680,13 @@ def _sql_neyman() -> str:
     return f"""
 WITH s AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n_h,
+         CASE WHEN count(*) < 2 THEN 0.0 ELSE
          sqrt((CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE)
                - count(*) * (CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE)
                              / count(*))
                           * (CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE)
                              / count(*)))
-              / (count(*) - 1)) AS sigma_h
+              / (count(*) - 1)) END AS sigma_h
   FROM documents GROUP BY 1
 ),
 w AS (SELECT CAST(sum(n_h * sigma_h) AS DOUBLE) AS wt FROM s),
@@ -1725,17 +1742,26 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     nd = F.col("n_chars").cast("decimal(38,0)")
+    # singleton-stratum guard (ADVICE r8): count-1 == 0 would make the
+    # sample variance NULL in Spark but inf/raise in DuckDB; both
+    # engines pin sigma_h = 0 for n_h < 2 (the stratum then draws a
+    # zero Neyman allocation, the natural reading: no measurable
+    # within-stratum variance).
     s = d.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_h"),
-        F.sqrt(
-            (
-                F.sum(nd * F.col("n_chars")).cast("double")
-                - F.count(F.lit(1))
-                * (F.sum(nd).cast("double") / F.count(F.lit(1)))
-                * (F.sum(nd).cast("double") / F.count(F.lit(1)))
+        F.when(F.count(F.lit(1)) < 2, F.lit(0.0))
+        .otherwise(
+            F.sqrt(
+                (
+                    F.sum(nd * F.col("n_chars")).cast("double")
+                    - F.count(F.lit(1))
+                    * (F.sum(nd).cast("double") / F.count(F.lit(1)))
+                    * (F.sum(nd).cast("double") / F.count(F.lit(1)))
+                )
+                / (F.count(F.lit(1)) - 1)
             )
-            / (F.count(F.lit(1)) - 1)
-        ).alias("sigma_h"),
+        )
+        .alias("sigma_h"),
     )
     w = s.agg(F.sum(F.col("n_h") * F.col("sigma_h")).cast("double").alias("wt"))
     alloc = s.crossJoin(F.broadcast(w)).select(

@@ -9,7 +9,9 @@ scalable plan here is the **union-sentinel** form:
 
     tag left rows (probe) and right rows (state) → unionByName
     → one window per key ordered by (time, side, seq)
-    → ``last(value, ignorenulls=True)`` over unbounded-preceding
+    → ``last(struct(value), ignorenulls=True)`` over unbounded-preceding
+      (the struct marks PRESENCE of a right row, so a matched row whose
+      value is NULL still wins — pandas/DuckDB ASOF NULL semantics)
     → keep probe rows
 
 One shuffle (the window partitioning), O(1) state per row, no row
@@ -23,6 +25,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _match_struct_type(right: DataFrame, value_col: str) -> T.StructType:
+    """1-field struct carrying the right-side value. The window pick runs
+    on this struct, NOT on the bare value: ``last/first(_v, ignorenulls)``
+    would skip a matched right row whose value IS NULL and surface an
+    earlier/later row's value instead, diverging from pandas
+    ``merge_asof`` / DuckDB ASOF (which match on time and carry the NULL
+    through). The struct is non-null for every right row regardless of
+    the value inside, so presence and value stay distinct (ADVICE r8)."""
+    return T.StructType([T.StructField("v", right.schema[value_col].dataType)])
 
 
 def asof_join_last(
@@ -41,13 +55,13 @@ def asof_join_last(
     seq = F.col(right_seq) if right_seq else F.lit(0)
     lt = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1)).withColumn(
         "_seq", F.lit(None).cast("long")
-    ).withColumn("_v", F.lit(None).cast(right.schema[value_col].dataType))
+    ).withColumn("_m", F.lit(None).cast(_match_struct_type(right, value_col)))
     rt = right.select(
         F.col(key),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         seq.cast("long").alias("_seq"),
-        F.col(value_col).alias("_v"),
+        F.struct(F.col(value_col).alias("v")).alias("_m"),
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
     w = (
@@ -56,9 +70,9 @@ def asof_join_last(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        u.withColumn(out_col, F.last("_v", ignorenulls=True).over(w))
+        u.withColumn(out_col, F.last("_m", ignorenulls=True).over(w)["v"])
         .filter(F.col("_side") == 1)
-        .drop("_t", "_side", "_seq", "_v")
+        .drop("_t", "_side", "_seq", "_m")
     )
 
 
@@ -83,13 +97,13 @@ def asof_join_next(
     seq = F.col(right_seq) if right_seq else F.lit(0)
     lt = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(0)).withColumn(
         "_seq", F.lit(None).cast("long")
-    ).withColumn("_v", F.lit(None).cast(right.schema[value_col].dataType))
+    ).withColumn("_m", F.lit(None).cast(_match_struct_type(right, value_col)))
     rt = right.select(
         F.col(key),
         F.col(right_time).alias("_t"),
         F.lit(1).alias("_side"),
         seq.cast("long").alias("_seq"),
-        F.col(value_col).alias("_v"),
+        F.struct(F.col(value_col).alias("v")).alias("_m"),
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
     w = (
@@ -98,7 +112,7 @@ def asof_join_next(
         .rowsBetween(0, Window.unboundedFollowing)
     )
     return (
-        u.withColumn(out_col, F.first("_v", ignorenulls=True).over(w))
+        u.withColumn(out_col, F.first("_m", ignorenulls=True).over(w)["v"])
         .filter(F.col("_side") == 0)
-        .drop("_t", "_side", "_seq", "_v")
+        .drop("_t", "_side", "_seq", "_m")
     )

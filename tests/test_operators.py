@@ -162,6 +162,37 @@ def test_asof_join_last_picks_latest_at_or_before(spark):
     assert got == {"o1": 300.0, "o2": 200.0, "o3": None, "o4": None}
 
 
+def test_asof_join_carries_null_values_like_merge_asof(spark):
+    """ADVICE r8: a right row that MATCHES on time but carries a NULL
+    value must surface that NULL (pandas merge_asof / DuckDB ASOF
+    semantics), not be skipped in favor of an earlier/later non-null
+    row. Pinned for both directions."""
+    from markt_database_analyzer_spark.operators import (
+        asof_join_last,
+        asof_join_next,
+    )
+
+    left = spark.createDataFrame(
+        [("k1", 10, "o1"), ("k1", 3, "o2")], "key string, t long, oid string"
+    )
+    right = spark.createDataFrame(
+        [("k1", 2, 100.0, 1), ("k1", 8, None, 2), ("k1", 20, 300.0, 3)],
+        "key string, t long, v double, seq long",
+    )
+    back = {
+        r["oid"]: r["v_asof"]
+        for r in asof_join_last(left, right, "key", "t", "t", "v", right_seq="seq").collect()
+    }
+    # o1@10: latest right <=10 is t=8 whose value IS NULL -> None (NOT 100.0)
+    assert back == {"o1": None, "o2": 100.0}
+    fwd = {
+        r["oid"]: r["v_asof_next"]
+        for r in asof_join_next(left, right, "key", "t", "t", "v", right_seq="seq").collect()
+    }
+    # o2@3: earliest right >=3 is t=8 whose value IS NULL -> None (NOT 300.0)
+    assert fwd == {"o1": 300.0, "o2": None}
+
+
 def test_bucketed_range_join_boundaries(spark):
     from pyspark.sql import functions as F
     from markt_database_analyzer_spark.operators import bucketed_range_join
