@@ -86,21 +86,34 @@ def main() -> None:
         spark.range(0, 32, 1, 32).mapInPandas(_identity, schema="id long")
     )
 
+    # Machine-load context (VERDICT r8 item 6): the r8 idle round
+    # measured ±13% headline / up to ±96% single-query drift on
+    # byte-identical code, so cross-round comparisons need the noise
+    # bound recorded in the artifact itself. getloadavg's 1-min figure
+    # before the timed section (and after) flags a contended box.
+    load_before = round(os.getloadavg()[0], 2)
+
     # n passes per query (default 3), report the min — steady-state
     # numbers, not first-run codegen/GC noise — so round-over-round
-    # regression comparison is meaningful.
+    # regression comparison is meaningful. The per-query MEDIAN is kept
+    # alongside (BENCH_FULL.json): min-vs-median spread is a per-entry
+    # noise bound a regression claim must clear.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     headline_total = 0.0
     for name, spec in REGISTRY.items():
-        best = float("inf")
+        samples = []
         for _ in range(runs):
             t0 = time.time()
             force(spec.fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        medians[name] = round(samples[len(samples) // 2], 3)
         if spec.headline:
             headline_total += timings[name]
+    load_after = round(os.getloadavg()[0], 2)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -121,10 +134,14 @@ def main() -> None:
                 "value": round(headline_total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "medians": medians,
                 "runs": runs,
                 "sf": sf,
                 "n_queries": len(timings),
                 "all_queries_total_sec": round(sum(timings.values()), 3),
+                "all_queries_median_total_sec": round(sum(medians.values()), 3),
+                "load_before": load_before,
+                "load_after": load_after,
             },
             f,
             indent=1,
@@ -144,6 +161,13 @@ def main() -> None:
                 # on the per-query map, not the total alone
                 "n_headline": len(headline),
                 "all_queries_total_sec": round(sum(timings.values()), 3),
+                # noise context (r8: ±13% headline drift on identical
+                # code): median totals + box load bound the comparison
+                "headline_median_total_sec": round(
+                    sum(medians[n] for n in headline), 3
+                ),
+                "load_before": load_before,
+                "load_after": load_after,
                 "full": "BENCH_FULL.json",
             }
         )

@@ -729,51 +729,14 @@ from . import catalog_ext  # noqa: E402,F401  (intentional tail import)
 from . import catalog_more  # noqa: E402,F401
 from . import catalog_curate  # noqa: E402,F401
 from . import catalog_tpch  # noqa: E402,F401
-from . import catalog_r3  # noqa: E402,F401
-from . import catalog_r3b  # noqa: E402,F401
-from . import catalog_r3c  # noqa: E402,F401
-from . import catalog_r3d  # noqa: E402,F401
-from . import catalog_r3e  # noqa: E402,F401
-from . import catalog_r3f  # noqa: E402,F401
-from . import catalog_r3g  # noqa: E402,F401
-from . import catalog_r3h  # noqa: E402,F401
-from . import catalog_r3i  # noqa: E402,F401
-from . import catalog_r3j  # noqa: E402,F401
-from . import catalog_r3k  # noqa: E402,F401
-from . import catalog_r3l  # noqa: E402,F401
-from . import catalog_r3m  # noqa: E402,F401
-from . import catalog_r3n  # noqa: E402,F401
-from . import catalog_r3o  # noqa: E402,F401
-from . import catalog_r3p  # noqa: E402,F401
-from . import catalog_r3q  # noqa: E402,F401
-from . import catalog_r3r  # noqa: E402,F401
-from . import catalog_r3s  # noqa: E402,F401
-from . import catalog_r3t  # noqa: E402,F401
-from . import catalog_r3u  # noqa: E402,F401
-from . import catalog_r3v  # noqa: E402,F401
-from . import catalog_r3w  # noqa: E402,F401
-from . import catalog_r3x  # noqa: E402,F401
-from . import catalog_r3y  # noqa: E402,F401
-from . import catalog_r3z  # noqa: E402,F401
-from . import catalog_r3aa  # noqa: E402,F401
-from . import catalog_r4  # noqa: E402,F401
-from . import catalog_r6  # noqa: E402,F401
-from . import catalog_r6b  # noqa: E402,F401
-from . import catalog_r6c  # noqa: E402,F401
-from . import catalog_r6d  # noqa: E402,F401
-from . import catalog_r6e  # noqa: E402,F401
-from . import catalog_r6f  # noqa: E402,F401
-from . import catalog_r6g  # noqa: E402,F401
-from . import catalog_r6h  # noqa: E402,F401
-from . import catalog_r6i  # noqa: E402,F401
-from . import catalog_r6j  # noqa: E402,F401
-from . import catalog_r6k  # noqa: E402,F401
-from . import catalog_r6l  # noqa: E402,F401
-from . import catalog_r6m  # noqa: E402,F401
-from . import catalog_r6n  # noqa: E402,F401
-from . import catalog_r6o  # noqa: E402,F401
-from . import catalog_r6p  # noqa: E402,F401
-from . import catalog_r6q  # noqa: E402,F401
-from . import catalog_r6r  # noqa: E402,F401
-from . import catalog_r6s  # noqa: E402,F401
-from . import catalog_r7  # noqa: E402,F401
+from . import catalog_datapipe  # noqa: E402,F401
+from . import catalog_engine  # noqa: E402,F401
+from . import catalog_eval  # noqa: E402,F401
+from . import catalog_events  # noqa: E402,F401
+from . import catalog_finance  # noqa: E402,F401
+from . import catalog_graph  # noqa: E402,F401
+from . import catalog_privacy  # noqa: E402,F401
+from . import catalog_sampling  # noqa: E402,F401
+from . import catalog_stats  # noqa: E402,F401
+from . import catalog_text  # noqa: E402,F401
+from . import catalog_timeseries  # noqa: E402,F401

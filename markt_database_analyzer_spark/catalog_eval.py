@@ -1,0 +1,1310 @@
+"""Ranking / model-evaluation operators: calibration, lift, agreement.
+
+Consolidated in round 9 from the round-named catalog shards (the
+original per-round files are in git history; entry source text is
+unchanged). Every entry registers in REGISTRY with a DuckDB oracle
+unless documented otherwise; reference parity citations live in the
+entry docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from .catalog import register, _t
+from .datapipe import text as tx
+from .functions import dsum
+from .catalog import SQL_DAVG, SQL_DSUM, register, _t
+from .functions import davg, dsum
+from .operators.equidepth import (
+    bucket_by_cuts,
+    equi_depth_cut_points,
+    grouped_value_counts_cum,
+    grouped_values_at_ranks,
+    sql_cuts_ctes,
+    value_counts_cum,
+    values_at_ranks,
+)
+from .catalog import SQL_DSUM, register, _t
+from .operators.equidepth import value_counts_cum
+from pyspark.sql import DataFrame, SparkSession
+from .catalog_stats import _CAL_BINS, _LR_STOP, _sql_naive_bayes, classify_naive_bayes_langid
+from .catalog_text import _BM25_B, _BM25_K1, _BM25_TERMS, _SQL_TOKENS, _tokens
+
+
+_ATTR_WINDOW_US = 7 * 86400 * 1_000_000
+def _sql_attribution() -> str:
+    return f"""
+WITH w AS (
+  SELECT event_id, ts, user_id, event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_us,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type
+  FROM events
+)
+SELECT CASE WHEN lt_us IS NULL OR epoch_us(ts) - lt_us > {_ATTR_WINDOW_US}
+            THEN 'direct' ELSE lt_type END AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM w WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY channel
+"""
+@register(
+    "events_attribution_last_touch",
+    oracle=_sql_attribution(),
+    tags=("attribution", "window", "marketing"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase is credited to
+    the user's most recent non-purchase event within a 7-day lookback,
+    else 'direct'. One per-user ordered window (total order
+    (ts, event_id)) with ignoreNulls last_value over the
+    preceding-exclusive frame — the same single shuffle the
+    sessionizer uses; the lookback compare is exact integer
+    microseconds. The output is the channel mix a marketing pipeline
+    reports."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    np_us = F.when(F.col("event_type") != "purchase", F.unix_micros("ts"))
+    np_ty = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    enriched = ev.select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(np_us, ignorenulls=True).over(w).alias("lt_us"),
+        F.last(np_ty, ignorenulls=True).over(w).alias("lt_type"),
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("lt_us").isNull()
+                | (F.unix_micros("ts") - F.col("lt_us") > _ATTR_WINDOW_US),
+                F.lit("direct"),
+            )
+            .otherwise(F.col("lt_type"))
+            .alias("channel")
+        )
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("channel")
+    )
+
+
+_ROC_STOPWORDS = "('the', 'a', 'of', 'and', 'is')"
+def _sql_roc() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+         round(len(list_filter({toks}, t -> t IN {_ROC_STOPWORDS}))
+                 / CAST(len({toks}) AS DOUBLE), 9) AS score
+  FROM documents
+),
+by_score AS (
+  SELECT score,
+         CAST(sum(label) AS BIGINT) AS tp_here,
+         CAST(sum(1 - label) AS BIGINT) AS fp_here
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT score,
+         CAST(sum(tp_here) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+         CAST(sum(fp_here) OVER (ORDER BY score DESC) AS BIGINT) AS fp,
+         CAST(sum(tp_here) OVER () AS BIGINT) AS pos,
+         CAST(sum(fp_here) OVER () AS BIGINT) AS neg
+  FROM by_score
+),
+segs AS (
+  SELECT score, tp, fp, pos, neg,
+         (fp - COALESCE(lag(fp) OVER (ORDER BY score DESC), 0))
+           * (tp + COALESCE(lag(tp) OVER (ORDER BY score DESC), 0)) AS seg2
+  FROM cum
+)
+SELECT score, tp, fp,
+       round(tp / CAST(pos AS DOUBLE), 9) AS tpr,
+       round(fp / CAST(neg AS DOUBLE), 9) AS fpr,
+       round(CAST(sum(seg2) OVER () AS DOUBLE) / (2.0 * pos * neg), 9) AS auc
+FROM segs ORDER BY score DESC
+"""
+@register(
+    "eval_roc_auc",
+    oracle=_sql_roc(),
+    tags=("eval", "stats", "ml"),
+)
+def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC curve and AUC for a classifier score (here: English
+    stopword ratio predicting lang='en') — the evaluation primitive every
+    quality-filter threshold decision needs. All curve math is integer
+    (cumulative TP/FP per distinct score, trapezoid area as
+    sum((dFP)*(TP_i+TP_{i-1})) / 2PN), so the result is exact and
+    engine-identical; the only floats are final ratios. One agg per
+    distinct score then O(#distinct) window state — the 100 TB form
+    buckets scores to a fixed grid first."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = tx.tokens("text")
+    stop = F.filter(ts, lambda t: t.isin("the", "a", "of", "and", "is"))
+    scored = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        F.round(F.size(stop) / F.size(ts).cast("double"), 9).alias("score"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.sum("label").alias("tp_here"),
+        F.sum(1 - F.col("label")).alias("fp_here"),
+    )
+    word = Window.orderBy(F.desc("score"))
+    wall = Window.partitionBy(F.lit(1))
+    cum = by_score.select(
+        "score",
+        F.sum("tp_here").over(word).alias("tp"),
+        F.sum("fp_here").over(word).alias("fp"),
+        F.sum("tp_here").over(wall).alias("pos"),
+        F.sum("fp_here").over(wall).alias("neg"),
+    )
+    seg2 = (F.col("fp") - F.coalesce(F.lag("fp").over(word), F.lit(0))) * (
+        F.col("tp") + F.coalesce(F.lag("tp").over(word), F.lit(0))
+    )
+    return (
+        cum.withColumn("seg2", seg2)
+        .select(
+            "score",
+            "tp",
+            "fp",
+            F.round(F.col("tp") / F.col("pos").cast("double"), 9).alias("tpr"),
+            F.round(F.col("fp") / F.col("neg").cast("double"), 9).alias("fpr"),
+            F.round(
+                F.sum("seg2").over(wall).cast("double")
+                / (2.0 * F.col("pos") * F.col("neg")),
+                9,
+            ).alias("auc"),
+        )
+        .orderBy(F.desc("score"))
+    )
+
+
+_CF_MIN_CO = 3
+_CF_TOPK = 50
+_SQL_CF = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+deg AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS n FROM baskets GROUP BY p
+),
+co AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS co
+  FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= {_CF_MIN_CO}
+)
+SELECT pa, pb, co.co AS co,
+       round(co.co / sqrt(CAST(da.n AS DOUBLE) * db.n), 9) AS cosine
+FROM co JOIN deg da ON da.p = pa JOIN deg db ON db.p = pb
+ORDER BY cosine DESC, pa, pb LIMIT {_CF_TOPK}
+"""
+@register(
+    "cf_item_item_cosine",
+    oracle=_SQL_CF,
+    tags=("recommend", "similarity", "join"),
+)
+def cf_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over order baskets: cosine
+    similarity between parts on their co-purchase counts
+    (co / sqrt(n_a * n_b)), the classic Amazon-style recommender
+    statistic. The basket self-join is an equi-join on the order key —
+    cost is sum over orders of |basket|^2, never corpus^2 — and the
+    degree table joins in as a broadcast dim. IEEE sqrt and one division
+    are correctly-rounded, so the 9 dp cosine is engine-identical.
+    At 100 TB the known refinement is capping pathological basket sizes
+    (a crawler's giant cart) before the self-join, same as the LSH
+    band-cap; ordinary baskets are bounded by business reality."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    deg = baskets.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.select(F.col("o"), F.col("p").alias("pa"))
+    b = baskets.select(F.col("o"), F.col("p").alias("pb"))
+    co = (
+        a.join(b, ["o"])
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= _CF_MIN_CO)
+    )
+    da = deg.select(F.col("p").alias("pa"), F.col("n").alias("na"))
+    db = deg.select(F.col("p").alias("pb"), F.col("n").alias("nb"))
+    return (
+        co.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
+        .select(
+            "pa",
+            "pb",
+            "co",
+            F.round(
+                F.col("co") / F.sqrt(F.col("na").cast("double") * F.col("nb")), 9
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "pa", "pb")
+        .limit(_CF_TOPK)
+    )
+
+
+def _sql_confusion() -> str:
+    return f"""
+WITH preds AS ({_sql_naive_bayes()}),
+classes AS (
+  SELECT actual AS cls FROM preds UNION SELECT predicted FROM preds
+),
+per_class AS (
+  SELECT c.cls,
+         CAST(sum(CASE WHEN p.actual = c.cls AND p.predicted = c.cls THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN p.predicted = c.cls AND p.actual != c.cls THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN p.actual = c.cls AND p.predicted != c.cls THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM classes c CROSS JOIN preds p
+  GROUP BY c.cls
+)
+SELECT cls, tp, fp, fn,
+       round(CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / CAST(tp + fp AS DOUBLE) END, 9) AS precision,
+       round(CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / CAST(tp + fn AS DOUBLE) END, 9) AS recall,
+       round(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                  ELSE 2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE) END, 9) AS f1
+FROM per_class ORDER BY cls
+"""
+@register(
+    "eval_confusion_matrix",
+    oracle=_sql_confusion(),
+    tags=("eval", "classify", "ml"),
+)
+def eval_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 over the Naive Bayes language
+    classifier's held-out predictions — the evaluation table every
+    classifier ships with (F1 in its 2TP/(2TP+FP+FN) form avoids the
+    0/0 of undefined precision x recall). Composes the NB entry's plan
+    directly (one classifier run, one 5-class aggregate); counts are
+    exact integers, metrics integer ratios at 9 dp."""
+    preds = classify_naive_bayes_langid(spark, sf_dir)
+    classes = (
+        preds.select(F.col("actual").alias("cls"))
+        .union(preds.select("predicted"))
+        .distinct()
+    )
+    joined = classes.crossJoin(F.broadcast(preds.select("actual", "predicted")))
+    per_class = joined.groupBy("cls").agg(
+        F.sum(
+            F.when((F.col("actual") == F.col("cls")) & (F.col("predicted") == F.col("cls")), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when((F.col("predicted") == F.col("cls")) & (F.col("actual") != F.col("cls")), 1).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when((F.col("actual") == F.col("cls")) & (F.col("predicted") != F.col("cls")), 1).otherwise(0)
+        ).alias("fn"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") == 0, 0.0).otherwise(
+        F.col("tp") / (F.col("tp") + F.col("fp")).cast("double")
+    )
+    rec = F.when(F.col("tp") + F.col("fn") == 0, 0.0).otherwise(
+        F.col("tp") / (F.col("tp") + F.col("fn")).cast("double")
+    )
+    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, 0.0).otherwise(
+        2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")
+    )
+    return per_class.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 9).alias("precision"),
+        F.round(rec, 9).alias("recall"),
+        F.round(f1, 9).alias("f1"),
+    ).orderBy("cls")
+
+
+def _sql_calibration_cuts() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         round(len(list_filter({toks}, t -> t IN {_LR_STOP}))
+                 / CAST(len({toks}) AS DOUBLE), 9) AS conf
+  FROM documents
+),
+{sql_cuts_ctes("scored", "conf", _CAL_BINS)},
+cl AS (SELECT coalesce(list(c ORDER BY b), []) AS cs FROM cuts),
+binned AS (
+  SELECT y, conf,
+         1 + len(list_filter(cl.cs, x -> conf > x)) AS bin
+  FROM scored, cl
+),
+per_bin AS (
+  SELECT CAST(bin AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         round((CAST(SUM(CAST(round(conf * 1000000.0) AS HUGEINT)) AS DOUBLE)
+                  / count(*)) / 1000000.0, 9) AS mean_conf,
+         round(sum(y) / CAST(count(*) AS DOUBLE), 9) AS frac_pos
+  FROM binned GROUP BY 1
+),
+btot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM per_bin)
+SELECT bin, n, mean_conf, frac_pos,
+       round(abs(mean_conf - frac_pos), 9) AS gap,
+       (CAST(SUM(CAST(round(n * round(abs(mean_conf - frac_pos), 9) * 1000000.0)
+                      AS HUGEINT)) OVER () AS DOUBLE) / 1000000.0) / min(nt) OVER () AS ece
+FROM per_bin CROSS JOIN btot ORDER BY bin
+"""
+@register(
+    "eval_calibration_bins_cuts",
+    oracle=_sql_calibration_cuts(),
+    tags=("eval", "stats", "ml", "equidepth", "scale"),
+)
+def eval_calibration_bins_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE with equal-count bins from exact
+    percentile CUTS over the confidence score, replacing
+    ``eval_calibration_bins``'s un-partitioned ntile (same scoring, same
+    per-bin statistics, same ECE arithmetic — the only contract change
+    is tie handling: ties share a bin instead of being split by doc_id).
+    The bin boundaries come from the distributed prefix sum over the
+    score domain (bounded: conf is a 9dp ratio of small ints) and the
+    assignment is a map-only comparison against 9 broadcast literals —
+    scan-shaped end to end. Heavy tie mass (many docs sharing a round
+    score) makes bins UNEQUAL here by design; mean_conf/frac_pos/ECE
+    remain exactly replayable."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = tx.tokens("text")
+    stop = F.filter(ts, lambda t: t.isin("the", "a", "of", "and", "is"))
+    scored = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.round(F.size(stop) / F.size(ts).cast("double"), 9).alias("conf"),
+    ).localCheckpoint(eager=True)  # feeds the cut derivation AND the binning
+    cuts = equi_depth_cut_points(scored, F.col("conf"), _CAL_BINS)
+    binned = scored.withColumn("bin", bucket_by_cuts(F.col("conf"), cuts))
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            (
+                F.sum(F.round(F.col("conf") * 1000000.0).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            )
+            / 1000000.0,
+            9,
+        ).alias("mean_conf"),
+        F.round(F.sum("y") / F.count(F.lit(1)).cast("double"), 9).alias("frac_pos"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    gap = F.round(F.abs(F.col("mean_conf") - F.col("frac_pos")), 9)
+    return (
+        per_bin.withColumn("gap", gap)
+        .withColumn(
+            "ece",
+            (
+                F.sum(F.round(F.col("n") * F.col("gap") * 1000000.0).cast("long"))
+                .over(wall)
+                .cast("double")
+                / 1000000.0
+            )
+            / F.sum("n").over(wall),
+        )
+        .orderBy("bin")
+    )
+
+
+_NDCG_SQL = """
+WITH ocnt AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1
+),
+cust AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         CAST(floor(coalesce(n_orders, 0) / 5.0) AS BIGINT) AS rel0
+  FROM customer LEFT JOIN ocnt ON c_custkey = o_custkey
+),
+graded AS (SELECT c_nationkey, c_custkey, c_acctbal, least(rel0, 4) AS rel FROM cust),
+pred AS (
+  SELECT c_nationkey, rel,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM graded
+),
+ideal AS (
+  SELECT c_nationkey, rel,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY rel DESC, c_custkey) AS rnk
+  FROM graded
+),
+dcg AS (
+  SELECT c_nationkey,
+         CAST(sum(CAST(round(1000000000.0 * (pow(2.0, rel) - 1) / log2(rnk + 1)) AS BIGINT)) AS BIGINT) AS dcg_q
+  FROM pred WHERE rnk <= 10 GROUP BY 1
+),
+idcg AS (
+  SELECT c_nationkey,
+         CAST(sum(CAST(round(1000000000.0 * (pow(2.0, rel) - 1) / log2(rnk + 1)) AS BIGINT)) AS BIGINT) AS idcg_q
+  FROM ideal WHERE rnk <= 10 GROUP BY 1
+)
+SELECT n_name AS nation, CAST(10 AS BIGINT) AS k,
+       round(dcg_q / 1000000000.0, 9) AS dcg,
+       round(idcg_q / 1000000000.0, 9) AS idcg,
+       CASE WHEN idcg_q = 0 THEN 0.0
+            ELSE round(CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE), 9) END AS ndcg_at_10
+FROM dcg JOIN idcg USING (c_nationkey)
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY nation
+"""
+@register(
+    "eval_ndcg_at_k",
+    oracle=_NDCG_SQL,
+    tags=("eval", "ranking", "ndcg"),
+)
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query — the standard graded-relevance ranking metric
+    (Järvelin & Kekäläinen 2002), evaluated on a deterministic fixture:
+    each nation is a query, the "model score" is account balance, and
+    graded relevance 0..4 is the capped order count. Complements the
+    binary ``eval_roc_auc`` / ``eval_ann_recall_at_k``.
+
+    Per-rank gains ``(2^rel - 1)/log2(rank+1)`` are quantized to the 1e9
+    integer grid BEFORE the per-query sum, so the only libm call
+    (``log2``) follows the round-at-9dp convention and the sums are
+    exact BIGINTs on both engines — no order-dependent float SUM.
+    Plan shape: one count aggregate, a broadcast-joined grade, two
+    row_number windows PARTITIONED BY the query key, and a per-query
+    combine — the natural NDCG shape at 100 TB, where queries are many
+    and each query's candidate list is small (partition count grows
+    with queries, never a global sort)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    ocnt = orders.groupBy(F.col("o_custkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    graded = (
+        cust.join(ocnt, cust["c_custkey"] == ocnt["o_custkey"], "left")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.least(
+                F.floor(F.coalesce(F.col("n_orders"), F.lit(0)) / 5.0).cast("bigint"),
+                F.lit(4),
+            ).alias("rel"),
+        )
+    )
+    w_pred = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    w_ideal = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("rel"), F.col("c_custkey")
+    )
+
+    def gains(w) -> DataFrame:
+        return (
+            graded.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+            .withColumn(
+                "term",
+                F.round(
+                    F.lit(1000000000.0)
+                    * (F.pow(F.lit(2.0), F.col("rel")) - 1)
+                    / F.log2(F.col("rnk") + 1)
+                ).cast("bigint"),
+            )
+            .groupBy("c_nationkey")
+            .agg(F.sum("term").cast("bigint").alias("g"))
+        )
+
+    dcg = gains(w_pred).withColumnRenamed("g", "dcg_q")
+    idcg = gains(w_ideal).withColumnRenamed("g", "idcg_q")
+    return (
+        dcg.join(idcg, "c_nationkey")
+        .join(
+            F.broadcast(nation),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.lit(10).cast("bigint").alias("k"),
+            F.round(F.col("dcg_q") / 1000000000.0, 9).alias("dcg"),
+            F.round(F.col("idcg_q") / 1000000000.0, 9).alias("idcg"),
+            F.when(F.col("idcg_q") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("dcg_q").cast("double") / F.col("idcg_q").cast("double"), 9
+                )
+            )
+            .alias("ndcg_at_10"),
+        )
+        .orderBy("nation")
+    )
+
+
+_PR_STOPWORDS = "('the', 'a', 'of', 'and', 'is')"
+def _sql_pr_auc() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+         round(len(list_filter({toks}, t -> t IN {_PR_STOPWORDS}))
+                 / CAST(len({toks}) AS DOUBLE), 9) AS score
+  FROM documents
+),
+by_score AS (
+  SELECT score,
+         CAST(sum(label) AS BIGINT) AS tp_here,
+         CAST(sum(1 - label) AS BIGINT) AS fp_here
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT score,
+         CAST(sum(tp_here) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+         CAST(sum(fp_here) OVER (ORDER BY score DESC) AS BIGINT) AS fp,
+         CAST(sum(tp_here) OVER () AS BIGINT) AS pos
+  FROM by_score
+),
+segs AS (
+  SELECT score, tp, fp, pos,
+         tp - COALESCE(lag(tp) OVER (ORDER BY score DESC), 0) AS dtp
+  FROM cum
+)
+SELECT score, tp, fp,
+       round(tp / CAST(tp + fp AS DOUBLE), 9) AS precision,
+       round(tp / CAST(pos AS DOUBLE), 9) AS recall,
+       round(CAST(sum(CAST(round(1000000000.0 * ((dtp * tp) / CAST(pos * (tp + fp) AS DOUBLE))) AS BIGINT)) OVER () AS DOUBLE)
+             / 1000000000.0, 9) AS average_precision
+FROM segs ORDER BY score DESC
+"""
+@register(
+    "eval_pr_auc",
+    oracle=_sql_pr_auc(),
+    tags=("eval", "stats", "ml", "pr-curve"),
+)
+def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact precision-recall curve and average precision for the same
+    scored fixture as ``eval_roc_auc`` (English stopword ratio
+    predicting lang='en') — the class-imbalance-robust companion
+    metric: with rare positives, ROC AUC stays optimistic while the PR
+    curve collapses, which is why retrieval/filter evaluations report
+    AP (step-wise interpolation, the standard estimator:
+    AP = Σ_i (R_i − R_{i−1})·P_i over descending thresholds).
+
+    Curve state is integer (cumulative TP/FP per DISTINCT score); each
+    AP term is one division of exact integers — ``(ΔTP·TP) /
+    (P·(TP+FP))`` — quantized to the 1e9 grid before the sum, so both
+    engines add identical BIGINTs. Like the ROC entry, the O(#distinct
+    scores) window is the laptop form; the 100 TB form buckets scores
+    to a fixed grid first (the score here is already 9-dp-rounded, so
+    the domain is bounded by the grid, not the corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = tx.tokens("text")
+    stop = F.filter(ts, lambda t: t.isin("the", "a", "of", "and", "is"))
+    scored = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        F.round(F.size(stop) / F.size(ts).cast("double"), 9).alias("score"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.sum("label").alias("tp_here"),
+        F.sum(1 - F.col("label")).alias("fp_here"),
+    )
+    word = Window.orderBy(F.desc("score"))
+    wall = Window.partitionBy(F.lit(1))
+    cum = by_score.select(
+        "score",
+        F.sum("tp_here").over(word).cast("bigint").alias("tp"),
+        F.sum("fp_here").over(word).cast("bigint").alias("fp"),
+        F.sum("tp_here").over(wall).cast("bigint").alias("pos"),
+    )
+    dtp = F.col("tp") - F.coalesce(F.lag("tp").over(word), F.lit(0))
+    term = F.round(
+        F.lit(1000000000.0)
+        * (
+            (dtp * F.col("tp"))
+            / (F.col("pos") * (F.col("tp") + F.col("fp"))).cast("double")
+        )
+    ).cast("bigint")
+    return (
+        cum.withColumn("term", term)
+        .select(
+            "score",
+            "tp",
+            "fp",
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"), 9).alias(
+                "precision"
+            ),
+            F.round(F.col("tp") / F.col("pos").cast("double"), 9).alias("recall"),
+            F.round(
+                F.sum("term").over(wall).cast("double") / 1000000000.0, 9
+            ).alias("average_precision"),
+        )
+        .orderBy(F.desc("score"))
+    )
+
+
+_MRR_SQL = """
+WITH ocnt AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1
+),
+graded AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         least(CAST(floor(coalesce(n_orders, 0) / 5.0) AS BIGINT), 4) AS rel
+  FROM customer LEFT JOIN ocnt ON c_custkey = o_custkey
+),
+pred AS (
+  SELECT c_nationkey, rel,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM graded
+),
+hit AS (
+  SELECT c_nationkey, CAST(min(rnk) AS BIGINT) AS first_rel
+  FROM pred WHERE rnk <= 10 AND rel >= 3 GROUP BY 1
+),
+q AS (SELECT DISTINCT c_nationkey FROM graded),
+per_q AS (
+  SELECT c_nationkey,
+         CAST(coalesce(first_rel, 0) AS BIGINT) AS first_relevant_rank,
+         CASE WHEN first_rel IS NULL THEN CAST(0 AS BIGINT)
+              ELSE CAST(round(1000000000.0 / first_rel) AS BIGINT) END AS rr_q
+  FROM q LEFT JOIN hit USING (c_nationkey)
+)
+SELECT n_name AS nation, first_relevant_rank,
+       round(rr_q / 1000000000.0, 9) AS reciprocal_rank,
+       round(CAST(sum(rr_q) OVER () AS DOUBLE) / count(*) OVER () / 1000000000.0, 9)
+         AS mrr_at_10
+FROM per_q JOIN nation ON n_nationkey = c_nationkey
+ORDER BY nation
+"""
+@register(
+    "eval_mrr_at_k",
+    oracle=_MRR_SQL,
+    tags=("eval", "ranking", "mrr"),
+)
+def eval_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 — mean reciprocal rank of the FIRST relevant result, the
+    standard known-item/QA retrieval metric, on the identical fixture as
+    ``eval_ndcg_at_k`` (nation = query, account balance = model score)
+    with binary relevance rel >= 3; queries whose top-10 has no relevant
+    item contribute 0 (rank reported as 0, not NULL, on both engines).
+
+    Each query's reciprocal rank is quantized to the 1e9 integer grid
+    before the cross-query mean, so the global MRR is a division of
+    exact integers — never an order-dependent float SUM. Plan shape: one
+    count aggregate, a per-query row_number window (partition count
+    grows with queries), a per-query min, and a query-spine left join so
+    zero-hit queries survive; the only global state is the #queries-row
+    final window — at 100 TB queries are the parallel unit and this
+    stays a per-query pipeline plus one tiny combine."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    ocnt = orders.groupBy(F.col("o_custkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    graded = cust.join(ocnt, cust["c_custkey"] == ocnt["o_custkey"], "left").select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.least(
+            F.floor(F.coalesce(F.col("n_orders"), F.lit(0)) / 5.0).cast("bigint"),
+            F.lit(4),
+        ).alias("rel"),
+    )
+    w_pred = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    hit = (
+        graded.withColumn("rnk", F.row_number().over(w_pred))
+        .filter((F.col("rnk") <= 10) & (F.col("rel") >= 3))
+        .groupBy("c_nationkey")
+        .agg(F.min("rnk").cast("bigint").alias("first_rel"))
+    )
+    q = graded.select("c_nationkey").distinct()
+    per_q = q.join(hit, "c_nationkey", "left").select(
+        "c_nationkey",
+        F.coalesce(F.col("first_rel"), F.lit(0)).cast("bigint").alias(
+            "first_relevant_rank"
+        ),
+        F.when(F.col("first_rel").isNull(), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.round(F.lit(1000000000.0) / F.col("first_rel")).cast("bigint")
+        )
+        .alias("rr_q"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        per_q.join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "first_relevant_rank",
+            F.round(F.col("rr_q") / 1000000000.0, 9).alias("reciprocal_rank"),
+            F.round(
+                F.sum("rr_q").over(wall).cast("double")
+                / F.count(F.lit(1)).over(wall)
+                / 1000000000.0,
+                9,
+            ).alias("mrr_at_10"),
+        )
+        .orderBy("nation")
+    )
+
+
+_KAPPA_STOPWORDS = "('the', 'a', 'of', 'and', 'is')"
+_KAPPA_THRESHOLD = 0.08
+def _sql_kappa() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+         CASE WHEN round(len(list_filter({toks}, t -> t IN {_KAPPA_STOPWORDS}))
+                      / CAST(len({toks}) AS DOUBLE), 9) >= {_KAPPA_THRESHOLD}
+              THEN 1 ELSE 0 END AS pred
+  FROM documents
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE pred = 1 AND truth = 1) AS BIGINT) AS tp,
+         CAST(count(*) FILTER (WHERE pred = 1 AND truth = 0) AS BIGINT) AS fp,
+         CAST(count(*) FILTER (WHERE pred = 0 AND truth = 1) AS BIGINT) AS fn,
+         CAST(count(*) FILTER (WHERE pred = 0 AND truth = 0) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT n, tp, fp, fn, tn,
+       round((tp + tn) / CAST(n AS DOUBLE), 9) AS po,
+       round(((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (CAST(n AS DOUBLE) * n), 9) AS pe,
+       round(((tp + tn) / CAST(n AS DOUBLE)
+              - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (CAST(n AS DOUBLE) * n))
+             / (1 - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (CAST(n AS DOUBLE) * n)), 9)
+         AS kappa
+FROM c
+"""
+@register(
+    "eval_cohens_kappa",
+    oracle=_sql_kappa(),
+    tags=("eval", "stats", "agreement"),
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement (Cohen 1960) between
+    the thresholded stopword-ratio classifier (the SAME 9-dp-rounded
+    score as ``eval_roc_auc``/``eval_pr_auc``, predicted 'en' at ratio
+    >= 0.08) and the lang label: kappa = (p_o - p_e)/(1 - p_e), the
+    metric that exposes accuracy inflation under class imbalance (on
+    this near-chance synthetic fixture kappa sits near 0 while raw
+    agreement looks respectable — exactly the case kappa exists for).
+
+    The whole statistic reduces to ONE map-side-combinable aggregation
+    producing the four exact BIGINT confusion cells; p_o, p_e, and
+    kappa are then identical integer-ratio expressions on both engines
+    (marginal products stay within BIGINT at any realistic corpus
+    size). The threshold compares the ALREADY-9dp-rounded score, so the
+    decision boundary is bit-identical cross-engine. At 100 TB this is
+    one scan, one 4-cell combine."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("lang", tx.tokens("text").alias("toks"))
+    stop = F.filter(F.col("toks"), lambda t: t.isin("the", "a", "of", "and", "is"))
+    scored = base.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("truth"),
+        (
+            F.round(F.size(stop) / F.size("toks").cast("double"), 9)
+            >= _KAPPA_THRESHOLD
+        ).cast("int").alias("pred"),
+    )
+    c = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when((F.col("pred") == 1) & (F.col("truth") == 1), 1))
+        .cast("bigint")
+        .alias("tp"),
+        F.count(F.when((F.col("pred") == 1) & (F.col("truth") == 0), 1))
+        .cast("bigint")
+        .alias("fp"),
+        F.count(F.when((F.col("pred") == 0) & (F.col("truth") == 1), 1))
+        .cast("bigint")
+        .alias("fn"),
+        F.count(F.when((F.col("pred") == 0) & (F.col("truth") == 0), 1))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("tp") + F.col("tn")) / nd
+    pe = (
+        (F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn"))
+        + (F.col("fn") + F.col("tn")) * (F.col("fp") + F.col("tn"))
+    ) / (nd * F.col("n"))
+    return c.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(po, 9).alias("po"),
+        F.round(pe, 9).alias("pe"),
+        F.round((po - pe) / (1 - pe), 9).alias("kappa"),
+    )
+
+
+_LIFT_STOPWORDS = "('the', 'a', 'of', 'and', 'is')"
+def _sql_lift() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+         round(len(list_filter({toks}, t -> t IN {_LIFT_STOPWORDS}))
+                 / CAST(len({toks}) AS DOUBLE), 9) AS score
+  FROM documents
+),
+dec AS (
+  SELECT label,
+         CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile
+  FROM scored
+),
+agg AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS pos
+  FROM dec GROUP BY 1
+)
+SELECT decile, n, pos,
+       round((pos / CAST(n AS DOUBLE))
+             / (CAST(sum(pos) OVER () AS DOUBLE) / sum(n) OVER ()), 9) AS lift,
+       round(CAST(sum(pos) OVER (ORDER BY decile) AS DOUBLE)
+             / sum(pos) OVER (), 9) AS cum_gain,
+       round((CAST(sum(pos) OVER (ORDER BY decile) AS DOUBLE) / sum(n) OVER (ORDER BY decile))
+             / (CAST(sum(pos) OVER () AS DOUBLE) / sum(n) OVER ()), 9) AS cum_lift
+FROM agg ORDER BY decile
+"""
+@register(
+    "eval_lift_gains_deciles",
+    oracle=_sql_lift(),
+    tags=("eval", "ranking", "lift", "gains"),
+)
+def eval_lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift and cumulative-gains table — the campaign-targeting /
+    curation-triage view of the ``eval_roc_auc`` scored fixture: rank by
+    score, cut into 10 equal-count deciles, and report per-decile lift
+    (precision vs base rate) and cumulative gain (share of all positives
+    captured by deciles 1..d). The table the ROC curve summarizes away.
+
+    Decile assignment is ``ntile(10)`` over the total order (score
+    DESC, doc_id) — the identical standard-SQL ntile split on both
+    engines — and every downstream number is a ratio of exact BIGINT
+    counts over the 10-row decile frame, so no float ever sums in a
+    nondeterministic order. Like the ROC/PR entries, the global-order
+    window is the laptop form; the 100 TB form assigns deciles from
+    equi-depth score cuts (``operators/equidepth.py``, the ``_cuts``
+    family) instead of a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", tx.tokens("text").alias("toks"))
+    stop = F.filter(F.col("toks"), lambda t: t.isin("the", "a", "of", "and", "is"))
+    scored = base.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        F.round(F.size(stop) / F.size("toks").cast("double"), 9).alias("score"),
+    )
+    dec = scored.select(
+        "label",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    word = Window.orderBy("decile")
+    wall = Window.partitionBy(F.lit(1))
+    base_rate = F.sum("pos").over(wall).cast("double") / F.sum("n").over(wall)
+    return agg.select(
+        "decile",
+        "n",
+        "pos",
+        F.round((F.col("pos") / F.col("n").cast("double")) / base_rate, 9).alias(
+            "lift"
+        ),
+        F.round(
+            F.sum("pos").over(word).cast("double") / F.sum("pos").over(wall), 9
+        ).alias("cum_gain"),
+        F.round(
+            (F.sum("pos").over(word).cast("double") / F.sum("n").over(word))
+            / base_rate,
+            9,
+        ).alias("cum_lift"),
+    ).orderBy("decile")
+
+
+_BRIER_STOPWORDS = "('the', 'a', 'of', 'and', 'is')"
+def _sql_brier() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+         round(len(list_filter({toks}, t -> t IN {_BRIER_STOPWORDS}))
+                 / CAST(len({toks}) AS DOUBLE), 9) AS score
+  FROM documents
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS pos,
+         CAST(sum(CAST(round(1000000000.0 * (score - label) * (score - label))
+                       AS BIGINT)) AS BIGINT) AS bq
+  FROM scored
+)
+SELECT n, pos,
+       round(CAST(bq AS DOUBLE) / n / 1000000000.0, 9) AS brier,
+       round((pos / CAST(n AS DOUBLE)) * (1 - pos / CAST(n AS DOUBLE)), 9)
+         AS brier_ref,
+       round(1 - (CAST(bq AS DOUBLE) / n / 1000000000.0)
+                 / ((pos / CAST(n AS DOUBLE)) * (1 - pos / CAST(n AS DOUBLE))), 9)
+         AS brier_skill
+FROM agg
+"""
+@register(
+    "eval_brier_score",
+    oracle=_sql_brier(),
+    tags=("eval", "stats", "probability", "calibration"),
+)
+def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (Brier 1950) — mean squared error of the stopword-
+    ratio "probability" against the lang='en' label — with the Brier
+    skill score vs the climatology reference p_bar(1 - p_bar) (always
+    predicting the base rate): the strictly proper scoring rule that
+    penalizes both discrimination AND calibration failures, completing
+    the probability-evaluation family (`eval_roc_auc` ranks,
+    `eval_calibration_bins` calibrates, Brier scores).
+
+    Each per-row squared error is computed from the 9-dp-rounded score
+    (identical double on both engines) and quantized to the 1e9 integer
+    grid BEFORE the corpus sum, so the mean is a ratio of exact
+    BIGINTs; the reference and skill terms are pure functions of the
+    exact (n, positives) pair. ONE map-side-combinable aggregation —
+    at 100 TB this is a single scan with a 3-number combine."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("lang", tx.tokens("text").alias("toks"))
+    stop = F.filter(F.col("toks"), lambda t: t.isin("the", "a", "of", "and", "is"))
+    scored = base.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        F.round(F.size(stop) / F.size("toks").cast("double"), 9).alias("score"),
+    )
+    term = F.round(
+        F.lit(1000000000.0)
+        * (F.col("score") - F.col("label"))
+        * (F.col("score") - F.col("label"))
+    ).cast("bigint")
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+        F.sum(term).cast("bigint").alias("bq"),
+    )
+    p = F.col("pos") / F.col("n").cast("double")
+    brier = F.col("bq").cast("double") / F.col("n") / 1000000000.0
+    ref = p * (1 - p)
+    return agg.select(
+        "n",
+        "pos",
+        F.round(brier, 9).alias("brier"),
+        F.round(ref, 9).alias("brier_ref"),
+        F.round(1 - brier / ref, 9).alias("brier_skill"),
+    )
+
+
+_RBO_P = 0.9
+_RBO_DEPTH = 20
+# p^(d-1) injected as identical decimal literals on BOTH engines — pow()
+# is libm-dependent and a 1-ULP difference could flip a rounding
+# boundary; parsing the same literal cannot.
+_RBO_WEIGHTS = [repr(_RBO_P ** d) for d in range(_RBO_DEPTH)]
+def _sql_rbo() -> str:
+    weights = ", ".join(
+        f"({d + 1}, {w})" for d, w in enumerate(_RBO_WEIGHTS)
+    )
+    return f"""
+WITH toks AS ({_SQL_TOKENS}),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS dl
+  FROM documents d LEFT JOIN
+       (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id) t USING (doc_id)
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE w IN {_BM25_TERMS!r}
+  GROUP BY doc_id, w
+),
+idf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+),
+scored AS (
+  SELECT t.doc_id,
+         {SQL_DSUM.format(x=f'''
+           ln(1.0 + (CAST(s.nd - i.df AS DOUBLE) + 0.5) / (CAST(i.df AS DOUBLE) + 0.5))
+           * ((CAST(t.tf AS DOUBLE) * {_BM25_K1 + 1.0}) /
+              (CAST(t.tf AS DOUBLE)
+               + {_BM25_K1} * (1.0 - {_BM25_B}
+                               + {_BM25_B} * (CAST(d.dl AS DOUBLE) / s.avgdl))))''')} AS score,
+         CAST(sum(t.tf) AS BIGINT) AS tf_total
+  FROM tf t
+  JOIN idf i USING (w)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+),
+ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM (SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id LIMIT {_RBO_DEPTH})
+),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY tf_total DESC, doc_id) AS r
+  FROM (SELECT doc_id, tf_total FROM scored
+        ORDER BY tf_total DESC, doc_id LIMIT {_RBO_DEPTH})
+),
+m AS (
+  SELECT greatest(ra.r, rb.r) AS m
+  FROM ra JOIN rb USING (doc_id)
+),
+spine(d, w) AS (VALUES {weights}),
+agreement AS (
+  SELECT s.d, s.w,
+         CAST((SELECT count(*) FROM m WHERE m.m <= s.d) AS BIGINT) AS ov
+  FROM spine s
+)
+SELECT CAST({_RBO_DEPTH} AS BIGINT) AS depth,
+       round({_RBO_P}, 6) AS p,
+       max(CASE WHEN d = {_RBO_DEPTH} THEN ov END) AS overlap_at_depth,
+       round((1.0 - {_RBO_P})
+             * CAST(sum(CAST(round(w * (CAST(ov AS DOUBLE) / d) * 1e9)
+                             AS HUGEINT)) AS DOUBLE) / 1e9, 9) AS rbo
+FROM agreement
+"""
+@register(
+    "eval_rank_biased_overlap",
+    oracle=_sql_rbo(),
+    tags=("eval", "search", "ranking", "rbo"),
+)
+def eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010), truncated at depth 20
+    with persistence p = 0.9, between the BM25 ranking and a TF-only
+    ranking of the SAME query — the top-weighted list-similarity
+    measure a ranker A/B comparison reports (Kendall's tau treats
+    position 1 like position 20; RBO does not). RBO@D = (1-p) ·
+    Σ_{{d=1..D}} p^(d-1) · |A_d ∩ B_d| / d, where A_d/B_d are the two
+    depth-d prefixes. Here it isolates exactly what idf + length
+    normalization change about pure term-frequency ranking.
+
+    Exactness: both rankings derive from ONE shared scored frame (the
+    ``search_bm25_topk`` posting-list machinery, so the corpus is
+    scanned once for both rankers); prefix ranks are row_numbers over
+    total orders; the geometric weights p^(d-1) are injected as
+    IDENTICAL decimal literals on both engines (pow() is
+    libm-dependent); each depth's addend is nano-quantized before the
+    cross-depth sum.
+
+    Scale shape: posting-list projection before any shuffle, two
+    TakeOrdered top-20 cuts, then all RBO algebra on ≤20-row frames
+    (the depth spine is a 20-row literal table)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    dl = (
+        docs.select("doc_id")
+        .join(
+            toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("dl")
+        )
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    term_score = F.log(
+        1.0
+        + ((F.col("nd") - F.col("df")).cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    ) * (
+        (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            dsum(term_score).alias("score"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+        )
+        .localCheckpoint(eager=True)  # feeds both rankings
+    )
+    wa = Window.orderBy(F.desc("score"), "doc_id")
+    wb = Window.orderBy(F.desc("tf_total"), "doc_id")
+    ra = (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(_RBO_DEPTH)
+        .select("doc_id", F.row_number().over(wa).alias("r"))
+    )
+    rb = (
+        scored.orderBy(F.desc("tf_total"), "doc_id")
+        .limit(_RBO_DEPTH)
+        .select("doc_id", F.row_number().over(wb).alias("r"))
+    )
+    m = ra.alias("a").join(rb.alias("b"), "doc_id").select(
+        F.greatest(F.col("a.r"), F.col("b.r")).alias("m")
+    )
+    spine = spark.createDataFrame(
+        [(d + 1, float(w)) for d, w in enumerate(_RBO_WEIGHTS)], "d INT, w DOUBLE"
+    )
+    agreement = (
+        F.broadcast(spine)
+        .join(m, F.col("m") <= F.col("d"), "left")
+        .groupBy("d", "w")
+        .agg(F.count("m").cast("bigint").alias("ov"))
+    )
+    addend = F.round(
+        F.col("w") * (F.col("ov").cast("double") / F.col("d")) * 1e9
+    ).cast("decimal(38,0)")
+    return agreement.agg(
+        F.lit(_RBO_DEPTH).cast("bigint").alias("depth"),
+        F.round(F.lit(_RBO_P), 6).alias("p"),
+        F.max(F.when(F.col("d") == _RBO_DEPTH, F.col("ov"))).alias(
+            "overlap_at_depth"
+        ),
+        F.round(
+            (1.0 - F.lit(_RBO_P)) * F.sum(addend).cast("double") / 1e9, 9
+        ).alias("rbo"),
+    )
+
+
+_F1_STOPWORDS = "('the', 'a', 'of', 'and', 'is')"  # the ROC/kappa fixture
+def _sql_f1_sweep() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         round(len(list_filter({toks}, t -> t IN {_F1_STOPWORDS}))
+                 / CAST(len({toks}) AS DOUBLE), 9) AS v
+  FROM documents
+),
+dom AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum(count(*)) OVER (ORDER BY v) AS BIGINT) AS cumn,
+         CAST(sum(sum(y)) OVER (ORDER BY v) AS BIGINT) AS cumpos
+  FROM scored GROUP BY v
+),
+tot AS (
+  SELECT CAST(max(cumn) AS BIGINT) AS n, CAST(max(cumpos) AS BIGINT) AS post
+  FROM dom
+),
+cand AS (
+  SELECT v AS threshold,
+         n - cumn + cnt AS pred_pos,
+         post - cumpos + pos AS tp,
+         post,
+         2.0 * (post - cumpos + pos)
+           / CAST((n - cumn + cnt) + post AS DOUBLE) AS f1
+  FROM dom, tot
+)
+SELECT threshold, pred_pos, tp,
+       round(CAST(tp AS DOUBLE) / pred_pos, 9) AS precision_at,
+       round(CAST(tp AS DOUBLE) / post, 9) AS recall_at,
+       round(f1, 9) AS f1
+FROM cand ORDER BY f1 DESC, threshold LIMIT 1
+"""
+@register(
+    "eval_f1_threshold_sweep",
+    oracle=_sql_f1_sweep(),
+    tags=("eval", "ml", "threshold", "scale-path"),
+)
+def eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-F1 operating point for the stopword-ratio classifier (the
+    SAME 9-dp score as ``eval_roc_auc`` / ``eval_cohens_kappa``):
+    every distinct score value is a candidate threshold (predict
+    positive at score >= t); the sweep reports the threshold maximizing
+    F1, with precision/recall at that point. ROC ranks, calibration
+    checks probabilities, kappa fixes one threshold — this entry
+    SELECTS the threshold, the last step before a filter ships
+    (`text_quality`-style gates are tuned exactly this way).
+
+    Exactness: candidate statistics are inclusive prefix sums of
+    (count, positives) over the ascending distinct-score domain — exact
+    integers (predicted-positive = n - cum + cnt, TP = pos_total -
+    cumpos + pos) — and F1 uses the division-safe 2TP/(PP + P) identity
+    (denominator >= 1 always), so every candidate row is exact until
+    one final double ratio; the argmax is a TakeOrdered over the
+    (f1 desc, threshold) total order.
+
+    Scale shape: the ``ml_decision_stump_gini`` recipe — the
+    distributed distinct-domain prefix sum (``value_counts_cum`` twice:
+    unit and label weights; range-repartitioned, partitioned windows,
+    broadcast offsets), candidate algebra on the domain-sized frame,
+    TakeOrdered argmax. The oracle's global window is the semantic spec
+    only."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = tx.tokens("text")
+    stop = F.filter(ts, lambda t: t.isin("the", "a", "of", "and", "is"))
+    scored = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.round(F.size(stop) / F.size(ts).cast("double"), 9).alias("v"),
+    ).localCheckpoint(eager=True)  # feeds both prefix sums
+    cnt_cum, _ = value_counts_cum(scored, F.col("v"))
+    pos_cum, _ = value_counts_cum(scored, F.col("v"), weight=F.col("y"))
+    dom = cnt_cum.join(
+        pos_cum.select(
+            F.col("v").alias("v2"),
+            F.col("cnt").alias("pos"),
+            F.col("cum").alias("cumpos"),
+        ),
+        F.col("v") == F.col("v2"),
+    ).select("v", "cnt", "cum", "pos", "cumpos")
+    tot = dom.agg(
+        F.max("cum").cast("bigint").alias("n"),
+        F.max("cumpos").cast("bigint").alias("post"),
+    )
+    pp = F.col("n") - F.col("cum") + F.col("cnt")
+    tp = F.col("post") - F.col("cumpos") + F.col("pos")
+    cand = dom.crossJoin(F.broadcast(tot)).select(
+        F.col("v").alias("threshold"),
+        pp.alias("pred_pos"),
+        tp.alias("tp"),
+        "post",
+        (2.0 * tp / (pp + F.col("post")).cast("double")).alias("f1"),
+    )
+    return (
+        cand.select(
+            "threshold",
+            "pred_pos",
+            "tp",
+            F.round(F.col("tp").cast("double") / F.col("pred_pos"), 9).alias(
+                "precision_at"
+            ),
+            F.round(F.col("tp").cast("double") / F.col("post"), 9).alias(
+                "recall_at"
+            ),
+            F.round(F.col("f1"), 9).alias("f1"),
+        )
+        .orderBy(F.desc("f1"), "threshold")
+        .limit(1)
+    )

@@ -12,7 +12,7 @@ from collections import Counter, defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
 from markt_database_analyzer_spark.catalog import REGISTRY
-from markt_database_analyzer_spark.catalog_r6i import _PB_B, _PB_SEED, _PB_THRESH
+from markt_database_analyzer_spark.catalog_stats import _PB_B, _PB_SEED, _PB_THRESH
 from markt_database_analyzer_spark.datapipe.sampling import RESOLUTION
 
 SF_DIR = "/root/testdata/sf0.001"

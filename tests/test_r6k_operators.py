@@ -11,11 +11,7 @@ from collections import Counter
 from decimal import ROUND_HALF_UP, Decimal
 
 from markt_database_analyzer_spark.catalog import REGISTRY
-from markt_database_analyzer_spark.catalog_r6k import (
-    _EFFECT_SEED,
-    _MCN_THRESHOLD,
-    _RIDGE_LAMBDA_FRAC,
-)
+from markt_database_analyzer_spark.catalog_stats import _EFFECT_SEED, _MCN_THRESHOLD, _RIDGE_LAMBDA_FRAC
 
 SF_DIR = "/root/testdata/sf0.001"
 

@@ -9,12 +9,8 @@ from collections import Counter
 from decimal import ROUND_HALF_UP, Decimal
 
 from markt_database_analyzer_spark.catalog import REGISTRY
-from markt_database_analyzer_spark.catalog_r6l import (
-    _OOV_K,
-    _RBO_DEPTH,
-    _RBO_P,
-    _RBO_WEIGHTS,
-)
+from markt_database_analyzer_spark.catalog_eval import _RBO_DEPTH, _RBO_P, _RBO_WEIGHTS
+from markt_database_analyzer_spark.catalog_text import _OOV_K
 
 SF_DIR = "/root/testdata/sf0.001"
 

@@ -9,11 +9,8 @@ from collections import defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
 from markt_database_analyzer_spark.catalog import REGISTRY
-from markt_database_analyzer_spark.catalog_r6m import (
-    _LTOB_BUCKET_DAYS,
-    _ZM_PREDICATES,
-    _ZM_ZONES,
-)
+from markt_database_analyzer_spark.catalog_sampling import _ZM_PREDICATES, _ZM_ZONES
+from markt_database_analyzer_spark.catalog_timeseries import _LTOB_BUCKET_DAYS
 
 SF_DIR = "/root/testdata/sf0.001"
 

@@ -10,12 +10,8 @@ from collections import Counter, defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
 from markt_database_analyzer_spark.catalog import REGISTRY
-from markt_database_analyzer_spark.catalog_r3p import (
-    _LP_ANCHOR_CAP,
-    _LP_MIN_COMMON,
-    _LP_MIN_W,
-)
-from markt_database_analyzer_spark.catalog_r6n import _SRM_SEED
+from markt_database_analyzer_spark.catalog_graph import _LP_ANCHOR_CAP, _LP_MIN_COMMON, _LP_MIN_W
+from markt_database_analyzer_spark.catalog_stats import _SRM_SEED
 
 SF_DIR = "/root/testdata/sf0.001"
 

@@ -10,14 +10,8 @@ from collections import defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
 from markt_database_analyzer_spark.catalog import REGISTRY
-from markt_database_analyzer_spark.catalog_r6o import (
-    _MDE_REL_TARGET,
-    _NOV_EVAL_FRACTION,
-    _NOV_SEED,
-    _POWER_SEED,
-    _Z_ALPHA,
-    _Z_BETA,
-)
+from markt_database_analyzer_spark.catalog_stats import _MDE_REL_TARGET, _POWER_SEED, _Z_ALPHA, _Z_BETA
+from markt_database_analyzer_spark.catalog_text import _NOV_EVAL_FRACTION, _NOV_SEED
 from markt_database_analyzer_spark.datapipe.sampling import RESOLUTION
 
 SF_DIR = "/root/testdata/sf0.001"

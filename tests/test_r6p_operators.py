@@ -10,12 +10,8 @@ from collections import Counter, defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
 from markt_database_analyzer_spark.catalog import REGISTRY
-from markt_database_analyzer_spark.catalog_r6p import (
-    _KANON_BAND,
-    _KANON_K,
-    _SNIP_DOCS,
-    _SNIP_WINDOW,
-)
+from markt_database_analyzer_spark.catalog_privacy import _KANON_BAND, _KANON_K
+from markt_database_analyzer_spark.catalog_text import _SNIP_DOCS, _SNIP_WINDOW
 
 SF_DIR = "/root/testdata/sf0.001"
 

@@ -9,11 +9,8 @@ from collections import defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
 from markt_database_analyzer_spark.catalog import REGISTRY
-from markt_database_analyzer_spark.catalog_r6q import (
-    _LSHR_SAMPLE,
-    _LSHR_THRESHOLD,
-    _VAR_ALPHA,
-)
+from markt_database_analyzer_spark.catalog_datapipe import _LSHR_SAMPLE, _LSHR_THRESHOLD
+from markt_database_analyzer_spark.catalog_finance import _VAR_ALPHA
 
 SF_DIR = "/root/testdata/sf0.001"
 

@@ -8,7 +8,8 @@ import math
 from collections import defaultdict
 
 from markt_database_analyzer_spark.catalog import REGISTRY
-from markt_database_analyzer_spark.catalog_r6r import _ASOF_TOL_US, _UNIF_SEED
+from markt_database_analyzer_spark.catalog_engine import _ASOF_TOL_US
+from markt_database_analyzer_spark.catalog_privacy import _UNIF_SEED
 from markt_database_analyzer_spark.datapipe.sampling import RESOLUTION
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -9,7 +9,7 @@ from collections import Counter, defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
 from markt_database_analyzer_spark.catalog import REGISTRY
-from markt_database_analyzer_spark.catalog_r6s import _BB_SEED
+from markt_database_analyzer_spark.catalog_stats import _BB_SEED
 
 SF_DIR = "/root/testdata/sf0.001"
 

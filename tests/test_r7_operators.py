@@ -260,7 +260,7 @@ def test_hampel_matches_python_replay(spark):
 
 
 def test_macd_matches_python_replay(spark):
-    from markt_database_analyzer_spark.catalog_r7 import _MACD_LX, _macd_weights
+    from markt_database_analyzer_spark.catalog_finance import _MACD_LX, _macd_weights
 
     w_macd, w_sig = _macd_weights()
     daily = _daily_revenue_cents(spark)
