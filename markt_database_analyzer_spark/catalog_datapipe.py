@@ -1841,3 +1841,120 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("dedup_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# kNN classification over the embedding corpus (round 9)
+# --------------------------------------------------------------------------
+
+_KNN_K = 5  # neighbors voting
+_KNN_ANCHORS = 3  # labeled anchors per class
+_KNN_COS = "round(list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[]), 9)"
+
+
+def _sql_knn() -> str:
+    return f"""
+WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+anch AS (
+  SELECT vec_id AS a_id, label AS a_label, vec AS avec FROM (
+    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM c
+  ) WHERE rn <= {_KNN_ANCHORS}
+),
+scored AS (
+  SELECT c.vec_id, c.label AS true_label, a.a_label, a.a_id,
+         {_KNN_COS.format(a='c.vec', b='a.avec')} AS cos
+  FROM c JOIN anch a ON a.a_id != c.vec_id
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, a_id) AS rk
+    FROM scored
+  ) WHERE rk <= {_KNN_K}
+),
+votes AS (
+  SELECT vec_id, true_label, a_label, CAST(count(*) AS BIGINT) AS v
+  FROM top GROUP BY 1, 2, 3
+)
+SELECT vec_id, true_label, predicted,
+       predicted = true_label AS correct
+FROM (
+  SELECT vec_id, true_label, a_label AS predicted,
+         row_number() OVER (PARTITION BY vec_id ORDER BY v DESC, a_label) AS pr
+  FROM votes
+) WHERE pr = 1 ORDER BY vec_id
+"""
+
+
+@register(
+    "ml_knn_classify_embeddings",
+    oracle=_sql_knn(),
+    tags=("ml", "knn", "embeddings", "classify"),
+)
+def ml_knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor classification of every embedding against a
+    small LABELED ANCHOR panel (3 deterministic anchors per class,
+    smallest vec_id): cosine top-5 vote, ties by (votes desc, label
+    asc). The label-propagation primitive a semi-supervised curation
+    pass runs when only a seed set is hand-labeled — and the
+    classification twin of ``similarity_bruteforce_topk`` (same
+    broadcast-panel scoring shape, different reduction).
+
+    Exactness: anchor membership is a deterministic per-class
+    row_number prefix; cosines follow the similarity family's shared
+    convention (double fold, round 9 — ``_SQL_COS``); the vote and both
+    tie-breaks are integer/lexicographic comparisons.
+
+    Scale shape: the anchor panel is classes x 3 rows BROADCAST to a
+    map-only scoring pass (corpus never shuffles); top-5 and the vote
+    run under vec_id-partitioned windows — per-key state only, no
+    global sort. Corpus-side cosine cost is O(rows x anchors), the
+    same envelope as the MaxSim panel entry."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    wa = Window.partitionBy("label").orderBy("vec_id")
+    anch = (
+        c.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= _KNN_ANCHORS)
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("label").alias("a_label"),
+            F.col("vec").alias("avec"),
+        )
+        .withColumn("anrm", sim._norm(F.col("avec")))
+    )
+    scored = (
+        c.withColumn("cnrm", sim._norm(F.col("vec")))
+        .join(F.broadcast(anch), F.col("a_id") != F.col("vec_id"))
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            "a_label",
+            "a_id",
+            sim.cosine_with_norms(
+                F.col("vec"), F.col("avec"), F.col("cnrm"), F.col("anrm")
+            ).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "a_id")
+    top = scored.withColumn("rk", F.row_number().over(wk)).filter(
+        F.col("rk") <= _KNN_K
+    )
+    votes = top.groupBy("vec_id", "true_label", "a_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("v"), "a_label")
+    return (
+        votes.withColumn("pr", F.row_number().over(wv))
+        .filter(F.col("pr") == 1)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("a_label").alias("predicted"),
+            (F.col("a_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1308,3 +1308,195 @@ def eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("f1"), "threshold")
         .limit(1)
     )
+
+
+# --------------------------------------------------------------------------
+# Expected / maximum calibration error (round 9)
+# --------------------------------------------------------------------------
+
+
+def _sql_ece() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+         CAST(round(len(list_filter({toks}, t -> t IN ('the','a','of','and','is')))
+                      / CAST(len({toks}) AS DOUBLE) * 1e9)
+              AS BIGINT) AS s9
+  FROM documents
+  WHERE len({toks}) > 0
+),
+b AS (
+  SELECT least(9, s9 // 100000000) AS bin,
+         CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(label) AS BIGINT) AS pos_b,
+         CAST(sum(CAST(s9 AS HUGEINT)) AS HUGEINT) AS conf9_b
+  FROM scored GROUP BY 1
+)
+SELECT CAST(sum(n_b) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_bins_nonempty,
+       round(CAST(sum(abs(CAST(pos_b AS HUGEINT) * 1000000000 - conf9_b)) AS DOUBLE)
+             / (CAST(sum(n_b) AS DOUBLE) * 1e9), 9) AS ece,
+       round(max(CAST(abs(CAST(pos_b AS HUGEINT) * 1000000000 - conf9_b) AS DOUBLE)
+                 / n_b) / 1e9, 9) AS mce
+FROM b
+"""
+
+
+@register(
+    "eval_expected_calibration_error",
+    oracle=_sql_ece(),
+    tags=("eval", "calibration", "ece"),
+)
+def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECE / MCE of the stopword-ratio English predictor over 10
+    fixed-width score bins — the single-number summary a model gate
+    thresholds on, complementing ``eval_calibration_bins`` (which
+    publishes the full reliability table). ECE = Σ_b (n_b/N)·|acc_b −
+    conf_b|, MCE = max_b |acc_b − conf_b|.
+
+    Exactness: scores live on the integer nano-grid (s9 ∈ [0, 1e9]), so
+    per-bin |acc−conf| has the EXACT integer numerator |pos_b·1e9 −
+    Σs9_b| (Decimal128/HUGEINT — no float subtraction anywhere), and
+    ECE folds the n_b weights away algebraically: Σ_b numerator_b /
+    (N·1e9). MCE divides each exact numerator by n_b as the identical
+    double expression on both engines. Zero-token docs excluded by the
+    shared guard.
+
+    Scale shape: one map-side-combined 10-bin groupBy (bin id is a
+    codegen integer division — no cuts, no window), then a 1-row
+    combine. Nothing here grows with corpus size except the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("lang", tx.tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    stop = F.filter(F.col("toks"), lambda t: t.isin("the", "a", "of", "and", "is"))
+    scored = base.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        F.round(F.size(stop) / F.size("toks").cast("double") * 1e9, 0)
+        .cast("bigint")
+        .alias("s9"),
+    )
+    b = scored.groupBy(
+        F.least(F.lit(9), F.floor(F.col("s9") / F.lit(100000000))).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("label").cast("bigint").alias("pos_b"),
+        F.sum(F.col("s9").cast("decimal(38,0)")).alias("conf9_b"),
+    )
+    num = F.abs(
+        F.col("pos_b").cast("decimal(38,0)") * F.lit(1000000000) - F.col("conf9_b")
+    )
+    return b.agg(
+        F.sum("n_b").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_nonempty"),
+        F.round(
+            F.sum(num).cast("double") / (F.sum("n_b").cast("double") * 1e9), 9
+        ).alias("ece"),
+        F.round(F.max(num.cast("double") / F.col("n_b")) / 1e9, 9).alias("mce"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kendall's W — concordance across independent rankers (round 9)
+# --------------------------------------------------------------------------
+
+_KW_SEED = 41
+_KW_PANEL = 1000  # fixed judged-panel size (agreement is a panel statistic)
+
+
+def _sql_kendalls_w() -> str:
+    from .datapipe.hashing import sql_hash60
+
+    h = sql_hash60("p_name", seed=_KW_SEED)
+    return f"""
+WITH panel AS (
+  SELECT p_partkey, p_retailprice, p_size, p_name
+  FROM part ORDER BY {h}, p_partkey LIMIT {_KW_PANEL}
+),
+ranks AS (
+  SELECT p_partkey,
+         row_number() OVER (ORDER BY CAST(round(p_retailprice * 100.0) AS BIGINT) DESC,
+                            p_partkey) AS r1,
+         row_number() OVER (ORDER BY p_size DESC, p_partkey) AS r2,
+         row_number() OVER (ORDER BY length(p_name) DESC, p_partkey) AS r3
+  FROM panel
+),
+d AS (
+  SELECT CAST(2 * (r1 + r2 + r3) - 3 * (count(*) OVER () + 1) AS HUGEINT) AS dv
+  FROM ranks
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dv * dv) AS HUGEINT) AS s4
+  FROM d
+)
+SELECT n, 3 AS m_rankers,
+       round(CAST(s4 AS DOUBLE)
+             / (3.0 * CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)), 9)
+         AS kendalls_w
+FROM s
+"""
+
+
+@register(
+    "eval_kendalls_w",
+    oracle=_sql_kendalls_w(),
+    tags=("eval", "agreement", "ranking"),
+)
+def eval_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W across three independent
+    part rankers (retail price, declared size, name length) over a
+    FIXED 1000-item judged panel: W = 12·Σ(R_i − m(n+1)/2)² /
+    (m²(n³−n)) ∈ [0, 1] — do the judges agree at all? The multi-ranker
+    generalization of the pairwise ``eval_rank_biased_overlap``. Ties
+    break to a total order by p_partkey in every ranker, so ranks are
+    permutations and the tie-correction term vanishes identically on
+    both engines.
+
+    Exactness: panel membership is the seeded smallest-hash selection
+    (RNG-free, subset-stable); ranks are row_number integers; the
+    deviation sum runs on the doubled grid (2R_i − m(n+1) is always
+    integral) as a Decimal128/HUGEINT sum of squared integers — no
+    float before the single final division, whose operands are the
+    same exact integers cast to double on both engines.
+
+    Scale shape: the panel is a TakeOrdered top-1000 by hash (scalable
+    global top-k, never a global sort), and every rank window runs on
+    the CONSTANT-size panel — agreement is a panel statistic, so the
+    plan's window cost does not grow with the corpus."""
+    from .datapipe.hashing import hash60
+
+    p = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size", "p_name")
+        .orderBy(hash60(F.col("p_name"), seed=_KW_SEED), "p_partkey")
+        .limit(_KW_PANEL)
+    )
+    r1 = Window.orderBy(
+        F.desc(F.round(F.col("p_retailprice") * 100.0).cast("bigint")), "p_partkey"
+    )
+    r2 = Window.orderBy(F.desc("p_size"), "p_partkey")
+    r3 = Window.orderBy(F.desc(F.length("p_name")), "p_partkey")
+    ranks = p.select(
+        "p_partkey",
+        F.row_number().over(r1).alias("r1"),
+        F.row_number().over(r2).alias("r2"),
+        F.row_number().over(r3).alias("r3"),
+    )
+    n_all = F.count(F.lit(1)).over(Window.partitionBy())
+    dev = (2 * (F.col("r1") + F.col("r2") + F.col("r3")) - 3 * (n_all + 1)).cast(
+        "decimal(38,0)"
+    )
+    s = ranks.select(dev.alias("dv")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("dv") * F.col("dv")).alias("s4"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    return s.select(
+        "n",
+        F.lit(3).alias("m_rankers"),
+        F.round(
+            F.col("s4").cast("double") / (3.0 * (nd * nd * nd - nd).cast("double")),
+            9,
+        ).alias("kendalls_w"),
+    )

@@ -913,3 +913,139 @@ def finance_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("signal", 6).alias("signal_cents"),
         F.round(F.col("macd") - F.col("signal"), 6).alias("histogram_cents"),
     ).orderBy("d")
+
+
+# --------------------------------------------------------------------------
+# EVT peaks-over-threshold tail estimate (round 9)
+# --------------------------------------------------------------------------
+
+_POT_Q = 0.99  # tail quantile the GPD extrapolates to
+
+
+def _sql_evt_pot() -> str:
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+deltas AS (
+  SELECT h, lag(x) OVER (ORDER BY h) - x AS dn FROM hourly
+),
+losses AS (SELECT dn AS v FROM deltas WHERE dn IS NOT NULL AND dn > 0),
+{sql_cuts_ctes("losses", "v", 10)},
+u AS (SELECT c AS uc FROM cuts WHERE b = 9),
+exc AS (
+  SELECT CAST(v - u.uc AS BIGINT) AS y, u.uc
+  FROM losses CROSS JOIN u WHERE v > u.uc
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_loss FROM losses),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS nu,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(min(uc) AS BIGINT) AS uc
+  FROM exc
+),
+fit AS (
+  SELECT nu, uc, n_loss,
+         CAST(sy AS DOUBLE) / nu AS mean_y,
+         (CAST(nu AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(nu AS DOUBLE) * (nu - 1.0)) AS var_y
+  FROM m CROSS JOIN nn
+),
+gpd AS (
+  SELECT nu, uc, n_loss, mean_y, var_y,
+         0.5 * (1.0 - mean_y * mean_y / var_y) AS xi,
+         0.5 * mean_y * (1.0 + mean_y * mean_y / var_y) AS beta
+  FROM fit
+)
+SELECT n_loss, nu AS n_exceed,
+       round(uc / 100.0, 2) AS threshold_u,
+       round(xi, 9) AS xi,
+       round(beta / 100.0, 6) AS beta,
+       round((uc + beta / xi
+              * (exp(-xi * ln((CAST(n_loss AS DOUBLE) / nu) * {1.0 - _POT_Q}))
+                 - 1.0)) / 100.0, 4) AS var_{int(_POT_Q * 100)}
+FROM gpd
+"""
+
+
+@register(
+    "finance_evt_pot_tail",
+    oracle=_sql_evt_pot(),
+    tags=("finance", "evt", "tail-risk", "gpd"),
+)
+def finance_evt_pot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value tail estimate via peaks-over-threshold: hour-over-
+    hour activity-value DECLINES above the exact 90th-percentile
+    threshold are fitted with a generalized Pareto distribution by
+    method of moments (xi = (1 - m^2/s^2)/2, beta = m(1 + m^2/s^2)/2),
+    then extrapolated to the 99% quantile — Pickands-
+    Balkema-de Haan applied where ``finance_var_cvar`` stops: the
+    empirical VaR cannot see beyond observed losses, the GPD tail can.
+
+    Exactness: hourly sums and losses are exact cents; the threshold
+    is the exact order statistic from the distributed prefix sum
+    (equi-depth k=10, boundary 9); excess moments are Decimal128 /
+    HUGEINT integer sums; xi/beta/VaR are identical double expressions
+    over those integers, with the fractional power spelled
+    exp(-xi ln(.)) in BOTH programs so each engine evaluates the same
+    composition. Sample variance guards nu >= 2 by construction (the
+    decile threshold leaves ~10% of losses above).
+
+    Scale shape: one hourly map-side-combined aggregate; the lag
+    window runs on the bounded hour-grain frame; the cut derivation is
+    the equidepth machinery; excess moments are a 1-row combine. The
+    raw event table never meets a window."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.round(F.col("value") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    w = Window.orderBy("h")
+    losses = (
+        hourly.select((F.lag("x").over(w) - F.col("x")).alias("dn"))
+        .filter(F.col("dn").isNotNull() & (F.col("dn") > 0))
+        .select(F.col("dn").alias("v"))
+        .localCheckpoint(eager=True)  # feeds the cut derivation AND excesses
+    )
+    uc = equi_depth_cut_points(losses, F.col("v"), 10)[8]
+    n_loss = losses.count()
+    m = (
+        losses.filter(F.col("v") > F.lit(uc))
+        .select((F.col("v") - F.lit(uc)).alias("y"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nu"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        )
+    )
+    nud = F.col("nu").cast("double")
+    mean_y = F.col("sy").cast("double") / F.col("nu")
+    var_y = (nud * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")) / (
+        nud * (F.col("nu") - 1.0)
+    )
+    fit = m.select(
+        "nu",
+        mean_y.alias("mean_y"),
+        var_y.alias("var_y"),
+    )
+    xi = 0.5 * (1.0 - F.col("mean_y") * F.col("mean_y") / F.col("var_y"))
+    beta = 0.5 * F.col("mean_y") * (1.0 + F.col("mean_y") * F.col("mean_y") / F.col("var_y"))
+    gpd = fit.select("nu", "mean_y", "var_y", xi.alias("xi"), beta.alias("beta"))
+    ratio = (F.lit(float(n_loss)) / F.col("nu")) * F.lit(1.0 - _POT_Q)
+    return gpd.select(
+        F.lit(n_loss).cast("bigint").alias("n_loss"),
+        F.col("nu").alias("n_exceed"),
+        F.round(F.lit(uc) / 100.0, 2).alias("threshold_u"),
+        F.round("xi", 9).alias("xi"),
+        F.round(F.col("beta") / 100.0, 6).alias("beta"),
+        F.round(
+            (F.lit(uc) + F.col("beta") / F.col("xi") * (F.exp(-F.col("xi") * F.log(ratio)) - 1.0))
+            / 100.0,
+            4,
+        ).alias(f"var_{int(_POT_Q * 100)}"),
+    )

@@ -863,3 +863,140 @@ def dq_id_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("density"),
     )
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit (round 9) — completes the k-anon / l-div / t-close triad
+# --------------------------------------------------------------------------
+
+_TCLOSE_NUM = 1  # threshold t = _TCLOSE_NUM / _TCLOSE_DEN = 0.2
+_TCLOSE_DEN = 5
+
+
+def _sql_tcloseness() -> str:
+    return f"""
+WITH qid AS (
+  SELECT c_nationkey,
+         CAST(floor(CAST(round(c_acctbal * 100.0) AS BIGINT)
+                    / {_LDIV_BAND}.0) AS BIGINT) AS bal_band,
+         c_mktsegment AS sensitive
+  FROM customer
+),
+cell AS (
+  SELECT c_nationkey, bal_band, sensitive, CAST(count(*) AS BIGINT) AS c
+  FROM qid GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT c_nationkey, bal_band, CAST(sum(c) AS BIGINT) AS k
+  FROM cell GROUP BY 1, 2
+),
+gseg AS (SELECT sensitive, CAST(count(*) AS BIGINT) AS cs FROM qid GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qid),
+grid AS (
+  SELECT cls.c_nationkey, cls.bal_band, cls.k, g.sensitive, g.cs, t.n,
+         coalesce(cell.c, 0) AS c0
+  FROM cls CROSS JOIN gseg g CROSS JOIN tot t
+  LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey
+                AND cell.bal_band = cls.bal_band
+                AND cell.sensitive = g.sensitive
+),
+percls AS (
+  SELECT c_nationkey, bal_band, CAST(max(k) AS BIGINT) AS k,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(abs(CAST(c0 AS HUGEINT) * n
+                      - CAST(cs AS HUGEINT) * k)) AS HUGEINT) AS num
+  FROM grid GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(n) AS BIGINT) AS n_rows,
+       round(max(CAST(num AS DOUBLE) / (2.0 * k * n)), 9) AS max_t,
+       CAST(count(*) FILTER (WHERE num * {_TCLOSE_DEN}
+                                   > CAST(k AS HUGEINT) * n * 2 * {_TCLOSE_NUM})
+            AS BIGINT) AS classes_above_t,
+       CAST(coalesce(sum(k) FILTER (WHERE num * {_TCLOSE_DEN}
+                                          > CAST(k AS HUGEINT) * n * 2 * {_TCLOSE_NUM}), 0)
+            AS BIGINT) AS rows_above_t
+FROM percls
+"""
+
+
+@register(
+    "privacy_t_closeness",
+    oracle=_sql_tcloseness(),
+    tags=("privacy", "t-closeness", "data-quality"),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian) completing the
+    release triad: ``privacy_k_anonymity_audit`` bounds
+    re-identification, ``privacy_l_diversity`` bounds attribute
+    disclosure inside a class, and t-closeness bounds what a class
+    REVEALS RELATIVE TO THE WHOLE TABLE — the distance between each
+    equivalence class's sensitive-value distribution and the global
+    one. For the unordered market-segment attribute, the earth-mover
+    distance reduces to total variation: t = 0.5 Sigma_s |p_s - q_s|.
+
+    Exactness: p_s = c_s/k and q_s = C_s/N are exact integer ratios,
+    so each class's TVD has the EXACT integer numerator Sigma_s
+    |c_s*N - C_s*k| over the common denominator kN (Decimal128 /
+    HUGEINT — no float subtraction anywhere); the t > 0.2 gate
+    cross-multiplies to a pure integer comparison (num*5 > 2kN), and
+    only max_t divides, as the identical double expression. Classes
+    missing a segment contribute |0 - C_s*k| via the zero-filled
+    class x segment grid — both engines build the same grid.
+
+    Scale shape: two map-side-combined groupBys (cells, classes), a
+    segment-domain aggregate and a 1-row total both BROADCAST into the
+    bounded class x segment grid join, then a classes-sized combine.
+    Nothing post-scan grows with the table."""
+    c = _t(spark, sf_dir, "customer")
+    qid = c.select(
+        "c_nationkey",
+        F.floor(
+            F.round(F.col("c_acctbal") * 100.0).cast("bigint") / float(_LDIV_BAND)
+        )
+        .cast("bigint")
+        .alias("bal_band"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    cell = qid.groupBy("c_nationkey", "bal_band", "sensitive").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cls = cell.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("c").cast("bigint").alias("k")
+    )
+    glob = qid.groupBy("sensitive").agg(F.count(F.lit(1)).cast("bigint").alias("cs"))
+    tot = qid.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            cell,
+            ["c_nationkey", "bal_band", "sensitive"],
+            "left",
+        )
+        .withColumn("c0", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    num_term = F.abs(
+        F.col("c0").cast("decimal(38,0)") * F.col("n")
+        - F.col("cs").cast("decimal(38,0)") * F.col("k")
+    )
+    percls = grid.groupBy("c_nationkey", "bal_band").agg(
+        F.max("k").cast("bigint").alias("k"),
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(num_term).alias("num"),
+    )
+    above = (
+        F.col("num") * F.lit(_TCLOSE_DEN)
+        > F.col("k").cast("decimal(38,0)") * F.col("n") * 2 * F.lit(_TCLOSE_NUM)
+    )
+    return percls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("n").cast("bigint").alias("n_rows"),
+        F.round(
+            F.max(F.col("num").cast("double") / (2.0 * F.col("k") * F.col("n"))), 9
+        ).alias("max_t"),
+        F.count(F.when(above, 1)).cast("bigint").alias("classes_above_t"),
+        F.coalesce(F.sum(F.when(above, F.col("k"))), F.lit(0))
+        .cast("bigint")
+        .alias("rows_above_t"),
+    )

@@ -6826,3 +6826,225 @@ def stats_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.orderBy("esd_round")
+
+
+
+
+# --------------------------------------------------------------------------
+# Mood's median test across order priorities (round 9)
+# --------------------------------------------------------------------------
+
+
+def _sql_mood_median() -> str:
+    return f"""
+WITH vals AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS v
+  FROM orders
+),
+{sql_cuts_ctes("vals", "v", 2)},
+m AS (SELECT min(c) AS med FROM cuts),
+cells AS (
+  SELECT g,
+         CAST(count(*) FILTER (WHERE v > m.med) AS BIGINT) AS n_above,
+         CAST(count(*) FILTER (WHERE v <= m.med) AS BIGINT) AS n_below
+  FROM vals CROSS JOIN m GROUP BY g
+),
+mtot AS (
+  SELECT CAST(sum(n_above) AS BIGINT) AS ta,
+         CAST(sum(n_below) AS BIGINT) AS tb,
+         CAST(sum(n_above) + sum(n_below) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cells
+)
+SELECT {SQL_DSUM.format(x='''
+         (CAST(c.n_above AS DOUBLE) - (CAST(c.n_above + c.n_below AS DOUBLE) * t.ta) / t.n)
+         * (CAST(c.n_above AS DOUBLE) - (CAST(c.n_above + c.n_below AS DOUBLE) * t.ta) / t.n)
+         / ((CAST(c.n_above + c.n_below AS DOUBLE) * t.ta) / t.n)
+         + (CAST(c.n_below AS DOUBLE) - (CAST(c.n_above + c.n_below AS DOUBLE) * t.tb) / t.n)
+         * (CAST(c.n_below AS DOUBLE) - (CAST(c.n_above + c.n_below AS DOUBLE) * t.tb) / t.n)
+         / ((CAST(c.n_above + c.n_below AS DOUBLE) * t.tb) / t.n)''')} AS chi2,
+       min(t.k - 1) AS dof,
+       min(t.n) AS n,
+       round(min(m.med) / 100.0, 2) AS grand_median
+FROM cells c CROSS JOIN mtot t CROSS JOIN m
+ORDER BY 1
+"""
+
+
+@register(
+    "stats_mood_median_test",
+    oracle=_sql_mood_median(),
+    tags=("stats", "nonparametric", "median"),
+)
+def stats_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: do the five order priorities share a common
+    median order value? Counts above/below the GRAND median per group
+    form a 2xk contingency table tested with Pearson chi-square — the
+    nonparametric, outlier-immune sibling of ``stats_anova_oneway``
+    (means) and ``stats_kruskal_wallis`` (mean ranks): it only asks on
+    which side of one order statistic each row falls.
+
+    Exactness: the grand median is the EXACT lower-median order
+    statistic of integer cents from the distributed prefix sum
+    (operators/equidepth.py, k=2 — ties at the boundary fall below on
+    both engines by the shared <=-convention); cell counts are integer
+    comparisons against that literal; the chi-square sum runs on the
+    micro-unit grid (SQL_DSUM) so it is partitioning-independent. dof
+    = k-1. No p-value column — the catalog's chi-square entries
+    publish the statistic and dof (the gamma CDF is not engine-stable).
+
+    Scale shape: the cut derivation is the equidepth machinery (range
+    partition + per-partition offsets, no global window), then ONE
+    map-side-combined groupBy over 5 groups and a 1-row combine. The
+    grand median is the only order statistic the whole plan needs."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("v"),
+    ).localCheckpoint(eager=True)  # feeds the cut derivation AND the cells
+    med = equi_depth_cut_points(o, F.col("v"), 2)[0]
+    cells = o.groupBy("g").agg(
+        F.count(F.when(F.col("v") > F.lit(med), 1)).cast("bigint").alias("n_above"),
+        F.count(F.when(F.col("v") <= F.lit(med), 1)).cast("bigint").alias("n_below"),
+    )
+    tot = cells.agg(
+        F.sum("n_above").cast("bigint").alias("ta"),
+        F.sum("n_below").cast("bigint").alias("tb"),
+        (F.sum("n_above") + F.sum("n_below")).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    ng = (F.col("n_above") + F.col("n_below")).cast("double")
+    ea = ng * F.col("ta") / F.col("n")
+    eb = ng * F.col("tb") / F.col("n")
+    term = (
+        (F.col("n_above").cast("double") - ea) * (F.col("n_above").cast("double") - ea) / ea
+        + (F.col("n_below").cast("double") - eb) * (F.col("n_below").cast("double") - eb) / eb
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .agg(
+            dsum(term).alias("chi2"),
+            F.min(F.col("k") - 1).alias("dof"),
+            F.min("n").alias("n"),
+            F.round(F.lit(med) / 100.0, 2).alias("grand_median"),
+        )
+        .orderBy("chi2")
+    )
+
+
+# --------------------------------------------------------------------------
+# Wald SPRT over the ordered daily conversion sequence (round 9)
+# --------------------------------------------------------------------------
+
+# H0: purchase share p0 = 0.18 vs H1: p1 = 0.22, alpha = 0.05, beta = 0.10.
+# The per-trial log-likelihood-ratio increments and the Wald boundaries
+# are INTEGER NANO-GRID LITERALS computed once here, so both engines do
+# pure integer arithmetic end-to-end (the catalog's float-literal
+# discipline: no ln() evaluated inside either engine).
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.18, 0.22
+_SPRT_L1_9 = round(_math.log(_SPRT_P1 / _SPRT_P0) * 1e9)  # per-success LLR
+_SPRT_L0_9 = round(_math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1e9)  # per-failure
+_SPRT_A9 = round(_math.log((1 - 0.10) / 0.05) * 1e9)  # accept-H1 boundary
+_SPRT_B9 = round(_math.log(0.10 / (1 - 0.05)) * 1e9)  # accept-H0 boundary
+
+
+def _sql_sprt() -> str:
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(count(*) AS BIGINT) AS n_t,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS x_t
+  FROM events GROUP BY 1
+),
+walk AS (
+  SELECT d,
+         sum(x_t * CAST({_SPRT_L1_9} AS BIGINT)
+             + (n_t - x_t) * CAST({_SPRT_L0_9} AS BIGINT))
+           OVER (ORDER BY d) AS s9
+  FROM daily
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         min(d) FILTER (WHERE s9 >= {_SPRT_A9}) AS first_up,
+         min(d) FILTER (WHERE s9 <= {_SPRT_B9}) AS first_dn,
+         max_by(s9, d) AS s9_final
+  FROM walk
+)
+SELECT n_days,
+       CASE WHEN first_up IS NOT NULL
+                 AND (first_dn IS NULL OR first_up <= first_dn) THEN 'accept_h1'
+            WHEN first_dn IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       coalesce(least(first_up, first_dn), coalesce(first_up, first_dn))
+         AS decision_day,
+       round(CAST(s9_final AS DOUBLE) / 1e9, 9) AS llr_final
+FROM agg
+"""
+
+
+@register(
+    "stats_sprt_sequential",
+    oracle=_sql_sprt(),
+    tags=("stats", "sequential", "sprt", "ab-testing"),
+)
+def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test on the day-ordered
+    purchase-share sequence: the cumulative Bernoulli log-likelihood
+    ratio walk S_t = Sigma x_t ln(p1/p0) + (n_t - x_t) ln(q1/q0) with
+    early-stopping boundaries ln((1-beta)/alpha) / ln(beta/(1-alpha)) —
+    the always-valid sequential monitor a daily experiment dashboard
+    runs instead of a fixed-horizon test (``stats_welch_ttest``), and
+    the hypothesis-driven complement of the distribution-free
+    ``events_changepoint_cusum``.
+
+    Exactness: the per-trial LLR increments and both Wald boundaries
+    are integer nano-grid literals computed ONCE in the driver (no ln
+    evaluated in either engine); the walk is an integer prefix sum over
+    the day total order; crossings are integer comparisons; first
+    crossing days come from conditional min. Decision tie (both
+    boundaries crossed, up first by date) resolves identically via the
+    shared CASE.
+
+    Scale shape: one map-side-combined daily aggregate, then the walk
+    window and 1-row reduce on the bounded day-grain frame (the runs-
+    test discipline — the raw event table never meets a window)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("x_t"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    walk = daily.select(
+        "d",
+        F.sum(
+            F.col("x_t") * F.lit(_SPRT_L1_9)
+            + (F.col("n_t") - F.col("x_t")) * F.lit(_SPRT_L0_9)
+        )
+        .over(w)
+        .alias("s9"),
+    )
+    agg = walk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.min(F.when(F.col("s9") >= F.lit(_SPRT_A9), F.col("d"))).alias("first_up"),
+        F.min(F.when(F.col("s9") <= F.lit(_SPRT_B9), F.col("d"))).alias("first_dn"),
+        F.max_by("s9", "d").alias("s9_final"),
+    )
+    return agg.select(
+        "n_days",
+        F.when(
+            F.col("first_up").isNotNull()
+            & (F.col("first_dn").isNull() | (F.col("first_up") <= F.col("first_dn"))),
+            F.lit("accept_h1"),
+        )
+        .when(F.col("first_dn").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.coalesce(
+            F.least("first_up", "first_dn"), F.coalesce("first_up", "first_dn")
+        ).alias("decision_day"),
+        F.round(F.col("s9_final").cast("double") / 1e9, 9).alias("llr_final"),
+    )

@@ -2348,3 +2348,92 @@ def vocab_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_coef"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# MSTTR segmental lexical diversity (round 9)
+# --------------------------------------------------------------------------
+
+_MSTTR_SEG = 50  # tokens per segment (the standard MSTTR-50)
+
+
+def _sql_msttr() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang, {toks} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, lang,
+         generate_subscripts(toks, 1) - 1 AS p, unnest(toks) AS tok
+  FROM docs
+),
+seg AS (
+  SELECT doc_id, lang, p // {_MSTTR_SEG} AS chunk,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+  FROM pos GROUP BY 1, 2, 3
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(n_types) AS BIGINT) AS sum_types,
+       round(CAST(sum(n_types) AS DOUBLE) / ({_MSTTR_SEG}.0 * count(*)), 9)
+         AS msttr
+FROM seg WHERE n_tok = {_MSTTR_SEG}
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "text_msttr_lexical_diversity",
+    oracle=_sql_msttr(),
+    tags=("text", "lexical-diversity", "quality", "datapipe"),
+)
+def text_msttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean segmental type-token ratio (MSTTR-50) per language: each
+    document's token stream splits into consecutive 50-token segments,
+    each FULL segment contributes distinct-types/50, and the language
+    score averages the segments — the length-robust lexical-diversity
+    measure (raw TTR collapses as documents grow; fixed segments remove
+    the length confound). Complements ``text_distinct_ngram_diversity``
+    (repetition) and ``vocab_heaps_law_fit`` (vocabulary growth): MSTTR
+    is the per-document-window diversity a quality gate thresholds on.
+    Trailing partial segments are dropped — the standard MSTTR
+    convention, identical in both programs via n_tok = 50.
+
+    Exactness: segment ids are integer position division on the shared
+    tokenizer's positional explode; per-segment type counts are exact
+    distinct counts; the language mean is Sigma types / (50 * segments)
+    — one exact integer ratio rounded once.
+
+    Scale shape: the positional explode shuffles (doc, chunk) keyed
+    token rows once for the distinct count (tokens-bounded, the
+    text-family envelope); the segment frame then collapses to one row
+    per 50 tokens before the language aggregate. No windows anywhere —
+    positions come from posexplode, not a rank."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tx.tokens("text").alias("toks")
+    )
+    pos = docs.select(
+        "doc_id", "lang", F.posexplode("toks").alias("p", "tok")
+    )
+    seg = pos.groupBy(
+        "doc_id", "lang", (F.col("p") / F.lit(_MSTTR_SEG)).cast("bigint").alias("chunk")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+        F.countDistinct("tok").cast("bigint").alias("n_types"),
+    )
+    return (
+        seg.filter(F.col("n_tok") == _MSTTR_SEG)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("n_types").cast("bigint").alias("sum_types"),
+            F.round(
+                F.sum("n_types").cast("double")
+                / (float(_MSTTR_SEG) * F.count(F.lit(1))),
+                9,
+            ).alias("msttr"),
+        )
+        .orderBy("lang")
+    )

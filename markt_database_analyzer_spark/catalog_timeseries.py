@@ -2185,3 +2185,152 @@ def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("var_s", 6).alias("var_s"),
         F.round(z, 6).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Granger causality screen (1 lag, partial-correlation form) — round 9
+# --------------------------------------------------------------------------
+
+
+def _sql_granger() -> str:
+    from .catalog_stats import _PHI
+
+    phi = _PHI.format(z="abs(tt)")
+    r = (
+        "((CAST(n AS DOUBLE) * {sab} - CAST({sa} AS DOUBLE) * {sb})"
+        " / sqrt((CAST(n AS DOUBLE) * {saa} - CAST({sa} AS DOUBLE) * {sa})"
+        "        * (CAST(n AS DOUBLE) * {sbb} - CAST({sb} AS DOUBLE) * {sb})))"
+    )
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS v,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS p
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT p AS y, lag(v) OVER (ORDER BY d) AS x, lag(p) OVER (ORDER BY d) AS z
+  FROM daily
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+         CAST(sum(CAST(y AS HUGEINT) * x) AS HUGEINT) AS syx,
+         CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz,
+         CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz
+  FROM lagged WHERE x IS NOT NULL
+),
+rr AS (
+  SELECT n,
+         {r.format(sab="syx", sa="sy", sb="sx", saa="syy", sbb="sxx")} AS ryx,
+         {r.format(sab="syz", sa="sy", sb="sz", saa="syy", sbb="szz")} AS ryz,
+         {r.format(sab="sxz", sa="sx", sb="sz", saa="sxx", sbb="szz")} AS rxz
+  FROM m
+),
+pc AS (
+  SELECT n,
+         (ryx - ryz * rxz) / sqrt((1.0 - ryz * ryz) * (1.0 - rxz * rxz)) AS rp
+  FROM rr
+),
+ft AS (
+  SELECT n, rp, rp * rp * (n - 3) / (1.0 - rp * rp) AS f,
+         CASE WHEN rp >= 0 THEN sqrt(rp * rp * (n - 3) / (1.0 - rp * rp))
+              ELSE -sqrt(rp * rp * (n - 3) / (1.0 - rp * rp)) END AS tt
+  FROM pc
+)
+SELECT n, round(rp, 9) AS r_partial, round(f, 9) AS f_stat,
+       round(2.0 * (1.0 - ({phi})), 6) AS p_approx
+FROM ft
+"""
+
+
+@register(
+    "ts_granger_causality",
+    oracle=_sql_granger(),
+    tags=("timeseries", "granger", "causality", "regression"),
+)
+def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality screen at lag 1: do yesterday's VIEWS predict
+    today's PURCHASES beyond what yesterday's purchases already
+    explain? Computed in the partial-correlation form — F(1, n-3) =
+    r_p^2 (n-3)/(1-r_p^2) where r_p = partial corr(y_t, x_{t-1} |
+    y_{t-1}) — so the whole test needs only the three pairwise
+    correlations of the lagged day frame and NO matrix solve, unlike
+    the textbook two-regression RSS formulation (algebraically
+    identical for one restriction). The cross-series complement of
+    ``ts_autocorrelation`` (own memory) and ``ts_cross_correlation``
+    (raw lead/lag affinity): it asks whether the cross-series signal
+    survives controlling for the target's own lag.
+
+    Exactness: daily counts are exact integers; all ten sufficient
+    moments accumulate as Decimal128/HUGEINT in one map-side-combined
+    pass; every correlation / partial / F expression is identical text
+    over the same exact integers cast to double. p_approx uses the
+    catalog's shared Bowling logistic CDF on t = sign(r_p)sqrt(F) —
+    documented as the large-m normal approximation of t(n-3).
+
+    Scale shape: one daily aggregate over the fact table, one lag
+    window + 1-row moment reduce on the bounded day-grain frame (the
+    runs-test discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).cast("bigint").alias("v"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("p"),
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        F.col("p").alias("y"),
+        F.lag("v").over(w).alias("x"),
+        F.lag("p").over(w).alias("z"),
+    ).filter(F.col("x").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("z")).alias("sz"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("z") * F.col("z")).alias("szz"),
+        F.sum(dec("y") * F.col("x")).alias("syx"),
+        F.sum(dec("y") * F.col("z")).alias("syz"),
+        F.sum(dec("x") * F.col("z")).alias("sxz"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        nd = F.col("n").cast("double")
+        return (nd * F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(sb).cast("double")) / F.sqrt(
+            (nd * F.col(saa).cast("double") - F.col(sa).cast("double") * F.col(sa).cast("double"))
+            * (nd * F.col(sbb).cast("double") - F.col(sb).cast("double") * F.col(sb).cast("double"))
+        )
+
+    rr = m.select(
+        "n",
+        corr("syx", "sy", "sx", "syy", "sxx").alias("ryx"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+    )
+    rp = (F.col("ryx") - F.col("ryz") * F.col("rxz")) / F.sqrt(
+        (1.0 - F.col("ryz") * F.col("ryz")) * (1.0 - F.col("rxz") * F.col("rxz"))
+    )
+    pc = rr.select("n", rp.alias("rp"))
+    fcol = F.col("rp") * F.col("rp") * (F.col("n") - 3) / (1.0 - F.col("rp") * F.col("rp"))
+    tt = F.when(F.col("rp") >= 0, F.sqrt(fcol)).otherwise(-F.sqrt(fcol))
+    ft = pc.select("n", "rp", fcol.alias("f"), tt.alias("tt"))
+    z = F.abs(F.col("tt"))
+    phi = 1.0 / (
+        1.0 + F.exp(-1.5976 * z - 0.07056 * z * z * z)
+    )
+    return ft.select(
+        "n",
+        F.round("rp", 9).alias("r_partial"),
+        F.round("f", 9).alias("f_stat"),
+        F.round(2.0 * (1.0 - phi), 6).alias("p_approx"),
+    )

@@ -76,6 +76,16 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         "tpch_q15_top_supplier",
         "tpch_q22_sleeper_accounts",
         "tpch_q11_important_stock",
+        # corpus × broadcast(classes×3 labeled anchor panel) with a
+        # self-exclusion inequality — all-pairs against a CONSTANT panel
+        # BY DEFINITION (the MaxSim/bruteforce rationale)
+        "ml_knn_classify_embeddings",
+        # class × segment-domain zero-filled grid (classes × 5 segments)
+        # plus the 1-row N total — both broadcast domain/scalar joins
+        "privacy_t_closeness",
+        # injects the 1-row above/below totals via crossJoin(broadcast) —
+        # the tfidf corpus-size idiom
+        "stats_mood_median_test",
         # funnel stage counts are four 1-row aggregates crossJoined into
         # the single output row — same scalar-broadcast idiom
         "events_funnel_stages",

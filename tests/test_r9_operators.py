@@ -1,0 +1,273 @@
+"""Pin tests for the nine round-9 catalog entries: python replays of
+the exact semantics on sf0.001 plus invariant checks. The driver-level
+differential (tools/check_oracle.py and the per-round CORRECTNESS run)
+remains the value gate; these pins catch semantic drift locally."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from markt_database_analyzer_spark.catalog import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _phi(z: float) -> float:
+    return 1.0 / (1.0 + math.exp(-1.5976 * z - 0.07056 * z**3))
+
+
+def test_mood_median_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    vals = sorted(round(r["o_totalprice"] * 100) for r in rows)
+    med = vals[(len(vals) + 1) // 2 - 1]  # exact lower median
+    cells = defaultdict(lambda: [0, 0])
+    for r in rows:
+        v = round(r["o_totalprice"] * 100)
+        cells[r["o_orderpriority"]][0 if v > med else 1] += 1
+    ta = sum(a for a, _ in cells.values())
+    tb = sum(b for _, b in cells.values())
+    n = ta + tb
+    chi2 = 0.0
+    for a, b in cells.values():
+        ng = a + b
+        ea, eb = ng * ta / n, ng * tb / n
+        chi2 += (a - ea) ** 2 / ea + (b - eb) ** 2 / eb
+    out = REGISTRY["stats_mood_median_test"].fn(spark, SF_DIR).collect()[0]
+    assert out["n"] == n and out["dof"] == len(cells) - 1
+    assert out["grand_median"] == pytest.approx(med / 100.0)
+    assert out["chi2"] == pytest.approx(chi2, abs=1e-4)
+
+
+def test_sprt_matches_python_replay(spark):
+    from markt_database_analyzer_spark.catalog_stats import (
+        _SPRT_A9,
+        _SPRT_B9,
+        _SPRT_L0_9,
+        _SPRT_L1_9,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "ts", "event_type"
+    ).collect()
+    daily = defaultdict(lambda: [0, 0])
+    for r in ev:
+        d = r["ts"].date()
+        daily[d][0] += 1
+        daily[d][1] += r["event_type"] == "purchase"
+    s9, first_up, first_dn = 0, None, None
+    for d in sorted(daily):
+        n_t, x_t = daily[d]
+        s9 += x_t * _SPRT_L1_9 + (n_t - x_t) * _SPRT_L0_9
+        if s9 >= _SPRT_A9 and first_up is None:
+            first_up = d
+        if s9 <= _SPRT_B9 and first_dn is None:
+            first_dn = d
+    if first_up is not None and (first_dn is None or first_up <= first_dn):
+        decision = "accept_h1"
+    elif first_dn is not None:
+        decision = "accept_h0"
+    else:
+        decision = "continue"
+    out = REGISTRY["stats_sprt_sequential"].fn(spark, SF_DIR).collect()[0]
+    assert out["n_days"] == len(daily)
+    assert out["decision"] == decision
+    assert out["llr_final"] == pytest.approx(s9 / 1e9, abs=1e-8)
+
+
+def test_granger_matches_python_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "ts", "event_type"
+    ).collect()
+    daily = defaultdict(lambda: [0, 0])
+    for r in ev:
+        d = r["ts"].date()
+        daily[d][0] += r["event_type"] == "view"
+        daily[d][1] += r["event_type"] == "purchase"
+    days = sorted(daily)
+    y = [daily[d][1] for d in days][1:]
+    x = [daily[d][0] for d in days][:-1]
+    z = [daily[d][1] for d in days][:-1]
+    n = len(y)
+
+    def corr(a, b):
+        sa, sb = sum(a), sum(b)
+        return (n * sum(u * v for u, v in zip(a, b)) - sa * sb) / math.sqrt(
+            (n * sum(u * u for u in a) - sa * sa) * (n * sum(v * v for v in b) - sb * sb)
+        )
+
+    ryx, ryz, rxz = corr(y, x), corr(y, z), corr(x, z)
+    rp = (ryx - ryz * rxz) / math.sqrt((1 - ryz**2) * (1 - rxz**2))
+    f = rp * rp * (n - 3) / (1 - rp * rp)
+    out = REGISTRY["ts_granger_causality"].fn(spark, SF_DIR).collect()[0]
+    assert out["n"] == n
+    assert out["r_partial"] == pytest.approx(rp, abs=1e-8)
+    assert out["f_stat"] == pytest.approx(f, abs=1e-6)
+    assert out["p_approx"] == pytest.approx(2 * (1 - _phi(abs(math.copysign(math.sqrt(f), rp)))), abs=1e-5)
+
+
+def test_t_closeness_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+    cells = defaultdict(Counter)
+    glob: Counter = Counter()
+    for r in rows:
+        band = round(r["c_acctbal"] * 100) // 100_000
+        cells[(r["c_nationkey"], band)][r["c_mktsegment"]] += 1
+        glob[r["c_mktsegment"]] += 1
+    n = sum(glob.values())
+    max_t, above_c, above_rows = 0.0, 0, 0
+    for cnt in cells.values():
+        k = sum(cnt.values())
+        num = sum(abs(cnt.get(s, 0) * n - glob[s] * k) for s in glob)
+        t = num / (2 * k * n)
+        max_t = max(max_t, t)
+        if num * 5 > 2 * k * n:  # exact t > 0.2 gate
+            above_c += 1
+            above_rows += k
+    out = REGISTRY["privacy_t_closeness"].fn(spark, SF_DIR).collect()[0]
+    assert out["n_classes"] == len(cells) and out["n_rows"] == n
+    assert out["max_t"] == pytest.approx(max_t, abs=1e-9)
+    assert out["classes_above_t"] == above_c
+    assert out["rows_above_t"] == above_rows
+    assert 0.0 <= out["max_t"] <= 1.0
+
+
+def test_ece_bounds_and_manual_two_bin_case(spark, tmp_path):
+    import pandas as pd
+
+    # crafted corpus: bin 0 (score 0) all negatives, high bin mixed
+    rows = []
+    for i in range(8):
+        rows.append({"doc_id": f"a{i}", "lang": "de", "text": "wort " * 5})
+    for i in range(4):
+        # 3 of 5 tokens are stopwords -> s9 = 0.6e9 -> bin 6
+        rows.append({"doc_id": f"b{i}", "lang": "en" if i < 3 else "de",
+                     "text": "the a of wort wort"})
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    out = REGISTRY["eval_expected_calibration_error"].fn(spark, str(tmp_path)).collect()[0]
+    # bin0: |0 - 0| = 0; bin6: |3e9 - 4*0.6e9| = 0.6e9 -> ece = 0.6e9/(12e9)
+    assert out["n_docs"] == 12 and out["n_bins_nonempty"] == 2
+    assert out["ece"] == pytest.approx(0.05)
+    assert out["mce"] == pytest.approx(0.15)  # 0.6e9/(4*1e9)
+
+
+def test_kendalls_w_bounds_and_identical_rankers_hit_one(spark, tmp_path):
+    import pandas as pd
+
+    # all three rankers produce the same order -> W = 1 exactly
+    rows = [
+        {
+            "p_partkey": i,
+            "p_retailprice": 1000.0 - i,  # rank i+1 descending
+            "p_size": 500 - i,
+            "p_name": "n" + "x" * (200 - i),  # length strictly decreasing
+        }
+        for i in range(60)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "part.parquet", index=False)
+    out = REGISTRY["eval_kendalls_w"].fn(spark, str(tmp_path)).collect()[0]
+    assert out["n"] == 60 and out["m_rankers"] == 3
+    assert out["kendalls_w"] == pytest.approx(1.0, abs=1e-9)
+    # real data: bounded in [0, 1]
+    real = REGISTRY["eval_kendalls_w"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= real["kendalls_w"] <= 1.0
+
+
+def test_msttr_matches_python_replay(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang", "text"
+    ).collect()
+    seg = 50
+    per_lang = defaultdict(lambda: [0, 0])  # [segments, sum_types]
+    for r in docs:
+        toks = [t for t in r["text"].strip().lower().split() if t]
+        for c in range(len(toks) // seg):
+            chunk = toks[c * seg : (c + 1) * seg]
+            per_lang[r["lang"]][0] += 1
+            per_lang[r["lang"]][1] += len(set(chunk))
+    out = {
+        r["lang"]: r
+        for r in REGISTRY["text_msttr_lexical_diversity"].fn(spark, SF_DIR).collect()
+    }
+    assert set(out) == {k for k, v in per_lang.items() if v[0] > 0}
+    for lang, (n_seg, s_types) in per_lang.items():
+        if n_seg == 0:
+            continue
+        assert out[lang]["n_segments"] == n_seg
+        assert out[lang]["sum_types"] == s_types
+        assert out[lang]["msttr"] == pytest.approx(s_types / (seg * n_seg), abs=1e-9)
+        assert 0.0 < out[lang]["msttr"] <= 1.0
+
+
+def test_knn_classify_matches_python_vote_replay(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    labels = {r["label"] for r in emb}
+    out = REGISTRY["ml_knn_classify_embeddings"].fn(spark, SF_DIR).collect()
+    assert len(out) == len(emb)  # every vector classified
+    preds = {r["vec_id"]: r for r in out}
+    truth = {r["vec_id"]: r["label"] for r in emb}
+    # exact python replay of anchors -> cosine(round 9) -> top-5 -> vote
+    by_label = defaultdict(list)
+    for r in sorted(emb, key=lambda r: r["vec_id"]):
+        by_label[r["label"]].append(r)
+    anchors = [a for lbl in by_label for a in by_label[lbl][:3]]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return round(dot / (na * nb), 9)
+
+    for r in sorted(emb, key=lambda rr: rr["vec_id"])[:40]:
+        scored = sorted(
+            (
+                (-cos([float(v) for v in r["embedding"]], [float(v) for v in a["embedding"]]), a["vec_id"], a["label"])
+                for a in anchors
+                if a["vec_id"] != r["vec_id"]
+            )
+        )[:5]
+        votes = Counter(lbl for _, _, lbl in scored)
+        want = min(votes, key=lambda l: (-votes[l], l))
+        got = preds[r["vec_id"]]
+        assert got["predicted"] == want, r["vec_id"]
+        assert got["true_label"] == truth[r["vec_id"]]
+        assert got["correct"] == (want == truth[r["vec_id"]])
+        assert got["predicted"] in labels
+
+
+def test_evt_pot_gpd_fit_matches_python_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("ts", "value").collect()
+    hourly = defaultdict(int)
+    for r in ev:
+        hourly[r["ts"].replace(minute=0, second=0, microsecond=0)] += round(
+            r["value"] * 100
+        )
+    xs = [hourly[h] for h in sorted(hourly)]
+    losses = sorted(
+        xs[i - 1] - xs[i] for i in range(1, len(xs)) if xs[i - 1] - xs[i] > 0
+    )
+    # exact equi-depth boundary 9 of 10: smallest value whose cumulative
+    # count reaches ceil(9 * n / 10)
+    target = -(-9 * len(losses) // 10)
+    u = losses[target - 1]
+    y = [v - u for v in losses if v > u]
+    nu = len(y)
+    m = sum(y) / nu
+    var = (nu * sum(v * v for v in y) - sum(y) ** 2) / (nu * (nu - 1))
+    xi = 0.5 * (1 - m * m / var)
+    beta = 0.5 * m * (1 + m * m / var)
+    out = REGISTRY["finance_evt_pot_tail"].fn(spark, SF_DIR).collect()[0]
+    assert out["n_loss"] == len(losses) and out["n_exceed"] == nu
+    assert out["threshold_u"] == pytest.approx(u / 100.0)
+    assert out["xi"] == pytest.approx(xi, abs=1e-6)
+    assert out["beta"] == pytest.approx(beta / 100.0, abs=1e-4)
+    # the extrapolated 99% VaR must sit beyond the threshold
+    assert out["var_99"] > out["threshold_u"]

@@ -465,6 +465,18 @@ R7_ENTRIES = [
     "ts_seasonal_mann_kendall",
 ]
 
+R9_ENTRIES = [
+    "stats_mood_median_test",
+    "stats_sprt_sequential",
+    "ts_granger_causality",
+    "privacy_t_closeness",
+    "eval_expected_calibration_error",
+    "eval_kendalls_w",
+    "text_msttr_lexical_diversity",
+    "ml_knn_classify_embeddings",
+    "finance_evt_pot_tail",
+]
+
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
 
 _R3_TABLES = {
@@ -538,14 +550,15 @@ def main() -> None:
     r6d_mode = "--r6d" in sys.argv
     r6e_mode = "--r6e" in sys.argv
     r7_mode = "--r7" in sys.argv
+    r9_mode = "--r9" in sys.argv
 
-    if r3_mode or r4_mode or r5_mode or r6_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode or r7_mode:
+    if r3_mode or r4_mode or r5_mode or r6_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode or r7_mode or r9_mode:
         print("building 10x relational replication ...", file=sys.stderr)
         big_rel = build_10x_rel(spark)
     else:
         print("building 10x replication ...", file=sys.stderr)
         big_dir = build_10x(spark)
-    if r5_mode or r6_mode or not (r3_mode or r4_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode or r7_mode):
+    if r5_mode or r6_mode or not (r3_mode or r4_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode or r7_mode or r9_mode):
         print("building 10x distinct-content replication ...", file=sys.stderr)
         big_distinct_dir = build_10x(spark, distinct=True)
 
@@ -580,7 +593,9 @@ def main() -> None:
         )
         return rec
 
-    if r7_mode:
+    if r9_mode:
+        rows_r9 = measure(R9_ENTRIES, big_rel)
+    elif r7_mode:
         rows_r7 = measure(R7_ENTRIES, big_rel)
     elif r6e_mode:
         rows_r6e = measure(R6E_ENTRIES, big_rel)
@@ -620,6 +635,32 @@ def main() -> None:
     md_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_EVIDENCE.md"
     )
+    if r9_mode:
+        lines = [
+            "",
+            "## Round-9 at sf1 (the nine new entries)",
+            "",
+            "Same sf1 relational-replication protocol as the tables above. "
+            "MSTTR's positional token explode and the kNN anchor-panel "
+            "scoring pass are the volume rows; Mood's median pushes 10x "
+            "order values through the distinct-domain prefix sum; SPRT / "
+            "Granger / EVT reduce to day- or hour-grain frames after one "
+            "map-side-combined groupBy; t-closeness and ECE collapse to "
+            "attribute-domain grids; Kendall's W ranks a CONSTANT 1000-"
+            "item panel, so its wall should be flat.",
+            "",
+        ]
+        lines += table(rows_r9)
+        lines += [""]
+        prev = open(md_path).read() if os.path.exists(md_path) else ""
+        marker = "\n## Round-9 at sf1"
+        if marker in prev:
+            prev = prev[: prev.index(marker)]
+        with open(md_path, "w") as f:
+            f.write(prev.rstrip("\n") + "\n" + "\n".join(lines))
+        print("appended round-9 sf1 section to SCALE_EVIDENCE.md", file=sys.stderr)
+        return
+
     if r7_mode:
         lines = [
             "",
