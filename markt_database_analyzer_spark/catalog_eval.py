@@ -1500,3 +1500,113 @@ def eval_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("kendalls_w"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quadratic weighted kappa (ordinal rater agreement) — round 9
+# --------------------------------------------------------------------------
+
+
+def _sql_qwk() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH rated AS (
+  SELECT (CASE WHEN s9 >= 100000000 THEN 1 ELSE 0 END
+          + CASE WHEN s9 >= 200000000 THEN 1 ELSE 0 END
+          + CASE WHEN s9 >= 300000000 THEN 1 ELSE 0 END) AS ra,
+         (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+          + CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END
+          + CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END) AS rb
+  FROM (
+    SELECT n_chars,
+           CAST(round(len(list_filter({toks}, t -> t IN ('the','a','of','and','is')))
+                        / CAST(len({toks}) AS DOUBLE) * 1e9)
+                AS BIGINT) AS s9
+    FROM documents WHERE len({toks}) > 0
+  )
+),
+cells AS (
+  SELECT ra, rb, CAST(count(*) AS BIGINT) AS o FROM rated GROUP BY 1, 2
+),
+ra_t AS (SELECT ra, CAST(count(*) AS BIGINT) AS r FROM rated GROUP BY 1),
+rb_t AS (SELECT rb, CAST(count(*) AS BIGINT) AS c FROM rated GROUP BY 1),
+num AS (
+  SELECT CAST(sum(CAST((ra - rb) * (ra - rb) AS HUGEINT) * o) AS HUGEINT) AS wo,
+         CAST(sum(o) AS BIGINT) AS n
+  FROM cells
+),
+den AS (
+  SELECT CAST(sum(CAST((a.ra - b.rb) * (a.ra - b.rb) AS HUGEINT) * a.r * b.c)
+              AS HUGEINT) AS wrc
+  FROM ra_t a CROSS JOIN rb_t b
+)
+SELECT num.n,
+       round(1.0 - CAST(num.n AS DOUBLE) * CAST(num.wo AS DOUBLE)
+                   / CAST(den.wrc AS DOUBLE), 9) AS qwk
+FROM num CROSS JOIN den
+"""
+
+
+@register(
+    "eval_cohens_kappa_weighted",
+    oracle=_sql_qwk(),
+    tags=("eval", "agreement", "ordinal", "kappa"),
+)
+def eval_cohens_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic weighted kappa between two ORDINAL document raters
+    (stopword-ratio quality grade 0-3 vs length grade 0-3): QWK = 1 -
+    Sigma w_ij O_ij * N / Sigma w_ij r_i c_j with w_ij = (i-j)^2 — the
+    ordinal-scale agreement metric (a grade off by one is nearly
+    agreement, off by three is not), where the unweighted
+    ``eval_cohens_kappa`` treats every disagreement alike. The ML-
+    competition standard for graded labels.
+
+    Exactness: grades are integer threshold sums on the nano score
+    grid / exact character counts; observed and expected weighted sums
+    are Decimal128/HUGEINT integers (the N denominator folds in
+    algebraically, so kappa is ONE division of exact integers).
+    Zero-token docs excluded by the shared guard.
+
+    Scale shape: one map-side-combined 4x4 cell groupBy plus two
+    4-row marginals; the expected grid is the bounded 4x4 cross of
+    marginals. Nothing post-scan grows with the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "n_chars", tx.tokens("text").alias("toks")
+    ).filter(F.size("toks") > 0)
+    stop = F.filter(F.col("toks"), lambda t: t.isin("the", "a", "of", "and", "is"))
+    s9 = (
+        F.round(F.size(stop) / F.size("toks").cast("double") * 1e9, 0)
+        .cast("bigint")
+    )
+    grade = lambda c, cuts: sum(  # noqa: E731
+        (F.when(c >= F.lit(t), 1).otherwise(0) for t in cuts), F.lit(0)
+    )
+    rated = base.select(
+        grade(s9, (100000000, 200000000, 300000000)).alias("ra"),
+        grade(F.col("n_chars"), (200, 400, 800)).alias("rb"),
+    )
+    cells = rated.groupBy("ra", "rb").agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    ra_t = rated.groupBy("ra").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    rb_t = rated.groupBy("rb").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = ((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))).cast(
+        "decimal(38,0)"
+    )
+    num = cells.agg(
+        F.sum(w * F.col("o")).alias("wo"),
+        F.sum("o").cast("bigint").alias("n"),
+    )
+    den = (
+        ra_t.crossJoin(rb_t)
+        .agg(F.sum(w * F.col("r") * F.col("c")).alias("wrc"))
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        "n",
+        F.round(
+            1.0
+            - F.col("n").cast("double")
+            * F.col("wo").cast("double")
+            / F.col("wrc").cast("double"),
+            9,
+        ).alias("qwk"),
+    )

@@ -766,3 +766,103 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution (round 9)
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # 24h lookback
+
+
+def _sql_attr_linear() -> str:
+    return f"""
+WITH purch AS (
+  SELECT event_id AS pid, user_id, ts AS pts FROM events
+  WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT event_id AS tid, user_id, ts AS tts, event_type FROM events
+  WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT p.pid, t.tid, t.event_type
+  FROM purch p JOIN touch t USING (user_id)
+  WHERE t.tts >= p.pts - INTERVAL 24 HOUR AND t.tts < p.pts
+),
+w AS (
+  SELECT pid, tid, event_type,
+         CAST(round(1e9 / count(*) OVER (PARTITION BY pid)) AS BIGINT) AS credit9
+  FROM j
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases_touched,
+       round(CAST(sum(credit9) AS DOUBLE) / 1e9, 9) AS credit
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "events_attribution_linear",
+    oracle=_sql_attr_linear(),
+    tags=("events", "attribution", "marketing"),
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click in the 24 h
+    STRICTLY before a purchase shares the conversion credit equally
+    (1/m per touch) — the equal-split complement of
+    ``events_attribution_last_touch`` (winner-takes-all). Touches at
+    the exact purchase timestamp are excluded on both engines (the
+    strictly-before convention).
+
+    Exactness: per-touch credit quantizes 1/m to the nano grid BEFORE
+    summing (round(1e9/m) of the same exact integer m), so per-type
+    totals are exact integer sums; touch membership is integer-µs
+    window arithmetic.
+
+    Scale shape: the Spark side runs the catalog's bucketed range join
+    (interval predicate → 24 h-bucket equi-join + residual filter — no
+    BroadcastNestedLoopJoin at any fact size), while the oracle uses
+    DuckDB's native range join: independent implementations of the
+    same window semantics. Per-purchase touch counts come from a
+    pid-partitioned window — per-key state only."""
+    from .operators.rangejoin import bucketed_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        (
+            F.col("ts").cast("timestamp")
+            - F.expr("INTERVAL 24 HOURS")
+        ).alias("pstart"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    j = bucketed_range_join(
+        purch, touch, "user_id", "pstart", "tts", F.lit(_ATTR_WINDOW_US)
+    ).select("pid", "tid", "event_type")
+    wcnt = Window.partitionBy("pid")
+    w = j.select(
+        "pid",
+        "tid",
+        "event_type",
+        F.round(F.lit(1e9) / F.count(F.lit(1)).over(wcnt)).cast("bigint").alias(
+            "credit9"
+        ),
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.countDistinct("pid").cast("bigint").alias("n_purchases_touched"),
+            F.round(F.sum("credit9").cast("double") / 1e9, 9).alias("credit"),
+        )
+        .orderBy("event_type")
+    )

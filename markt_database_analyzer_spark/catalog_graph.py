@@ -956,3 +956,123 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (round 9)
+# --------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    head = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS u, l.l_suppkey AS v
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+h0 AS (SELECT DISTINCT u, 1.0 AS h FROM e)"""
+    its = []
+    for i in range(_HITS_ITERS):
+        its.append(
+            f""",
+a{i + 1}r AS MATERIALIZED (
+  SELECT e.v, {SQL_NSUM.format(x='h.h')} AS ar
+  FROM e JOIN h{i} h USING (u) GROUP BY e.v
+),
+a{i + 1} AS MATERIALIZED (SELECT v, round(ar / (SELECT max(ar) FROM a{i + 1}r), 9) AS a FROM a{i + 1}r),
+h{i + 1}r AS MATERIALIZED (
+  SELECT e.u, {SQL_NSUM.format(x='a.a')} AS hr
+  FROM e JOIN a{i + 1} a USING (v) GROUP BY e.u
+),
+h{i + 1} AS MATERIALIZED (SELECT u, round(hr / (SELECT max(hr) FROM h{i + 1}r), 9) AS h FROM h{i + 1}r)"""
+        )
+    tail = f"""
+SELECT kind, key, score, rank FROM (
+  SELECT 'hub' AS kind, u AS key, h AS score,
+         row_number() OVER (ORDER BY h DESC, u) AS rank
+  FROM h{_HITS_ITERS}
+  UNION ALL
+  SELECT 'authority' AS kind, v AS key, a AS score,
+         row_number() OVER (ORDER BY a DESC, v) AS rank
+  FROM a{_HITS_ITERS}
+) WHERE rank <= 10 ORDER BY kind, rank"""
+    return head + "".join(its) + tail
+
+
+@register(
+    "graph_hits_scores",
+    oracle=_hits_oracle(),
+    tags=("graph", "hits", "ranking"),
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) on the directed customer->supplier transaction
+    graph, 3 synchronous iterations: authority(supplier) = Sigma hub
+    scores of its customers, hub(customer) = Sigma authority scores of
+    its suppliers, max-normalized each half-step (the documented
+    variant — exact-friendly: one division by an already-quantized
+    max). The dual-score complement of ``graph_pagerank_bipartite``:
+    PageRank ranks one mixed vertex set by stationary mass, HITS
+    separates "big buyers" from "widely-bought-from suppliers".
+
+    Exactness: every half-step aggregates on the nano grid (nsum) and
+    re-quantizes to 9 dp after the max division, so the 3-iteration
+    trajectory is bit-reproducible and the oracle replays it as
+    unrolled CTEs (the PageRank discipline). Tie-breaks by key make
+    the top-10 total.
+
+    Scale shape: the distinct edge list is built once and persisted;
+    each half-step is one equi-join + one map-side-combined agg (rank
+    frames are vertex-cardinality — broadcastable here, co-partitioned
+    with edges in a production run). Power-law hubs salt-split exactly
+    as in the PageRank entry."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_suppkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    h = e.select("u").distinct().withColumn("h", F.lit(1.0))
+    a = None
+    for _ in range(_HITS_ITERS):
+        # each half-step frame feeds BOTH its max-normalizer and the
+        # next join: localCheckpoint pins it (vertex-cardinality) so the
+        # lineage doesn't re-run the whole prefix once per consumer
+        # (the dedup_cluster_resolve per-round discipline — without it
+        # the 3-iteration plan replays the base join ~4^3 times).
+        ar = (
+            e.join(F.broadcast(h), "u")
+            .groupBy("v")
+            .agg(nsum(F.col("h")).alias("ar"))
+            .localCheckpoint(eager=True)
+        )
+        amax = ar.agg(F.max("ar").alias("am"))
+        a = ar.crossJoin(F.broadcast(amax)).select(
+            "v", F.round(F.col("ar") / F.col("am"), 9).alias("a")
+        )
+        hr = (
+            e.join(F.broadcast(a), "v")
+            .groupBy("u")
+            .agg(nsum(F.col("a")).alias("hr"))
+            .localCheckpoint(eager=True)
+        )
+        hmax = hr.agg(F.max("hr").alias("hm"))
+        h = hr.crossJoin(F.broadcast(hmax)).select(
+            "u", F.round(F.col("hr") / F.col("hm"), 9).alias("h")
+        )
+    wh = Window.orderBy(F.desc("score"), "key")
+    hubs = h.select(
+        F.lit("hub").alias("kind"), F.col("u").alias("key"), F.col("h").alias("score")
+    ).withColumn("rank", F.row_number().over(wh))
+    auth = a.select(
+        F.lit("authority").alias("kind"),
+        F.col("v").alias("key"),
+        F.col("a").alias("score"),
+    ).withColumn("rank", F.row_number().over(wh))
+    return (
+        hubs.unionByName(auth)
+        .filter(F.col("rank") <= 10)
+        .orderBy("kind", "rank")
+    )

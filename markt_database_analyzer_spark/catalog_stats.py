@@ -7048,3 +7048,290 @@ def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("decision_day"),
         F.round(F.col("s9_final").cast("double") / 1e9, 9).alias("llr_final"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fisher's exact test (2x2, two-sided) — round 9
+# --------------------------------------------------------------------------
+
+
+def _sql_fisher() -> str:
+    return """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE s_acctbal > 5000.0) AS BIGINT) AS r1,
+         CAST(count(*) FILTER (WHERE s_nationkey < 12) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE s_acctbal > 5000.0 AND s_nationkey < 12)
+              AS BIGINT) AS a_obs
+  FROM supplier
+),
+lf AS (
+  SELECT i,
+         sum(CASE WHEN i = 0 THEN 0
+                  ELSE CAST(round(ln(CAST(i AS DOUBLE)) * 1e9) AS BIGINT) END)
+           OVER (ORDER BY i) AS v
+  FROM (SELECT unnest(generate_series(0, (SELECT n FROM m))) AS i)
+),
+konst AS (
+  SELECT m.n, m.r1, m.c1, m.a_obs,
+         la.v + lb.v + lc.v + ld.v - le.v AS c9
+  FROM m
+  JOIN lf la ON la.i = m.r1
+  JOIN lf lb ON lb.i = m.n - m.r1
+  JOIN lf lc ON lc.i = m.c1
+  JOIN lf ld ON ld.i = m.n - m.c1
+  JOIN lf le ON le.i = m.n
+),
+ks AS (
+  SELECT k.n, k.r1, k.c1, k.a_obs, k.c9,
+         unnest(generate_series(greatest(0, k.r1 + k.c1 - k.n),
+                                least(k.r1, k.c1))) AS kk
+  FROM konst k
+),
+lp AS (
+  SELECT ks.*,
+         ks.c9 - l1.v - l2.v - l3.v - l4.v AS logp9
+  FROM ks
+  JOIN lf l1 ON l1.i = ks.kk
+  JOIN lf l2 ON l2.i = ks.r1 - ks.kk
+  JOIN lf l3 ON l3.i = ks.c1 - ks.kk
+  JOIN lf l4 ON l4.i = ks.n - ks.r1 - ks.c1 + ks.kk
+),
+obs AS (SELECT logp9 AS obs9 FROM lp WHERE kk = a_obs)
+SELECT min(lp.n) AS n, min(lp.r1) AS r1, min(lp.c1) AS c1,
+       min(lp.a_obs) AS a_obs,
+       round(CAST(sum(CAST(round(exp(CAST(lp.logp9 AS DOUBLE) / 1e9) * 1e12)
+                           AS BIGINT))
+                      FILTER (WHERE lp.logp9 <= obs.obs9) AS DOUBLE)
+             / 1e12, 9) AS p_two_sided
+FROM lp CROSS JOIN obs
+"""
+
+
+@register(
+    "stats_fisher_exact_2x2",
+    oracle=_sql_fisher(),
+    tags=("stats", "exact-test", "contingency"),
+)
+def stats_fisher_exact_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's EXACT test on the supplier 2x2 (high balance x western
+    nation block): two-sided p = Sigma of hypergeometric P(k) over all
+    tables at least as extreme as observed (P(k) <= P(a_obs), the
+    standard two-sided convention) — the small-sample test
+    ``stats_chi2_lang_source`` cannot replace when expected cells are
+    tiny, and the catalog's first EXACT (non-asymptotic) p-value.
+
+    Exactness: every log-factorial is a PREFIX SUM OF NANO-QUANTIZED
+    ln(i) INTEGERS, so each hypergeometric log-probability is an exact
+    integer and the extremeness comparison P(k) <= P(a_obs) is pure
+    integer ordering (no float tie ambiguity); each probability then
+    exponentiates the same integer on both engines and quantizes to the
+    1e-12 grid before the order-free sum.
+
+    Scale shape: the ln-factorial table and the k-domain are bounded by
+    the SUPPLIER table (the deliberately small dimension — exact tests
+    are small-margin procedures by definition; at large margins the
+    chi-square entries take over), so the single-task prefix window and
+    the broadcast lf joins are constant-size. The fact scan is one
+    map-side-combined 1-row margin aggregate."""
+    s = _t(spark, sf_dir, "supplier")
+    m = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("s_acctbal") > 5000.0, 1)).cast("bigint").alias("r1"),
+        F.count(F.when(F.col("s_nationkey") < 12, 1)).cast("bigint").alias("c1"),
+        F.count(
+            F.when((F.col("s_acctbal") > 5000.0) & (F.col("s_nationkey") < 12), 1)
+        )
+        .cast("bigint")
+        .alias("a_obs"),
+    ).localCheckpoint(eager=True)  # tiny; feeds the lf domain AND k domain
+    lf = (
+        m.select(F.explode(F.sequence(F.lit(0), F.col("n"))).alias("i"))
+        .select(
+            "i",
+            F.when(F.col("i") == 0, F.lit(0))
+            .otherwise(F.round(F.log(F.col("i").cast("double")) * 1e9).cast("bigint"))
+            .alias("t"),
+        )
+        .select(
+            "i",
+            F.sum("t")
+            .over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0))
+            .alias("v"),
+        )
+    )
+
+    def lfat(frame, key, alias):
+        j = lf.select(F.col("i").alias(f"_i_{alias}"), F.col("v").alias(alias))
+        return frame.join(F.broadcast(j), key == F.col(f"_i_{alias}")).drop(
+            f"_i_{alias}"
+        )
+
+    konst = lfat(m, F.col("r1"), "la")
+    konst = lfat(konst, F.col("n") - F.col("r1"), "lb")
+    konst = lfat(konst, F.col("c1"), "lc")
+    konst = lfat(konst, F.col("n") - F.col("c1"), "ld")
+    konst = lfat(konst, F.col("n"), "le")
+    konst = konst.withColumn(
+        "c9", F.col("la") + F.col("lb") + F.col("lc") + F.col("ld") - F.col("le")
+    )
+    ks = konst.select(
+        "n",
+        "r1",
+        "c1",
+        "a_obs",
+        "c9",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("r1") + F.col("c1") - F.col("n")),
+                F.least(F.col("r1"), F.col("c1")),
+            )
+        ).alias("kk"),
+    )
+    lp = lfat(ks, F.col("kk"), "l1")
+    lp = lfat(lp, F.col("r1") - F.col("kk"), "l2")
+    lp = lfat(lp, F.col("c1") - F.col("kk"), "l3")
+    lp = lfat(lp, F.col("n") - F.col("r1") - F.col("c1") + F.col("kk"), "l4")
+    lp = lp.withColumn(
+        "logp9",
+        F.col("c9") - F.col("l1") - F.col("l2") - F.col("l3") - F.col("l4"),
+    ).localCheckpoint(eager=True)  # k-domain frame; feeds obs AND the sum
+    obs = lp.filter(F.col("kk") == F.col("a_obs")).select(
+        F.col("logp9").alias("obs9")
+    )
+    term = F.round(F.exp(F.col("logp9").cast("double") / 1e9) * 1e12).cast("bigint")
+    return (
+        lp.crossJoin(F.broadcast(obs))
+        .agg(
+            F.min("n").alias("n"),
+            F.min("r1").alias("r1"),
+            F.min("c1").alias("c1"),
+            F.min("a_obs").alias("a_obs"),
+            F.round(
+                F.sum(F.when(F.col("logp9") <= F.col("obs9"), term)).cast("double")
+                / 1e12,
+                9,
+            ).alias("p_two_sided"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel stratified 2x2 test (round 9)
+# --------------------------------------------------------------------------
+
+
+def _sql_cmh() -> str:
+    return f"""
+WITH cust AS (
+  SELECT r.r_name AS stratum,
+         CASE WHEN c.c_acctbal > 5000.0 THEN 1 ELSE 0 END AS ex,
+         CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS ou
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+s AS (
+  SELECT stratum,
+         CAST(count(*) FILTER (WHERE ex = 1 AND ou = 1) AS BIGINT) AS a,
+         CAST(count(*) FILTER (WHERE ex = 1) AS BIGINT) AS r1,
+         CAST(count(*) FILTER (WHERE ou = 1) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cust GROUP BY 1
+),
+t AS (
+  SELECT stratum, a, r1, c1, n,
+         r1 - a AS b, c1 - a AS c, n - r1 - c1 + a AS d
+  FROM s
+)
+SELECT CAST(count(*) AS BIGINT) AS n_strata,
+       CAST(sum(a) AS BIGINT) AS sum_a,
+       round(pow({SQL_DSUM.format(x='a - CAST(r1 AS DOUBLE) * c1 / n')}, 2)
+             / {SQL_DSUM.format(
+                 x='CAST(r1 AS DOUBLE) * (n - r1) * c1 * (n - c1)'
+                   ' / (CAST(n AS DOUBLE) * n * (n - 1.0))')}, 9) AS cmh_chi2,
+       round({SQL_DSUM.format(x='CAST(a AS DOUBLE) * d / n')}
+             / {SQL_DSUM.format(x='CAST(b AS DOUBLE) * c / n')}, 6) AS or_mh
+FROM t
+"""
+
+
+@register(
+    "stats_cmh_test",
+    oracle=_sql_cmh(),
+    tags=("stats", "stratified", "contingency", "cmh"),
+)
+def stats_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of the balance->segment association
+    STRATIFIED BY REGION (one 2x2 per region, 1 dof pooled): chi2 =
+    (Sigma(a_i - E_i))^2 / Sigma V_i with the hypergeometric E_i, V_i,
+    plus the Mantel-Haenszel pooled odds ratio Sigma(a_i d_i/n_i) /
+    Sigma(b_i c_i/n_i) — the confounding-aware complement of the
+    marginal ``stats_chi2_lang_source`` / ``stats_odds_ratio_ci``
+    (Simpson's-paradox-proof: association is tested WITHIN strata and
+    pooled, never across them). No continuity correction (documented;
+    both programs identical).
+
+    Exactness: per-stratum cells are exact integer conditional counts;
+    each (a - E), V, ad/n and bc/n term quantizes on the micro grid
+    (SQL_DSUM) before its sum, so the pooled sums are
+    partitioning-independent; chi2 and OR are identical final
+    expressions over those quantized sums.
+
+    Scale shape: customer scans once through two BROADCAST dimension
+    joins (nation, region); one map-side-combined 5-stratum groupBy;
+    a 1-row combine. dof is 1 by construction."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("stratum"),
+            (F.col("c_acctbal") > 5000.0).cast("int").alias("ex"),
+            (F.col("c_mktsegment") == "AUTOMOBILE").cast("int").alias("ou"),
+        )
+    )
+    s = cust.groupBy("stratum").agg(
+        F.count(F.when((F.col("ex") == 1) & (F.col("ou") == 1), 1))
+        .cast("bigint")
+        .alias("a"),
+        F.count(F.when(F.col("ex") == 1, 1)).cast("bigint").alias("r1"),
+        F.count(F.when(F.col("ou") == 1, 1)).cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    t = s.select(
+        "stratum",
+        "a",
+        "r1",
+        "c1",
+        "n",
+        (F.col("r1") - F.col("a")).alias("b"),
+        (F.col("c1") - F.col("a")).alias("c"),
+        (F.col("n") - F.col("r1") - F.col("c1") + F.col("a")).alias("d"),
+    )
+    nd = F.col("n").cast("double")
+    num = F.col("a") - F.col("r1").cast("double") * F.col("c1") / F.col("n")
+    var = (
+        F.col("r1").cast("double")
+        * (F.col("n") - F.col("r1"))
+        * F.col("c1")
+        * (F.col("n") - F.col("c1"))
+        / (nd * F.col("n") * (F.col("n") - 1.0))
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.round(
+            F.pow(dsum(num), 2) / dsum(var),
+            9,
+        ).alias("cmh_chi2"),
+        F.round(
+            dsum(F.col("a").cast("double") * F.col("d") / F.col("n"))
+            / dsum(F.col("b").cast("double") * F.col("c") / F.col("n")),
+            6,
+        ).alias("or_mh"),
+    )

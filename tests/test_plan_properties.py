@@ -86,6 +86,13 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # injects the 1-row above/below totals via crossJoin(broadcast) —
         # the tfidf corpus-size idiom
         "stats_mood_median_test",
+        # 1-row observed-logP broadcast into the bounded k-domain frame
+        "stats_fisher_exact_2x2",
+        # 4x4 marginal grid (ra x rb) + the 1-row expected-sum scalar
+        "eval_cohens_kappa_weighted",
+        # six 1-row max-normalizer broadcasts (one per HITS half-step) —
+        # the PageRank entry's nn-scalar idiom
+        "graph_hits_scores",
         # funnel stage counts are four 1-row aggregates crossJoined into
         # the single output row — same scalar-broadcast idiom
         "events_funnel_stages",

@@ -271,3 +271,165 @@ def test_evt_pot_gpd_fit_matches_python_replay(spark):
     assert out["beta"] == pytest.approx(beta / 100.0, abs=1e-4)
     # the extrapolated 99% VaR must sit beyond the threshold
     assert out["var_99"] > out["threshold_u"]
+
+
+def test_fisher_exact_matches_quantized_replay_and_exact_fractions(spark):
+    sup = spark.read.parquet(f"{SF_DIR}/supplier.parquet").select(
+        "s_acctbal", "s_nationkey"
+    ).collect()
+    n = len(sup)
+    r1 = sum(r["s_acctbal"] > 5000.0 for r in sup)
+    c1 = sum(r["s_nationkey"] < 12 for r in sup)
+    a_obs = sum(r["s_acctbal"] > 5000.0 and r["s_nationkey"] < 12 for r in sup)
+    # replay the nano-quantized algorithm exactly
+    lf = [0] * (n + 1)
+    for i in range(1, n + 1):
+        lf[i] = lf[i - 1] + round(math.log(i) * 1e9)
+    c9 = lf[r1] + lf[n - r1] + lf[c1] + lf[n - c1] - lf[n]
+    ks = range(max(0, r1 + c1 - n), min(r1, c1) + 1)
+    logp = {k: c9 - lf[k] - lf[r1 - k] - lf[c1 - k] - lf[n - r1 - c1 + k] for k in ks}
+    p = sum(round(math.exp(lp / 1e9) * 1e12) for k, lp in logp.items() if lp <= logp[a_obs]) / 1e12
+    out = REGISTRY["stats_fisher_exact_2x2"].fn(spark, SF_DIR).collect()[0]
+    assert (out["n"], out["r1"], out["c1"], out["a_obs"]) == (n, r1, c1, a_obs)
+    assert out["p_two_sided"] == pytest.approx(round(p, 9), abs=1e-9)
+    # independent exact-arithmetic sanity: hypergeometric via Fractions
+    from fractions import Fraction
+    from math import comb
+
+    denom = comb(n, c1)
+    pk = {k: Fraction(comb(r1, k) * comb(n - r1, c1 - k), denom) for k in ks}
+    p_exact = float(sum(v for k, v in pk.items() if v <= pk[a_obs]))
+    assert out["p_two_sided"] == pytest.approx(p_exact, abs=1e-5)
+    assert 0.0 <= out["p_two_sided"] <= 1.0 + 1e-9
+
+
+def test_qwk_matches_python_replay(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "n_chars", "text"
+    ).collect()
+    cells = Counter()
+    for r in docs:
+        toks = [t for t in r["text"].strip().lower().split() if t]
+        if not toks:
+            continue
+        s9 = round(sum(t in ("the", "a", "of", "and", "is") for t in toks) / len(toks) * 1e9)
+        ra = (s9 >= 1e8) + (s9 >= 2e8) + (s9 >= 3e8)
+        rb = (r["n_chars"] >= 200) + (r["n_chars"] >= 400) + (r["n_chars"] >= 800)
+        cells[(ra, rb)] += 1
+    n = sum(cells.values())
+    rt = Counter()
+    ct = Counter()
+    for (i, j), o in cells.items():
+        rt[i] += o
+        ct[j] += o
+    wo = sum((i - j) ** 2 * o for (i, j), o in cells.items())
+    wrc = sum((i - j) ** 2 * rt[i] * ct[j] for i in rt for j in ct)
+    out = REGISTRY["eval_cohens_kappa_weighted"].fn(spark, SF_DIR).collect()[0]
+    assert out["n"] == n
+    assert out["qwk"] == pytest.approx(1 - n * wo / wrc, abs=1e-8)
+    assert out["qwk"] <= 1.0
+
+
+def test_attribution_linear_matches_python_replay(spark):
+    import datetime
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    credit9 = Counter()
+    touches = Counter()
+    purchased = defaultdict(set)
+    day = datetime.timedelta(hours=24)
+    for rows in by_user.values():
+        purchases = [r for r in rows if r["event_type"] == "purchase"]
+        tts = [r for r in rows if r["event_type"] in ("view", "click")]
+        for p in purchases:
+            win = [t for t in tts if p["ts"] - day <= t["ts"] < p["ts"]]
+            if not win:
+                continue
+            per = round(1e9 / len(win))
+            for t in win:
+                credit9[t["event_type"]] += per
+                touches[t["event_type"]] += 1
+                purchased[t["event_type"]].add(p["event_id"])
+    out = {r["event_type"]: r for r in REGISTRY["events_attribution_linear"].fn(spark, SF_DIR).collect()}
+    assert set(out) == set(touches)
+    for et in touches:
+        assert out[et]["n_touches"] == touches[et]
+        assert out[et]["n_purchases_touched"] == len(purchased[et])
+        assert out[et]["credit"] == pytest.approx(credit9[et] / 1e9, abs=1e-9)
+
+
+def test_hits_matches_python_replay(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    ).collect()
+    cust_of = {r["o_orderkey"]: r["o_custkey"] for r in orders}
+    edges = {(cust_of[r["l_orderkey"]], r["l_suppkey"]) for r in li if r["l_orderkey"] in cust_of}
+
+    def nsum(vals):
+        return sum(round(v * 1e9) for v in vals) / 1e9
+
+    h = {u: 1.0 for u, _ in edges}
+    a = {}
+    for _ in range(3):
+        ar = defaultdict(list)
+        for u, v in edges:
+            ar[v].append(h[u])
+        ar = {v: nsum(vs) for v, vs in ar.items()}
+        am = max(ar.values())
+        a = {v: round(x / am, 9) for v, x in ar.items()}
+        hr = defaultdict(list)
+        for u, v in edges:
+            hr[u].append(a[v])
+        hr = {u: nsum(vs) for u, vs in hr.items()}
+        hm = max(hr.values())
+        h = {u: round(x / hm, 9) for u, x in hr.items()}
+    top_h = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    top_a = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    out = REGISTRY["graph_hits_scores"].fn(spark, SF_DIR).collect()
+    got_h = [(r["key"], r["score"]) for r in out if r["kind"] == "hub"]
+    got_a = [(r["key"], r["score"]) for r in out if r["kind"] == "authority"]
+    assert got_h == [(k, pytest.approx(s, abs=1e-9)) for k, s in top_h]
+    assert got_a == [(k, pytest.approx(s, abs=1e-9)) for k, s in top_a]
+
+
+def test_cmh_matches_python_replay(spark):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+    nat = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/nation.parquet").collect()
+    }
+    strata = defaultdict(lambda: [0, 0, 0, 0])  # a, r1, c1, n
+    for r in cust:
+        st = nat[r["c_nationkey"]]
+        ex = r["c_acctbal"] > 5000.0
+        ou = r["c_mktsegment"] == "AUTOMOBILE"
+        s = strata[st]
+        s[0] += ex and ou
+        s[1] += ex
+        s[2] += ou
+        s[3] += 1
+
+    def q6(x):
+        return round(x * 1e6) / 1e6
+
+    num = sum(q6(a - r1 * c1 / n) for a, r1, c1, n in strata.values())
+    var = sum(
+        q6(r1 * (n - r1) * c1 * (n - c1) / (n * n * (n - 1))) for a, r1, c1, n in strata.values()
+    )
+    adn = sum(q6(a * (n - r1 - c1 + a) / n) for a, r1, c1, n in strata.values())
+    bcn = sum(q6((r1 - a) * (c1 - a) / n) for a, r1, c1, n in strata.values())
+    out = REGISTRY["stats_cmh_test"].fn(spark, SF_DIR).collect()[0]
+    assert out["n_strata"] == len(strata)
+    assert out["sum_a"] == sum(s[0] for s in strata.values())
+    assert out["cmh_chi2"] == pytest.approx(num**2 / var, abs=1e-6)
+    assert out["or_mh"] == pytest.approx(adn / bcn, abs=1e-5)

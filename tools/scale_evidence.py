@@ -475,6 +475,11 @@ R9_ENTRIES = [
     "text_msttr_lexical_diversity",
     "ml_knn_classify_embeddings",
     "finance_evt_pot_tail",
+    "stats_fisher_exact_2x2",
+    "eval_cohens_kappa_weighted",
+    "events_attribution_linear",
+    "graph_hits_scores",
+    "stats_cmh_test",
 ]
 
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
