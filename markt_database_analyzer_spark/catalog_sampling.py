@@ -1129,3 +1129,124 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hi - lo).cast("bigint").alias("n_hits"),
     )
     return hits.where(F.col("n_hits") > 0).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Iterative proportional fitting (survey raking) — round 9
+# --------------------------------------------------------------------------
+
+_IPF_ROUNDS = 3
+
+
+def _sql_ipf() -> str:
+    head = """
+WITH cust AS (
+  SELECT r.r_name AS i, c.c_mktsegment AS j
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+o AS MATERIALIZED (
+  SELECT i, j, CAST(count(*) AS DOUBLE) AS w FROM cust GROUP BY 1, 2
+),
+rt AS MATERIALIZED (SELECT i, CAST(count(*) AS BIGINT) AS ri FROM cust GROUP BY 1),
+ct AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE)
+         / (SELECT count(DISTINCT j) FROM o) AS cj
+  FROM cust
+),
+w0 AS MATERIALIZED (SELECT i, j, w FROM o)"""
+    its = []
+    for k in range(_IPF_ROUNDS):
+        its.append(
+            f""",
+r{k}s AS MATERIALIZED (
+  SELECT i, CAST(sum(CAST(round(w * 1e9) AS HUGEINT)) AS DOUBLE) / 1e9 AS s
+  FROM w{k} GROUP BY i
+),
+w{k}r AS MATERIALIZED (
+  SELECT w.i, w.j, round(w.w * rt.ri / s.s, 9) AS w
+  FROM w{k} w JOIN r{k}s s USING (i) JOIN rt USING (i)
+),
+c{k}s AS MATERIALIZED (
+  SELECT j, CAST(sum(CAST(round(w * 1e9) AS HUGEINT)) AS DOUBLE) / 1e9 AS s
+  FROM w{k}r GROUP BY j
+),
+w{k + 1} AS MATERIALIZED (
+  SELECT w.i, w.j, round(w.w * (SELECT cj FROM ct) / s.s, 9) AS w
+  FROM w{k}r w JOIN c{k}s s USING (j)
+)"""
+        )
+    tail = f"""
+SELECT i AS region, j AS segment, round(w, 6) AS raked_w
+FROM w{_IPF_ROUNDS} ORDER BY region, segment"""
+    return head + "".join(its) + tail
+
+
+@register(
+    "sample_ipf_raking",
+    oracle=_sql_ipf(),
+    tags=("sampling", "raking", "ipf", "survey"),
+)
+def sample_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (survey raking, Deming-Stephan):
+    rake the observed region x market-segment count table so region
+    totals stay AS OBSERVED while segment totals calibrate to EQUAL
+    shares (N/5) — three alternating row/column scaling rounds, the
+    post-stratification weighting a survey/eval pipeline applies when
+    one margin of the sample is known to be biased. Complements
+    ``sample_stratified_neyman`` (design-time allocation) with the
+    estimation-time reweighting.
+
+    Exactness: the observed table and both margin targets are exact
+    integers; every scaling step multiplies by a ratio of a BIGINT
+    target to the current (already-quantized) sum and re-quantizes to
+    9 dp, so the 6-step trajectory is bit-reproducible and the oracle
+    replays it as unrolled MATERIALIZED CTEs (the HITS/PageRank
+    discipline on a 25-cell frame).
+
+    Scale shape: ONE map-side-combined groupBy over the fact scan
+    (through two broadcast dimension joins); every subsequent frame is
+    the bounded regions x segments grid — the iteration cost does not
+    grow with the table."""
+    c = _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("i"), F.col("c_mktsegment").alias("j"))
+    )
+    o = (
+        cust.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .localCheckpoint(eager=True)  # 25-cell grid; feeds margins AND walk
+    )
+    rt = o.groupBy("i").agg(F.sum("w").cast("bigint").alias("ri"))
+    ct = o.agg(
+        (F.sum("w") / F.countDistinct("j")).alias("cj")
+    )
+    w = o
+    for _ in range(_IPF_ROUNDS):
+        rs = w.groupBy("i").agg(
+            (F.sum(F.round(F.col("w") * 1e9).cast("decimal(38,0)")).cast("double") / 1e9).alias("s")
+        )
+        w = (
+            w.join(F.broadcast(rs), "i")
+            .join(F.broadcast(rt), "i")
+            .select("i", "j", F.round(F.col("w") * F.col("ri") / F.col("s"), 9).alias("w"))
+        )
+        cs = w.groupBy("j").agg(
+            (F.sum(F.round(F.col("w") * 1e9).cast("decimal(38,0)")).cast("double") / 1e9).alias("s")
+        )
+        w = (
+            w.join(F.broadcast(cs), "j")
+            .crossJoin(F.broadcast(ct))
+            .select("i", "j", F.round(F.col("w") * F.col("cj") / F.col("s"), 9).alias("w"))
+            .localCheckpoint(eager=True)  # pin the round (25 rows)
+        )
+    return w.select(
+        F.col("i").alias("region"),
+        F.col("j").alias("segment"),
+        F.round("w", 6).alias("raked_w"),
+    ).orderBy("region", "segment")

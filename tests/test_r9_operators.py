@@ -433,3 +433,52 @@ def test_cmh_matches_python_replay(spark):
     assert out["sum_a"] == sum(s[0] for s in strata.values())
     assert out["cmh_chi2"] == pytest.approx(num**2 / var, abs=1e-6)
     assert out["or_mh"] == pytest.approx(adn / bcn, abs=1e-5)
+
+
+def test_ipf_raking_matches_python_replay_and_margins(spark):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_nationkey", "c_mktsegment"
+    ).collect()
+    nat = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/nation.parquet").collect()
+    }
+    reg = {
+        r["r_regionkey"]: r["r_name"]
+        for r in spark.read.parquet(f"{SF_DIR}/region.parquet").collect()
+    }
+    w = Counter()
+    for r in cust:
+        w[(reg[nat[r["c_nationkey"]]], r["c_mktsegment"])] += 1
+    w = {k: float(v) for k, v in w.items()}
+    ri = Counter()
+    for (i, _), v in w.items():
+        ri[i] += v
+    n = sum(w.values())
+    cj = n / len({j for _, j in w})
+
+    def nsum(vals):
+        return sum(round(v * 1e9) for v in vals) / 1e9
+
+    for _ in range(3):
+        rs = defaultdict(list)
+        for (i, j), v in w.items():
+            rs[i].append(v)
+        rsum = {i: nsum(vs) for i, vs in rs.items()}
+        w = {(i, j): round(v * ri[i] / rsum[i], 9) for (i, j), v in w.items()}
+        cs = defaultdict(list)
+        for (i, j), v in w.items():
+            cs[j].append(v)
+        csum = {j: nsum(vs) for j, vs in cs.items()}
+        w = {(i, j): round(v * cj / csum[j], 9) for (i, j), v in w.items()}
+    out = REGISTRY["sample_ipf_raking"].fn(spark, SF_DIR).collect()
+    got = {(r["region"], r["segment"]): r["raked_w"] for r in out}
+    assert set(got) == set(w)
+    for k in w:
+        assert got[k] == pytest.approx(round(w[k], 6), abs=1e-9), k
+    # after 3 rounds the segment margins sit near the uniform target
+    seg = defaultdict(float)
+    for (i, j), v in got.items():
+        seg[j] += v
+    for j, s in seg.items():
+        assert s == pytest.approx(cj, rel=0.02), j

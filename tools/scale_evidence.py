@@ -480,6 +480,7 @@ R9_ENTRIES = [
     "events_attribution_linear",
     "graph_hits_scores",
     "stats_cmh_test",
+    "sample_ipf_raking",
 ]
 
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
