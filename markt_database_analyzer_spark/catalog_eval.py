@@ -1431,9 +1431,10 @@ s AS (
   FROM d
 )
 SELECT n, 3 AS m_rankers,
-       round(CAST(s4 AS DOUBLE)
-             / (3.0 * CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)), 9)
-         AS kendalls_w
+       CASE WHEN n >= 2 THEN
+         round(CAST(s4 AS DOUBLE)
+               / (3.0 * CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)), 9)
+       END AS kendalls_w
 FROM s
 """
 
@@ -1495,9 +1496,14 @@ def eval_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n",
         F.lit(3).alias("m_rankers"),
-        F.round(
-            F.col("s4").cast("double") / (3.0 * (nd * nd * nd - nd).cast("double")),
-            9,
+        # n < 2 leaves n^3 - n = 0: concordance undefined, NULL both engines
+        F.when(
+            F.col("n") >= 2,
+            F.round(
+                F.col("s4").cast("double")
+                / (3.0 * (nd * nd * nd - nd).cast("double")),
+                9,
+            ),
         ).alias("kendalls_w"),
     )
 
@@ -1541,8 +1547,10 @@ den AS (
   FROM ra_t a CROSS JOIN rb_t b
 )
 SELECT num.n,
-       round(1.0 - CAST(num.n AS DOUBLE) * CAST(num.wo AS DOUBLE)
-                   / CAST(den.wrc AS DOUBLE), 9) AS qwk
+       CASE WHEN den.wrc > 0 THEN
+         round(1.0 - CAST(num.n AS DOUBLE) * CAST(num.wo AS DOUBLE)
+                     / CAST(den.wrc AS DOUBLE), 9)
+       END AS qwk
 FROM num CROSS JOIN den
 """
 
@@ -1602,11 +1610,16 @@ def eval_cohens_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return num.crossJoin(F.broadcast(den)).select(
         "n",
-        F.round(
-            1.0
-            - F.col("n").cast("double")
-            * F.col("wo").cast("double")
-            / F.col("wrc").cast("double"),
-            9,
+        # wrc = 0 iff both raters are constant: kappa undefined, NULL
+        # on both engines (exact integer comparison)
+        F.when(
+            F.col("wrc") > 0,
+            F.round(
+                1.0
+                - F.col("n").cast("double")
+                * F.col("wo").cast("double")
+                / F.col("wrc").cast("double"),
+                9,
+            ),
         ).alias("qwk"),
     )

@@ -950,9 +950,10 @@ m AS (
 fit AS (
   SELECT nu, uc, n_loss,
          CAST(sy AS DOUBLE) / nu AS mean_y,
-         (CAST(nu AS DOUBLE) * CAST(syy AS DOUBLE)
-          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (CAST(nu AS DOUBLE) * (nu - 1.0)) AS var_y
+         CASE WHEN nu >= 2 AND nu * syy - sy * sy > 0 THEN
+           (CAST(nu AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(nu AS DOUBLE) * (nu - 1.0)) END AS var_y
   FROM m CROSS JOIN nn
 ),
 gpd AS (
@@ -965,9 +966,10 @@ SELECT n_loss, nu AS n_exceed,
        round(uc / 100.0, 2) AS threshold_u,
        round(xi, 9) AS xi,
        round(beta / 100.0, 6) AS beta,
-       round((uc + beta / xi
-              * (exp(-xi * ln((CAST(n_loss AS DOUBLE) / nu) * {1.0 - _POT_Q}))
-                 - 1.0)) / 100.0, 4) AS var_{int(_POT_Q * 100)}
+       CASE WHEN xi IS NOT NULL AND xi <> 0.0 THEN
+         round((uc + beta / xi
+                * (exp(-xi * ln((CAST(n_loss AS DOUBLE) / nu) * {1.0 - _POT_Q}))
+                   - 1.0)) / 100.0, 4) END AS var_{int(_POT_Q * 100)}
 FROM gpd
 """
 
@@ -1025,8 +1027,14 @@ def finance_evt_pot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nud = F.col("nu").cast("double")
     mean_y = F.col("sy").cast("double") / F.col("nu")
-    var_y = (nud * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")) / (
-        nud * (F.col("nu") - 1.0)
+    # degenerate-excess guards (the r8 latent class): nu < 2 or a
+    # zero-spread excess set leaves the sample variance undefined —
+    # exact Decimal128 comparison, NULL on both engines
+    var_y = F.when(
+        (F.col("nu") >= 2)
+        & (F.col("nu").cast("decimal(38,0)") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
+        (nud * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+        / (nud * (F.col("nu") - 1.0)),
     )
     fit = m.select(
         "nu",
@@ -1043,9 +1051,12 @@ def finance_evt_pot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(uc) / 100.0, 2).alias("threshold_u"),
         F.round("xi", 9).alias("xi"),
         F.round(F.col("beta") / 100.0, 6).alias("beta"),
-        F.round(
-            (F.lit(uc) + F.col("beta") / F.col("xi") * (F.exp(-F.col("xi") * F.log(ratio)) - 1.0))
-            / 100.0,
-            4,
+        F.when(
+            F.col("xi").isNotNull() & (F.col("xi") != 0.0),
+            F.round(
+                (F.lit(uc) + F.col("beta") / F.col("xi") * (F.exp(-F.col("xi") * F.log(ratio)) - 1.0))
+                / 100.0,
+                4,
+            ),
         ).alias(f"var_{int(_POT_Q * 100)}"),
     )

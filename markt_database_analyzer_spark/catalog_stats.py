@@ -6857,13 +6857,14 @@ mtot AS (
          CAST(count(*) AS BIGINT) AS k
   FROM cells
 )
-SELECT {SQL_DSUM.format(x='''
+SELECT CASE WHEN min(t.ta) = 0 OR min(t.tb) = 0 THEN NULL ELSE
+       {SQL_DSUM.format(x='''
          (CAST(c.n_above AS DOUBLE) - (CAST(c.n_above + c.n_below AS DOUBLE) * t.ta) / t.n)
          * (CAST(c.n_above AS DOUBLE) - (CAST(c.n_above + c.n_below AS DOUBLE) * t.ta) / t.n)
          / ((CAST(c.n_above + c.n_below AS DOUBLE) * t.ta) / t.n)
          + (CAST(c.n_below AS DOUBLE) - (CAST(c.n_above + c.n_below AS DOUBLE) * t.tb) / t.n)
          * (CAST(c.n_below AS DOUBLE) - (CAST(c.n_above + c.n_below AS DOUBLE) * t.tb) / t.n)
-         / ((CAST(c.n_above + c.n_below AS DOUBLE) * t.tb) / t.n)''')} AS chi2,
+         / ((CAST(c.n_above + c.n_below AS DOUBLE) * t.tb) / t.n)''')} END AS chi2,
        min(t.k - 1) AS dof,
        min(t.n) AS n,
        round(min(m.med) / 100.0, 2) AS grand_median
@@ -6916,14 +6917,28 @@ def stats_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ng = (F.col("n_above") + F.col("n_below")).cast("double")
     ea = ng * F.col("ta") / F.col("n")
     eb = ng * F.col("tb") / F.col("n")
+    # try_divide: under ANSI mode the per-row term must not raise when a
+    # margin is empty (ea/eb = 0 iff ta/tb = 0 globally — the outer guard
+    # then nulls chi2 anyway, matching the oracle's CASE)
     term = (
-        (F.col("n_above").cast("double") - ea) * (F.col("n_above").cast("double") - ea) / ea
-        + (F.col("n_below").cast("double") - eb) * (F.col("n_below").cast("double") - eb) / eb
+        F.try_divide(
+            (F.col("n_above").cast("double") - ea) * (F.col("n_above").cast("double") - ea), ea
+        )
+        + F.try_divide(
+            (F.col("n_below").cast("double") - eb) * (F.col("n_below").cast("double") - eb), eb
+        )
     )
     return (
         cells.crossJoin(F.broadcast(tot))
         .agg(
-            dsum(term).alias("chi2"),
+            # degenerate-margin guard (the r8 latent class): if every row
+            # sits on one side of the median the test is undefined — NULL
+            # on BOTH engines instead of Spark-NULL vs DuckDB-inf
+            F.when(
+                (F.min("ta") == 0) | (F.min("tb") == 0), F.lit(None)
+            )
+            .otherwise(dsum(term))
+            .alias("chi2"),
             F.min(F.col("k") - 1).alias("dof"),
             F.min("n").alias("n"),
             F.round(F.lit(med) / 100.0, 2).alias("grand_median"),
@@ -7246,10 +7261,14 @@ t AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_strata,
        CAST(sum(a) AS BIGINT) AS sum_a,
-       round(pow({SQL_DSUM.format(x='a - CAST(r1 AS DOUBLE) * c1 / n')}, 2)
+       round(pow({SQL_DSUM.format(
+                 x='CASE WHEN n >= 2 THEN a - CAST(r1 AS DOUBLE) * c1 / n'
+                   ' ELSE 0.0 END')}, 2)
              / {SQL_DSUM.format(
-                 x='CAST(r1 AS DOUBLE) * (n - r1) * c1 * (n - c1)'
-                   ' / (CAST(n AS DOUBLE) * n * (n - 1.0))')}, 9) AS cmh_chi2,
+                 x='CASE WHEN n >= 2 THEN'
+                   ' CAST(r1 AS DOUBLE) * (n - r1) * c1 * (n - c1)'
+                   ' / (CAST(n AS DOUBLE) * n * (n - 1.0)) ELSE 0.0 END')}, 9)
+         AS cmh_chi2,
        round({SQL_DSUM.format(x='CAST(a AS DOUBLE) * d / n')}
              / {SQL_DSUM.format(x='CAST(b AS DOUBLE) * c / n')}, 6) AS or_mh
 FROM t
@@ -7314,14 +7333,21 @@ def stats_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("r1") - F.col("c1") + F.col("a")).alias("d"),
     )
     nd = F.col("n").cast("double")
-    num = F.col("a") - F.col("r1").cast("double") * F.col("c1") / F.col("n")
-    var = (
+    # singleton-stratum guard (the Neyman r8 pattern): n = 1 leaves the
+    # hypergeometric variance 0/0 — both terms pin to 0 on both engines
+    # (a - E is identically 0 there anyway)
+    num = F.when(
+        F.col("n") >= 2,
+        F.col("a") - F.col("r1").cast("double") * F.col("c1") / F.col("n"),
+    ).otherwise(F.lit(0.0))
+    var = F.when(
+        F.col("n") >= 2,
         F.col("r1").cast("double")
         * (F.col("n") - F.col("r1"))
         * F.col("c1")
         * (F.col("n") - F.col("c1"))
-        / (nd * F.col("n") * (F.col("n") - 1.0))
-    )
+        / (nd * F.col("n") * (F.col("n") - 1.0)),
+    ).otherwise(F.lit(0.0))
     return t.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_strata"),
         F.sum("a").cast("bigint").alias("sum_a"),

@@ -2196,10 +2196,16 @@ def _sql_granger() -> str:
     from .catalog_stats import _PHI
 
     phi = _PHI.format(z="abs(tt)")
+    # zero-variance guard (the r8 latent class): the moment products are
+    # exact integers, so the degenerate-series test is pure integer
+    # comparison — NULL on both engines instead of NaN-vs-error
     r = (
-        "((CAST(n AS DOUBLE) * {sab} - CAST({sa} AS DOUBLE) * {sb})"
+        "(CASE WHEN (n * {saa} - {sa} * {sa}) > 0"
+        "       AND (n * {sbb} - {sb} * {sb}) > 0 THEN"
+        " ((CAST(n AS DOUBLE) * {sab} - CAST({sa} AS DOUBLE) * {sb})"
         " / sqrt((CAST(n AS DOUBLE) * {saa} - CAST({sa} AS DOUBLE) * {sa})"
         "        * (CAST(n AS DOUBLE) * {sbb} - CAST({sb} AS DOUBLE) * {sb})))"
+        " END)"
     )
     return f"""
 WITH daily AS (
@@ -2234,12 +2240,17 @@ rr AS (
 ),
 pc AS (
   SELECT n,
-         (ryx - ryz * rxz) / sqrt((1.0 - ryz * ryz) * (1.0 - rxz * rxz)) AS rp
+         CASE WHEN (1.0 - ryz * ryz) * (1.0 - rxz * rxz) > 0.0 THEN
+           (ryx - ryz * rxz) / sqrt((1.0 - ryz * ryz) * (1.0 - rxz * rxz))
+         END AS rp
   FROM rr
 ),
 ft AS (
-  SELECT n, rp, rp * rp * (n - 3) / (1.0 - rp * rp) AS f,
-         CASE WHEN rp >= 0 THEN sqrt(rp * rp * (n - 3) / (1.0 - rp * rp))
+  SELECT n, rp,
+         CASE WHEN 1.0 - rp * rp > 0.0
+              THEN rp * rp * (n - 3) / (1.0 - rp * rp) END AS f,
+         CASE WHEN 1.0 - rp * rp <= 0.0 THEN NULL
+              WHEN rp >= 0 THEN sqrt(rp * rp * (n - 3) / (1.0 - rp * rp))
               ELSE -sqrt(rp * rp * (n - 3) / (1.0 - rp * rp)) END AS tt
   FROM pc
 )
@@ -2306,10 +2317,14 @@ def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def corr(sab, sa, sb, saa, sbb):
         nd = F.col("n").cast("double")
-        return (nd * F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(sb).cast("double")) / F.sqrt(
+        # exact-integer zero-variance guard (see the oracle's CASE)
+        va = F.col("n").cast("decimal(38,0)") * F.col(saa) - F.col(sa) * F.col(sa)
+        vb = F.col("n").cast("decimal(38,0)") * F.col(sbb) - F.col(sb) * F.col(sb)
+        expr = (nd * F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(sb).cast("double")) / F.sqrt(
             (nd * F.col(saa).cast("double") - F.col(sa).cast("double") * F.col(sa).cast("double"))
             * (nd * F.col(sbb).cast("double") - F.col(sb).cast("double") * F.col(sb).cast("double"))
         )
+        return F.when((va > 0) & (vb > 0), expr)
 
     rr = m.select(
         "n",
@@ -2317,12 +2332,20 @@ def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("syz", "sy", "sz", "syy", "szz").alias("ryz"),
         corr("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
     )
-    rp = (F.col("ryx") - F.col("ryz") * F.col("rxz")) / F.sqrt(
-        (1.0 - F.col("ryz") * F.col("ryz")) * (1.0 - F.col("rxz") * F.col("rxz"))
+    rp_dom = (1.0 - F.col("ryz") * F.col("ryz")) * (1.0 - F.col("rxz") * F.col("rxz"))
+    rp = F.when(
+        rp_dom > 0.0,
+        (F.col("ryx") - F.col("ryz") * F.col("rxz")) / F.sqrt(rp_dom),
     )
     pc = rr.select("n", rp.alias("rp"))
-    fcol = F.col("rp") * F.col("rp") * (F.col("n") - 3) / (1.0 - F.col("rp") * F.col("rp"))
-    tt = F.when(F.col("rp") >= 0, F.sqrt(fcol)).otherwise(-F.sqrt(fcol))
+    f_dom = 1.0 - F.col("rp") * F.col("rp")
+    fcol = F.when(
+        f_dom > 0.0,
+        F.col("rp") * F.col("rp") * (F.col("n") - 3) / f_dom,
+    )
+    tt = F.when(f_dom <= 0.0, F.lit(None)).when(
+        F.col("rp") >= 0, F.sqrt(fcol)
+    ).otherwise(-F.sqrt(fcol))
     ft = pc.select("n", "rp", fcol.alias("f"), tt.alias("tt"))
     z = F.abs(F.col("tt"))
     phi = 1.0 / (

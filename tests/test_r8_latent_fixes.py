@@ -99,3 +99,36 @@ def test_l_diversity_entropy_nano_grid_exact_across_engines(spark, tmp_path):
     row = got.iloc[0]
     assert row["min_distinct_l"] == 1
     assert row["min_entropy_l"] == pytest.approx(1.0)  # exp(0) for the leak class
+
+
+def test_kendalls_w_single_item_panel_null_both_engines(spark, tmp_path):
+    pd.DataFrame(
+        [{"p_partkey": 1, "p_retailprice": 10.0, "p_size": 5, "p_name": "one"}]
+    ).to_parquet(tmp_path / "part.parquet", index=False)
+    got, want = _run_both(spark, "eval_kendalls_w", str(tmp_path), ["part"])
+    _assert_frames_equal(got, want)
+    assert got["kendalls_w"].isna().all()  # n^3 - n = 0: undefined, not inf
+
+
+def test_qwk_constant_raters_null_both_engines(spark, tmp_path):
+    # every doc gets grade (0, 0): expected weighted disagreement is 0
+    rows = [
+        {"doc_id": f"d{i}", "lang": "de", "n_chars": 10, "text": "wort wort"}
+        for i in range(6)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got, want = _run_both(spark, "eval_cohens_kappa_weighted", str(tmp_path), ["documents"])
+    _assert_frames_equal(got, want)
+    assert got["qwk"].isna().all()
+
+
+def test_mood_median_degenerate_single_value_null_both_engines(spark, tmp_path):
+    # all order values identical: everything <= median, ta = 0
+    rows = [
+        {"o_orderkey": i, "o_orderpriority": f"{1 + i % 2}-X", "o_totalprice": 100.0}
+        for i in range(8)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "orders.parquet", index=False)
+    got, want = _run_both(spark, "stats_mood_median_test", str(tmp_path), ["orders"])
+    _assert_frames_equal(got, want)
+    assert got["chi2"].isna().all()
