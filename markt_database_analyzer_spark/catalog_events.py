@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from .catalog import SQL_DAVG, SQL_DSUM, register, _t
+from .functions import dsum
 from .catalog import SQL_DSUM, register, _t
 from pyspark.sql import DataFrame, SparkSession
 from .catalog import register, _t
@@ -865,4 +866,145 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("credit9").cast("double") / 1e9, 9).alias("credit"),
         )
         .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Log-rank test (two-group survival comparison) — round 9
+# --------------------------------------------------------------------------
+
+
+def _sql_logrank() -> str:
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         min(date_trunc('day', ts)) AS first_day,
+         max(date_trunc('day', ts)) AS last_day,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS g1
+  FROM events GROUP BY 1
+),
+mx AS (SELECT max(last_day) AS max_day FROM u),
+d AS (
+  SELECT datediff('day', first_day, last_day) AS t,
+         CASE WHEN last_day < mx.max_day THEN 1 ELSE 0 END AS ev,
+         g1
+  FROM u CROSS JOIN mx
+),
+pt AS (
+  SELECT t,
+         CAST(count(*) AS BIGINT) AS tot,
+         CAST(count(*) FILTER (WHERE g1 = 1) AS BIGINT) AS tot1,
+         CAST(sum(ev) AS BIGINT) AS dd,
+         CAST(sum(ev) FILTER (WHERE g1 = 1) AS BIGINT) AS d1
+  FROM d GROUP BY 1
+),
+rk AS (
+  SELECT t, dd, d1,
+         sum(tot) OVER (ORDER BY t DESC) AS n,
+         sum(tot1) OVER (ORDER BY t DESC) AS n1
+  FROM pt
+),
+et AS (SELECT * FROM rk WHERE dd > 0),
+agg AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         {SQL_DSUM.format(x='CAST(dd AS DOUBLE) * n1 / n')} AS e1,
+         {SQL_DSUM.format(x='d1 - CAST(dd AS DOUBLE) * n1 / n')} AS omd,
+         {SQL_DSUM.format(
+             x='CASE WHEN n >= 2 THEN'
+               ' CAST(dd AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)'
+               ' * (1.0 - CAST(n1 AS DOUBLE) / n)'
+               ' * (n - dd) / (n - 1.0) ELSE 0.0 END')} AS v
+  FROM et
+),
+gsz AS (
+  SELECT CAST(count(*) FILTER (WHERE g1 = 1) AS BIGINT) AS n_users_1,
+         CAST(count(*) FILTER (WHERE g1 = 0) AS BIGINT) AS n_users_0
+  FROM u
+)
+SELECT n_users_1, n_users_0, o1 AS observed_1,
+       round(e1, 6) AS expected_1,
+       CASE WHEN v > 0.0 THEN round(omd * omd / v, 9) END AS logrank_chi2
+FROM agg CROSS JOIN gsz
+"""
+
+
+@register(
+    "events_logrank_test",
+    oracle=_sql_logrank(),
+    tags=("events", "survival", "logrank", "stats"),
+)
+def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing the retention curves of
+    purchasers vs non-purchasers: at every churn time the observed
+    group-1 churn count is compared against its hypergeometric
+    expectation given the shared risk set, pooled into chi2 =
+    (Sigma(O-E))^2 / Sigma V on 1 dof — the significance test on top of
+    the ``events_kaplan_meier`` / ``events_nelson_aalen`` estimators
+    (same duration framing: first-to-last event days, right-censored at
+    the corpus max day), and structurally the survival-time sibling of
+    ``stats_cmh_test`` (a CMH pooling over time strata).
+
+    Exactness: per-time d, d1 and both risk sets are exact integers
+    (risk sets = suffix sums over the duration-grain frame); each O-E
+    and V term quantizes on the micro grid (SQL_DSUM) before pooling;
+    the n = 1 tail stratum pins V to 0 on both engines (its O-E is 0);
+    a zero pooled variance nulls chi2 identically.
+
+    Scale shape: one per-user aggregate, one duration-grain groupBy,
+    two suffix-sum windows on the ~days-cardinality frame, a 1-row
+    combine. The raw event table never meets a window (the KM
+    discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.to_date(F.min(F.date_trunc("day", "ts"))).alias("first_day"),
+        F.to_date(F.max(F.date_trunc("day", "ts"))).alias("last_day"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("g1"),
+    )
+    mx = u.agg(F.max("last_day").alias("max_day"))
+    d = u.crossJoin(F.broadcast(mx)).select(
+        F.datediff("last_day", "first_day").alias("t"),
+        F.when(F.col("last_day") < F.col("max_day"), 1).otherwise(0).alias("ev"),
+        "g1",
+    )
+    pt = d.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot"),
+        F.count(F.when(F.col("g1") == 1, 1)).cast("bigint").alias("tot1"),
+        F.sum("ev").cast("bigint").alias("dd"),
+        F.sum(F.when(F.col("g1") == 1, F.col("ev"))).cast("bigint").alias("d1"),
+    )
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    rk = pt.select(
+        "t",
+        "dd",
+        "d1",
+        F.sum("tot").over(wdesc).alias("n"),
+        F.sum("tot1").over(wdesc).alias("n1"),
+    )
+    et = rk.filter(F.col("dd") > 0)
+    nd = F.col("n").cast("double")
+    p1 = F.col("n1").cast("double") / F.col("n")
+    vterm = F.when(
+        F.col("n") >= 2,
+        F.col("dd").cast("double") * p1 * (1.0 - p1) * (F.col("n") - F.col("dd")) / (nd - 1.0),
+    ).otherwise(F.lit(0.0))
+    agg = et.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        dsum(F.col("dd").cast("double") * F.col("n1") / F.col("n")).alias("e1"),
+        dsum(F.col("d1") - F.col("dd").cast("double") * F.col("n1") / F.col("n")).alias(
+            "omd"
+        ),
+        dsum(vterm).alias("v"),
+    )
+    gsz = u.agg(
+        F.count(F.when(F.col("g1") == 1, 1)).cast("bigint").alias("n_users_1"),
+        F.count(F.when(F.col("g1") == 0, 1)).cast("bigint").alias("n_users_0"),
+    )
+    return agg.crossJoin(F.broadcast(gsz)).select(
+        "n_users_1",
+        "n_users_0",
+        F.col("o1").alias("observed_1"),
+        F.round("e1", 6).alias("expected_1"),
+        F.when(
+            F.col("v") > 0.0, F.round(F.col("omd") * F.col("omd") / F.col("v"), 9)
+        ).alias("logrank_chi2"),
     )

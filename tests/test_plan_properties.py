@@ -93,6 +93,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # six 1-row max-normalizer broadcasts (one per HITS half-step) —
         # the PageRank entry's nn-scalar idiom
         "graph_hits_scores",
+        # corpus-max-day + group-size 1-row scalar broadcasts (the
+        # Kaplan-Meier censoring idiom)
+        "events_logrank_test",
         # funnel stage counts are four 1-row aggregates crossJoined into
         # the single output row — same scalar-broadcast idiom
         "events_funnel_stages",

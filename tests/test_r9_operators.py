@@ -482,3 +482,52 @@ def test_ipf_raking_matches_python_replay_and_margins(spark):
         seg[j] += v
     for j, s in seg.items():
         assert s == pytest.approx(cj, rel=0.02), j
+
+
+def test_logrank_matches_python_replay(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    users = defaultdict(lambda: [None, None, 0])
+    for r in ev:
+        d = r["ts"].date()
+        u = users[r["user_id"]]
+        u[0] = d if u[0] is None or d < u[0] else u[0]
+        u[1] = d if u[1] is None or d > u[1] else u[1]
+        u[2] |= r["event_type"] == "purchase"
+    mx = max(u[1] for u in users.values())
+    pt = defaultdict(lambda: [0, 0, 0, 0])  # tot, tot1, d, d1
+    for first, last, g1 in users.values():
+        t = (last - first).days
+        evt = last < mx
+        s = pt[t]
+        s[0] += 1
+        s[1] += g1
+        s[2] += evt
+        s[3] += evt and g1
+
+    def q6(x):
+        return round(x * 1e6) / 1e6
+
+    n = n1 = 0
+    omd = v = e1 = o1 = 0.0
+    for t in sorted(pt, reverse=True):
+        tot, tot1, dd, d1 = pt[t]
+        n += tot
+        n1 += tot1
+        if dd > 0:
+            o1 += d1
+            e1 += q6(dd * n1 / n)
+            omd += q6(d1 - dd * n1 / n)
+            if n >= 2:
+                v += q6(dd * (n1 / n) * (1 - n1 / n) * (n - dd) / (n - 1))
+    out = REGISTRY["events_logrank_test"].fn(spark, SF_DIR).collect()[0]
+    assert out["n_users_1"] == sum(u[2] for u in users.values())
+    assert out["n_users_0"] == len(users) - out["n_users_1"]
+    assert out["observed_1"] == o1
+    assert out["expected_1"] == pytest.approx(e1, abs=1e-5)
+    if v > 0:
+        assert out["logrank_chi2"] == pytest.approx(omd * omd / v, abs=1e-6)
+    else:
+        # degenerate sf: one group empty -> zero pooled variance -> NULL
+        assert out["logrank_chi2"] is None

@@ -481,6 +481,7 @@ R9_ENTRIES = [
     "graph_hits_scores",
     "stats_cmh_test",
     "sample_ipf_raking",
+    "events_logrank_test",
 ]
 
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
