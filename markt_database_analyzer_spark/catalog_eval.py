@@ -1623,3 +1623,137 @@ def eval_cohens_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("qwk"),
     )
+
+
+# --------------------------------------------------------------------------
+# AUC with Hanley-McNeil standard error / CI (round 9)
+# --------------------------------------------------------------------------
+
+
+def _sql_auc_ci() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+         round(len(list_filter({toks}, t -> t IN ('the','a','of','and','is')))
+               / CAST(len({toks}) AS DOUBLE), 9) AS score
+  FROM documents WHERE len({toks}) > 0
+),
+by_score AS (
+  SELECT score, CAST(sum(label) AS BIGINT) AS tp_here,
+         CAST(sum(1 - label) AS BIGINT) AS fp_here
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT score,
+         sum(tp_here) OVER (ORDER BY score DESC) AS tp,
+         sum(fp_here) OVER (ORDER BY score DESC) AS fp,
+         sum(tp_here) OVER () AS pos, sum(fp_here) OVER () AS neg
+  FROM by_score
+),
+seg AS (
+  SELECT pos, neg,
+         (fp - coalesce(lag(fp) OVER (ORDER BY score DESC), 0))
+         * (tp + coalesce(lag(tp) OVER (ORDER BY score DESC), 0)) AS seg2
+  FROM cum
+),
+a AS (
+  SELECT CAST(min(pos) AS BIGINT) AS pos, CAST(min(neg) AS BIGINT) AS neg,
+         CAST(sum(CAST(seg2 AS HUGEINT)) AS HUGEINT) AS s2
+  FROM seg
+),
+f AS (
+  SELECT pos, neg,
+         CAST(s2 AS DOUBLE) / (2.0 * pos * neg) AS auc
+  FROM a
+),
+se AS (
+  SELECT pos, neg, auc,
+         sqrt((auc * (1.0 - auc)
+               + (pos - 1.0) * (auc / (2.0 - auc) - auc * auc)
+               + (neg - 1.0) * (2.0 * auc * auc / (1.0 + auc) - auc * auc))
+              / (CAST(pos AS DOUBLE) * neg)) AS se
+  FROM f
+)
+SELECT pos, neg, round(auc, 9) AS auc, round(se, 9) AS se,
+       round(greatest(0.0, auc - 1.96 * se), 6) AS ci95_lo,
+       round(least(1.0, auc + 1.96 * se), 6) AS ci95_hi
+FROM se
+"""
+
+
+@register(
+    "eval_auc_hanley_ci",
+    oracle=_sql_auc_ci(),
+    tags=("eval", "auc", "confidence-interval"),
+)
+def eval_auc_hanley_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC with the Hanley-McNeil (1982) standard error and 95% CI —
+    the uncertainty ``eval_roc_auc`` omits: SE^2 = (A(1-A) +
+    (P-1)(Q1-A^2) + (N-1)(Q2-A^2)) / PN with the exponential-model
+    Q1 = A/(2-A), Q2 = 2A^2/(1+A). The decision a filter-threshold
+    review actually needs is "is this AUC distinguishable from that
+    one", which requires the SE, not the point estimate. Zero-token
+    docs excluded by the shared guard; z = 1.96 as a shared literal;
+    CI clamped to [0, 1] identically via greatest/least.
+
+    Exactness: the trapezoid area numerator is an exact integer
+    (Decimal128/HUGEINT sum of integer segments over distinct scores,
+    the roc-auc machinery); AUC and SE are identical double
+    expressions over (s2, P, N).
+
+    Scale shape: one distinct-score groupBy, cumulative windows over
+    score cardinality (never rows — the roc entry's envelope; the
+    100 TB form buckets scores to a fixed grid first), 1-row reduce."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = tx.tokens("text")
+    stop = F.filter(ts, lambda t: t.isin("the", "a", "of", "and", "is"))
+    scored = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        F.round(F.size(stop) / F.size(ts).cast("double"), 9).alias("score"),
+    ).filter(F.size(ts) > 0)
+    by_score = scored.groupBy("score").agg(
+        F.sum("label").alias("tp_here"),
+        F.sum(1 - F.col("label")).alias("fp_here"),
+    )
+    word = Window.orderBy(F.desc("score"))
+    wall = Window.partitionBy(F.lit(1))
+    cum = by_score.select(
+        "score",
+        F.sum("tp_here").over(word).alias("tp"),
+        F.sum("fp_here").over(word).alias("fp"),
+        F.sum("tp_here").over(wall).alias("pos"),
+        F.sum("fp_here").over(wall).alias("neg"),
+    )
+    seg2 = (F.col("fp") - F.coalesce(F.lag("fp").over(word), F.lit(0))) * (
+        F.col("tp") + F.coalesce(F.lag("tp").over(word), F.lit(0))
+    )
+    a = cum.select("pos", "neg", seg2.cast("decimal(38,0)").alias("seg2")).agg(
+        F.min("pos").cast("bigint").alias("pos"),
+        F.min("neg").cast("bigint").alias("neg"),
+        F.sum("seg2").alias("s2"),
+    )
+    auc = F.col("s2").cast("double") / (2.0 * F.col("pos") * F.col("neg"))
+    f = a.select("pos", "neg", auc.alias("auc"))
+    se = F.sqrt(
+        (
+            F.col("auc") * (1.0 - F.col("auc"))
+            + (F.col("pos") - 1.0) * (F.col("auc") / (2.0 - F.col("auc")) - F.col("auc") * F.col("auc"))
+            + (F.col("neg") - 1.0)
+            * (2.0 * F.col("auc") * F.col("auc") / (1.0 + F.col("auc")) - F.col("auc") * F.col("auc"))
+        )
+        / (F.col("pos").cast("double") * F.col("neg"))
+    )
+    g = f.select("pos", "neg", "auc", se.alias("se"))
+    return g.select(
+        "pos",
+        "neg",
+        F.round("auc", 9).alias("auc"),
+        F.round("se", 9).alias("se"),
+        F.round(F.greatest(F.lit(0.0), F.col("auc") - 1.96 * F.col("se")), 6).alias(
+            "ci95_lo"
+        ),
+        F.round(F.least(F.lit(1.0), F.col("auc") + 1.96 * F.col("se")), 6).alias(
+            "ci95_hi"
+        ),
+    )

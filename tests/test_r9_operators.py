@@ -531,3 +531,42 @@ def test_logrank_matches_python_replay(spark):
     else:
         # degenerate sf: one group empty -> zero pooled variance -> NULL
         assert out["logrank_chi2"] is None
+
+
+def test_auc_hanley_ci_matches_python_replay(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang", "text"
+    ).collect()
+    pts = []
+    for r in docs:
+        toks = [t for t in r["text"].strip().lower().split() if t]
+        if not toks:
+            continue
+        s = round(sum(t in ("the", "a", "of", "and", "is") for t in toks) / len(toks), 9)
+        pts.append((s, r["lang"] == "en"))
+    by_score = defaultdict(lambda: [0, 0])
+    for s, lab in pts:
+        by_score[s][0] += lab
+        by_score[s][1] += not lab
+    tp = fp = 0
+    s2 = 0
+    for s in sorted(by_score, reverse=True):
+        dtp, dfp = by_score[s]
+        s2 += dfp * (2 * tp + dtp)
+        tp += dtp
+        fp += dfp
+    pos, neg = tp, fp
+    auc = s2 / (2 * pos * neg)
+    q1 = auc / (2 - auc)
+    q2 = 2 * auc * auc / (1 + auc)
+    se = math.sqrt(
+        (auc * (1 - auc) + (pos - 1) * (q1 - auc * auc) + (neg - 1) * (q2 - auc * auc))
+        / (pos * neg)
+    )
+    out = REGISTRY["eval_auc_hanley_ci"].fn(spark, SF_DIR).collect()[0]
+    assert (out["pos"], out["neg"]) == (pos, neg)
+    assert out["auc"] == pytest.approx(auc, abs=1e-9)
+    assert out["se"] == pytest.approx(se, abs=1e-9)
+    assert out["ci95_lo"] == pytest.approx(max(0.0, auc - 1.96 * se), abs=1e-6)
+    assert out["ci95_hi"] == pytest.approx(min(1.0, auc + 1.96 * se), abs=1e-6)
+    assert 0.0 <= out["ci95_lo"] <= out["auc"] <= out["ci95_hi"] <= 1.0

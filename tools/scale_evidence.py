@@ -482,6 +482,7 @@ R9_ENTRIES = [
     "stats_cmh_test",
     "sample_ipf_raking",
     "events_logrank_test",
+    "eval_auc_hanley_ci",
 ]
 
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
