@@ -69,11 +69,14 @@ def _row_is_green(row: dict) -> bool:
     weaker rows-only check produced a row count."""
     if row.get("err") == "no_oracle":
         return row.get("spark_rows") is not None
+    # hash_match must be an explicit True: a partially-written row with
+    # rows/schema recorded but no value-compare result is NOT a standing
+    # green and must stay at re-check priority (ADVICE r9).
     return (
         row.get("err") is None
         and row.get("rows_match") is True
         and row.get("schema_match") is True
-        and row.get("hash_match") is not False
+        and row.get("hash_match") is True
     )
 
 

@@ -110,7 +110,11 @@ def main() -> None:
             samples.append(time.time() - t0)
         samples.sort()
         timings[name] = round(samples[0], 3)
-        medians[name] = round(samples[len(samples) // 2], 3)
+        # true median: average the two middle samples for even n (the
+        # upper-middle element alone biases the noise bound high)
+        mid = len(samples) // 2
+        med = samples[mid] if len(samples) % 2 else (samples[mid - 1] + samples[mid]) / 2
+        medians[name] = round(med, 3)
         if spec.headline:
             headline_total += timings[name]
     load_after = round(os.getloadavg()[0], 2)

@@ -895,7 +895,7 @@ pt AS (
          CAST(count(*) AS BIGINT) AS tot,
          CAST(count(*) FILTER (WHERE g1 = 1) AS BIGINT) AS tot1,
          CAST(sum(ev) AS BIGINT) AS dd,
-         CAST(sum(ev) FILTER (WHERE g1 = 1) AS BIGINT) AS d1
+         CAST(coalesce(sum(ev) FILTER (WHERE g1 = 1), 0) AS BIGINT) AS d1
   FROM d GROUP BY 1
 ),
 rk AS (
@@ -970,7 +970,9 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("tot"),
         F.count(F.when(F.col("g1") == 1, 1)).cast("bigint").alias("tot1"),
         F.sum("ev").cast("bigint").alias("dd"),
-        F.sum(F.when(F.col("g1") == 1, F.col("ev"))).cast("bigint").alias("d1"),
+        F.sum(F.coalesce(F.when(F.col("g1") == 1, F.col("ev")), F.lit(0)))
+        .cast("bigint")
+        .alias("d1"),
     )
     wdesc = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
     rk = pt.select(

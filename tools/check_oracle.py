@@ -9,11 +9,17 @@ over the same parquet tables, then compares:
   compared exactly AND with np.isclose reporting (so a hash-style
   mismatch is distinguishable from a genuine semantic difference)
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [--json out.json] [query ...]
+
+With ``--json``, also writes a machine-readable artifact (one record per
+entry: name, rows, match, secs, problems) — the LOCALCHECK_r{N}.json
+the round narrative commits as the post-consolidation verification
+record.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -91,8 +97,14 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and sys.argv[1].startswith("/") else DEFAULT_SF
-    only = [a for a in sys.argv[1:] if not a.startswith("/")]
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv and argv[0].startswith("/") else DEFAULT_SF
+    only = [a for a in argv if not a.startswith("/")]
 
     import __spark_entry__ as e
     from markt_database_analyzer_spark.session import get_spark
@@ -109,9 +121,11 @@ def main() -> int:
 
     sf_pinned = {n for n, s in _REG.items() if "oracle-sf0.01" in s.tags}
     failures = 0
+    records: dict[str, dict] = {}
     for name in names:
         if name in sf_pinned and "sf0.01" not in sf_dir:
             print(f"SKIP  {name}: oracle rendered for sf0.01 (tag oracle-sf0.01)")
+            records[name] = {"match": None, "skip": "oracle-sf0.01"}
             continue
         t0 = time.time()
         try:
@@ -119,27 +133,54 @@ def main() -> int:
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
+            records[name] = {"match": False, "err": f"spark: {exc}"[:300]}
             continue
         if name not in oracles:
-            ok = len(got) >= 0
             print(f"ROWS  {name}: {len(got)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            records[name] = {
+                "match": None, "rows": len(got), "no_oracle": True,
+                "secs": round(time.time() - t0, 2),
+            }
             continue
         try:
             want = con.execute(oracles[name]).fetchdf()
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures += 1
+            records[name] = {"match": False, "err": f"duckdb: {exc}"[:300]}
             continue
         problems = compare(name, got, want)
         hard = [p for p in problems if "within 1e-12" not in p]
+        secs = round(time.time() - t0, 2)
+        records[name] = {
+            "match": not hard, "rows": len(got), "secs": secs,
+            **({"problems": problems[:5]} if problems else {}),
+        }
         if hard:
             failures += 1
-            print(f"FAIL  {name}: " + " | ".join(problems) + f" [{time.time()-t0:.1f}s]")
+            print(f"FAIL  {name}: " + " | ".join(problems) + f" [{secs}s]")
         elif problems:
-            print(f"WARN  {name}: " + " | ".join(problems) + f" [{time.time()-t0:.1f}s]")
+            print(f"WARN  {name}: " + " | ".join(problems) + f" [{secs}s]")
         else:
-            print(f"MATCH {name}: {len(got)} rows [{time.time()-t0:.1f}s]")
+            print(f"MATCH {name}: {len(got)} rows [{secs}s]")
     print(f"\n{len(names)-failures}/{len(names)} ok")
+    if json_path:
+        n_match = sum(1 for r in records.values() if r.get("match") is True)
+        n_rows_only = sum(1 for r in records.values() if r.get("no_oracle"))
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total": len(records),
+                    "match": n_match,
+                    "rows_only": n_rows_only,
+                    "fail": failures,
+                    "entries": records,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_path}: {n_match} match / {n_rows_only} rows-only / {failures} fail")
     return 1 if failures else 0
 
 
