@@ -85,6 +85,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+# Row cap for the oracle-parity DEMO forms — entries whose plan contains
+# a global total-order (un-partitioned ntile / fixed-band LSH self-join)
+# kept because the standard-SQL shape replays bit-identically on DuckDB.
+# Each has a 100 TB-safe `_cuts`/`_sized` twin in the registry; the guard
+# makes calling the demo form on a big frame an ERROR with a pointer to
+# the twin instead of a silent single-partition sort. 2M rows is ~13×
+# the largest guarded input at bench scale (sf0.1 orders = 150k), so the
+# guard is a no-op for every test/bench/driver run — oracle hashes and
+# timings unchanged — while a 1000-executor misuse fails fast.
+DEMO_FORM_MAX_ROWS = 2_000_000
+
+
+def demo_guard(df: DataFrame, entry: str, twin: str, cap: int = DEMO_FORM_MAX_ROWS) -> DataFrame:
+    """Refuse to build a global-total-order demo plan over a frame larger
+    than ``cap`` rows (the ``sources/plots.py`` MAX_PLOT_ROWS pattern,
+    applied at the input instead of the sink). The count is one
+    metadata-cheap job on the raw scan; ``df`` is returned unchanged so
+    call sites stay single-expression."""
+    n = df.count()
+    if n > cap:
+        raise ValueError(
+            f"{entry} is an oracle-parity demo form (global total-order plan) "
+            f"and refuses inputs over {cap:,} rows (got {n:,}); "
+            f"use its scale twin {twin} instead"
+        )
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Shared building blocks over `events`: the monitor_records analog.
 # A user's event stream plays the role of an ad push's snapshot log; the

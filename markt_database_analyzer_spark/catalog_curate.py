@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import SQL_DAVG, SQL_DSUM, register, _t
+from .catalog import SQL_DAVG, SQL_DSUM, demo_guard, register, _t
 from .catalog_ext import _sql_minhash_lsh
 from .datapipe import clustering as cl
 from .datapipe import dedup as dd
@@ -395,8 +395,19 @@ def similarity_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos 0.51). The third ANN family next to IVF and cell-blocking:
     data-independent (no training pass), so it works on a cold corpus.
     Band joins shuffle (vid, band, code) rows only; vectors are fetched
-    for the deduped candidate set alone."""
-    emb = _t(spark, sf_dir, "embeddings")
+    for the deduped candidate set alone.
+
+    The fixed 4-bit bands make random-pair candidates Θ(n²·2⁻⁴) — the
+    measured 13.1×-wall-at-10× demo geometry — so a tight demo_guard
+    (20k rows ≈ 100M raw band collisions worst-case) refuses larger
+    corpora with a pointer to ``similarity_srp_lsh_sized``, whose
+    corpus-sized bands keep candidates linear."""
+    emb = demo_guard(
+        _t(spark, sf_dir, "embeddings"),
+        "similarity_srp_lsh_pairs",
+        "similarity_srp_lsh_sized",
+        cap=20_000,
+    )
     pairs = sim.srp_neardup_pairs(emb, "vec_id", "embedding", dim=64, min_cos=0.4)
     return pairs.repartition(1).sortWithinPartitions("id_a", "id_b")
 

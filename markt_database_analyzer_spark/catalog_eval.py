@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from .catalog import register, _t
+from .catalog import demo_guard, register, _t
 from .datapipe import text as tx
 from .functions import dsum
 from .catalog import SQL_DAVG, SQL_DSUM, register, _t
@@ -894,8 +894,13 @@ def eval_lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     nondeterministic order. Like the ROC/PR entries, the global-order
     window is the laptop form; the 100 TB form assigns deciles from
     equi-depth score cuts (``operators/equidepth.py``, the ``_cuts``
-    family) instead of a global sort."""
-    docs = _t(spark, sf_dir, "documents")
+    family) instead of a global sort; the demo_guard refuses inputs past
+    the cap with a pointer to ``eval_lift_gains_deciles_cuts``."""
+    docs = demo_guard(
+        _t(spark, sf_dir, "documents"),
+        "eval_lift_gains_deciles",
+        "eval_lift_gains_deciles_cuts",
+    )
     base = docs.select("doc_id", "lang", tx.tokens("text").alias("toks"))
     stop = F.filter(F.col("toks"), lambda t: t.isin("the", "a", "of", "and", "is"))
     scored = base.select(

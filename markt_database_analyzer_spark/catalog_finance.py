@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from .catalog import SQL_DSUM, register, _t
+from .catalog import SQL_DSUM, demo_guard, register, _t
 from .functions import dsum
 from .catalog import register, _t
 from .catalog import SQL_DAVG, SQL_DSUM, register, _t
@@ -71,10 +71,13 @@ def segment_rfm_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is one hash agg; the three ntiles are global sorts over
     the customer-cardinality frame; the scale path is the round-4 twin
     ``segment_rfm_customers_cuts`` (exact percentile cut points
-    broadcast, map-only scoring)."""
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderdate", "o_totalprice"
-    )
+    broadcast, map-only scoring); the demo_guard refuses inputs past the
+    cap with a pointer to the twin."""
+    orders = demo_guard(
+        _t(spark, sf_dir, "orders"),
+        "segment_rfm_customers",
+        "segment_rfm_customers_cuts",
+    ).select("o_custkey", "o_orderdate", "o_totalprice")
     ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
     rfm = (
         orders.groupBy(F.col("o_custkey").alias("custkey"))

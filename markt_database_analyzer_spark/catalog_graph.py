@@ -1062,17 +1062,31 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = hr.crossJoin(F.broadcast(hmax)).select(
             "u", F.round(F.col("hr") / F.col("hm"), 9).alias("h")
         )
+    # top-10 via orderBy().limit() — Spark plans TakeOrdered (per-partition
+    # heap + driver merge), never a single-partition rank sort over the
+    # vertex-cardinality frame; rank is then a window over 10 rows only.
+    # Same total tiebreak (score DESC, key) as the oracle's row_number.
     wh = Window.orderBy(F.desc("score"), "key")
-    hubs = h.select(
-        F.lit("hub").alias("kind"), F.col("u").alias("key"), F.col("h").alias("score")
-    ).withColumn("rank", F.row_number().over(wh))
-    auth = a.select(
-        F.lit("authority").alias("kind"),
-        F.col("v").alias("key"),
-        F.col("a").alias("score"),
-    ).withColumn("rank", F.row_number().over(wh))
-    return (
-        hubs.unionByName(auth)
-        .filter(F.col("rank") <= 10)
-        .orderBy("kind", "rank")
+
+    def _top10(df: DataFrame) -> DataFrame:
+        return (
+            df.orderBy(F.desc("score"), "key")
+            .limit(10)
+            .withColumn("rank", F.row_number().over(wh))
+        )
+
+    hubs = _top10(
+        h.select(
+            F.lit("hub").alias("kind"),
+            F.col("u").alias("key"),
+            F.col("h").alias("score"),
+        )
     )
+    auth = _top10(
+        a.select(
+            F.lit("authority").alias("kind"),
+            F.col("v").alias("key"),
+            F.col("a").alias("score"),
+        )
+    )
+    return hubs.unionByName(auth).orderBy("kind", "rank")

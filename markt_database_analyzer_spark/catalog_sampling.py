@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from .catalog import SQL_DAVG, SQL_DSUM, register, _t
+from .catalog import SQL_DAVG, SQL_DSUM, demo_guard, register, _t
 from .datapipe import sampling as smp
 from .datapipe import text as tx
 from .catalog import SQL_DSUM, register, _t
@@ -505,8 +505,13 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a total order over docs — at 100 TB phase boundaries come from
     operators/equidepth.py cut points on n_tokens instead (the
     histogram_equi_depth_cuts discipline), keeping assignment
-    map-only."""
-    docs = _t(spark, sf_dir, "documents")
+    map-only; the demo_guard refuses inputs past the cap with that
+    pointer."""
+    docs = demo_guard(
+        _t(spark, sf_dir, "documents"),
+        "sample_curriculum_order",
+        "equi-depth n_tokens cut points (operators/equidepth.py)",
+    )
     scored = docs.select(
         "doc_id",
         F.size(tx.tokens("text")).cast("bigint").alias("n_tokens"),

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from .catalog import SQL_DAVG, SQL_DSUM, register, _t
+from .catalog import SQL_DAVG, SQL_DSUM, demo_guard, register, _t
 from .datapipe import text as tx
 from .functions import davg, dsum
 from .catalog import register, _t
@@ -142,8 +142,14 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiling deterministic. ntile's single total order is the fixture
     form; the scale path is the round-4 twin
     ``histogram_equi_depth_cuts`` (operators/equidepth.py exact
-    percentile cuts as broadcast literals + map-only assignment)."""
-    ev = _t(spark, sf_dir, "events")
+    percentile cuts as broadcast literals + map-only assignment); the
+    demo_guard makes that routing an error message instead of a silent
+    single-partition sort on frames past the cap."""
+    ev = demo_guard(
+        _t(spark, sf_dir, "events"),
+        "histogram_equi_depth",
+        "histogram_equi_depth_cuts",
+    )
     w = Window.orderBy("value", "event_id")
     return (
         ev.select("value", F.ntile(10).over(w).alias("bucket"))
@@ -485,10 +491,13 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scale path: the round-4 twin ``stats_winsorized_mean_cuts``); cut
     points are group-cardinality and broadcast back into a map-only
     clip. At 100 TB the cut points come from percentile_approx instead
-    (equi-depth machinery), same contract."""
-    ev = _t(spark, sf_dir, "events").select("event_type", "value").filter(
-        F.col("value").isNotNull()
-    )
+    (equi-depth machinery), same contract; the demo_guard refuses inputs
+    past the cap with a pointer to the twin."""
+    ev = demo_guard(
+        _t(spark, sf_dir, "events"),
+        "stats_winsorized_mean",
+        "stats_winsorized_mean_cuts",
+    ).select("event_type", "value").filter(F.col("value").isNotNull())
     cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     rk = ev.withColumn(
         "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("value"))
@@ -1835,8 +1844,13 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilities themselves. One window + one small agg; the ECE is a
     constant-state window over {_CAL_BINS} rows. Scale path: the
     round-4 twin ``eval_calibration_bins_cuts`` (exact conf-domain
-    cuts, no un-partitioned data window)."""
-    docs = _t(spark, sf_dir, "documents")
+    cuts, no un-partitioned data window); the demo_guard refuses inputs
+    past the cap with a pointer to the twin."""
+    docs = demo_guard(
+        _t(spark, sf_dir, "documents"),
+        "eval_calibration_bins",
+        "eval_calibration_bins_cuts",
+    )
     ts = tx.tokens("text")
     stop = F.filter(ts, lambda t: t.isin("the", "a", "of", "and", "is"))
     scored = docs.select(

@@ -10,10 +10,18 @@ of typed metadata alongside. What is REAL here (and tested):
   an iterator of record batches, preserving partitioning, with bounded
   batch memory (the exact shape a real image decoder plugs into)
 
-What is STUBBED (image/audio libs are not in this container): the codec
-call itself. ``decode_features`` ships a deterministic fake featurizer
-(byte statistics) and raises ``NotImplementedError`` for ``backend="real"``
-— swap in PIL/torchaudio there on a cluster with the libs installed.
+Two backends ship for ``decode_features``:
+
+- ``backend="fake"`` — deterministic byte-stat featurizer (the original
+  stand-in, kept for the plumbing entries);
+- ``backend="real"`` — an actual pixel decoder for the self-describing
+  uncompressed raster formats (BMP 24-bpp BI_RGB and binary PPM ``P6``),
+  implemented in pure numpy inside the same Arrow ``mapInPandas``
+  plumbing: header parse → stride/padding/bottom-up handling → HxWx3
+  uint8 array → per-channel statistics. Payloads in formats that would
+  need an external codec (png/jpeg/...) decode to NULL feature columns
+  with ``format`` preserved — the batch shape, schema, and partitioning
+  are identical to what a PIL/ffmpeg featurizer plugs into.
 """
 
 from __future__ import annotations
