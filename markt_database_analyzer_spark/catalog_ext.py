@@ -475,6 +475,53 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_features(with_payload).orderBy("doc_id")
 
 
+@register(
+    "multimodal_decode_real",
+    # The decoder is REAL (BMP/PPM header parse → pixel array → channel
+    # means), but the fixture is SQL-replayable by construction: each
+    # payload is a 2x2 image whose 12 pixel bytes are the first 12 md5
+    # bytes of str(doc_id), container rotating on doc_id % 3 (BMP / PPM /
+    # PNG-magic-unsupported). The oracle recomputes the channel means as
+    # hex-pair arithmetic — a bit-exact round-trip check of the stride /
+    # padding / bottom-up / BGR handling, not a rows-only smoke.
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, 12),
+           i -> ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2 * i + 1, 2))::INT
+         ) AS bt,
+         doc_id % 3 AS k
+  FROM documents
+)
+SELECT doc_id,
+       CASE k WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'unsupported' END AS format,
+       CASE WHEN k < 2 THEN 2 END AS width,
+       CASE WHEN k < 2 THEN 2 END AS height,
+       CASE WHEN k < 2 THEN CAST(4 AS BIGINT) END AS n_pixels,
+       CASE WHEN k < 2 THEN round((bt[1] + bt[4] + bt[7] + bt[10]) / 4.0, 6) END AS mean_r,
+       CASE WHEN k < 2 THEN round((bt[2] + bt[5] + bt[8] + bt[11]) / 4.0, 6) END AS mean_g,
+       CASE WHEN k < 2 THEN round((bt[3] + bt[6] + bt[9] + bt[12]) / 4.0, 6) END AS mean_b,
+       'real-v1' AS feature_version
+FROM b ORDER BY doc_id
+""",
+    tags=("multimodal", "mapInPandas", "codec"),
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL raster decode inside the Arrow mapInPandas plumbing: crafted
+    BMP 24-bpp / PPM P6 payloads (pixels = md5(doc_id) bytes, see
+    datapipe.multimodal.crafted_payloads) are decoded by the pure-numpy
+    header-parsing decoder — stride padding, bottom-up row order and BGR
+    channel swap inverted bit-exactly — into per-channel pixel means;
+    PNG-magic payloads take the NULL-feature unsupported path. Closes
+    the fake-codec gap: the decode step itself, not just the plumbing,
+    is value-checked against the SQL replay. Scale shape: two chained
+    map-only Arrow stages, no shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = mm.crafted_payloads(docs, "doc_id")
+    return mm.decode_features(with_payload, backend="real").orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Streaming
 # --------------------------------------------------------------------------

@@ -96,24 +96,197 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Real raster decode: BMP (24-bpp BI_RGB) and binary PPM (P6) in pure numpy.
+# Self-describing uncompressed formats, so the full decode path — header
+# parse, row stride/padding, bottom-up flip, BGR→RGB — runs with zero
+# external codecs while exercising exactly the batch shape a PIL/ffmpeg
+# featurizer plugs into.
+# ---------------------------------------------------------------------------
+
+REAL_FEATURE_SCHEMA = (
+    "doc_id long, format string, width int, height int, n_pixels long, "
+    "mean_r double, mean_g double, mean_b double, feature_version string"
+)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal 24-bpp BI_RGB BMP encoder for an HxWx3 uint8 RGB array —
+    bottom-up rows, BGR channel order, 4-byte row padding (the on-disk
+    layout Windows bitmaps have used since 1990). Used by tests and the
+    ``multimodal_decode_real`` fixture builder; the decoder below must
+    invert it bit-exactly."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = pixels[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    data = bytes(rows)
+    offset = 14 + 40
+    size = offset + len(data)
+    file_header = b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00" + offset.to_bytes(4, "little")
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")     # planes
+        + (24).to_bytes(2, "little")    # bpp
+        + (0).to_bytes(4, "little")     # BI_RGB
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16                   # ppm resolutions + palette counts
+    )
+    return file_header + info + data
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6, maxval 255) encoder for an HxWx3 uint8 RGB array."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + pixels.tobytes()
+
+
+def _parse_bmp(b: bytes) -> tuple[str, np.ndarray] | None:
+    """Decode an uncompressed 24-bpp BI_RGB BMP to an HxWx3 uint8 RGB
+    array; None for anything else (compressed, paletted, truncated)."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    offset = int.from_bytes(b[10:14], "little")
+    header_size = int.from_bytes(b[14:18], "little")
+    if header_size < 40:
+        return None
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(b) < offset + stride * h:
+        return None
+    raw = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return "bmp", rows[:, :, ::-1]  # BGR -> RGB
+
+
+def _parse_ppm(b: bytes) -> tuple[str, np.ndarray] | None:
+    """Decode a binary PPM (P6, maxval 255, with optional # comments)."""
+    if b[:2] != b"P6":
+        return None
+    # header = magic + 3 ASCII ints separated by whitespace/comments,
+    # terminated by exactly one whitespace byte before the raster
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(b):
+        c = b[pos : pos + 1]
+        if c == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(b) and b[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(b[start:pos]))
+        else:
+            return None
+    if len(fields) < 3 or pos >= len(b) or not b[pos : pos + 1].isspace():
+        return None
+    pos += 1
+    w, h, maxval = fields
+    if maxval != 255 or w <= 0 or h <= 0 or len(b) < pos + w * h * 3:
+        return None
+    raw = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return "ppm", raw.reshape(h, w, 3)
+
+
+def decode_pixels(b: bytes) -> tuple[str, np.ndarray] | None:
+    """Dispatch on magic bytes; None when no zero-dependency decoder
+    applies (png/jpeg/... need external codecs)."""
+    if not b:
+        return None
+    return _parse_bmp(b) or _parse_ppm(b)
+
+
+def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        decoded = decode_pixels(bytes(payload) if payload is not None else b"")
+        if decoded is None:
+            rows.append((doc_id, "unsupported", None, None, None, None, None, None))
+            continue
+        fmt, px = decoded
+        means = px.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+        rows.append(
+            (
+                doc_id, fmt, px.shape[1], px.shape[0],
+                px.shape[0] * px.shape[1],
+                round(float(means[0]), 6),
+                round(float(means[1]), 6),
+                round(float(means[2]), 6),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "format", "width", "height", "n_pixels",
+            "mean_r", "mean_g", "mean_b",
+        ],
+    ).assign(feature_version="real-v1")
+
+
 def decode_features(df: DataFrame, backend: str = "fake") -> DataFrame:
     """Arrow-batched decode/feature extraction over (doc_id, payload).
 
     ``backend="fake"`` runs the deterministic byte-stat featurizer;
-    ``backend="real"`` is the integration point for an actual media codec
-    (PIL / ffmpeg / torchaudio) and raises until one is installed.
-    """
-    if backend == "real":  # pragma: no cover - container has no codecs
-        raise NotImplementedError(
-            "real media decode requires image/audio libraries not present in "
-            "this environment; plug the codec into _decode_batch here"
-        )
+    ``backend="real"`` runs the zero-dependency raster decoder (BMP
+    24-bpp / PPM P6 → per-channel pixel means; unsupported formats →
+    NULL features). Both share the same ``mapInPandas`` iterator shape,
+    so swapping in a PIL/ffmpeg codec is a one-function change."""
+    if backend not in ("fake", "real"):
+        raise ValueError(f"unknown decode backend {backend!r}")
+    batch_fn = _real_decode_batch if backend == "real" else _fake_decode_batch
+    schema = REAL_FEATURE_SCHEMA if backend == "real" else FEATURE_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _fake_decode_batch(pdf)
+            yield batch_fn(pdf)
 
-    return fan_out(df.select("doc_id", "payload")).mapInPandas(run, schema=FEATURE_SCHEMA)
+    return fan_out(df.select("doc_id", "payload")).mapInPandas(run, schema=schema)
+
+
+def crafted_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media fixture builder for the decode entries: per id,
+    a 2x2 RGB image whose 12 pixel bytes are the first 12 md5 bytes of
+    ``str(id)`` — replayable as hex-pair arithmetic in ANSI SQL, so the
+    real decoder's output is fully value-checkable by the DuckDB oracle.
+    Container rotates on ``id % 3``: BMP (exercises stride padding +
+    bottom-up + BGR), PPM P6 (exercises ASCII header parse), and a
+    PNG-magic payload no zero-dependency decoder handles (exercises the
+    NULL-feature path). Pure map work inside the same Arrow plumbing."""
+    import hashlib
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                raw = hashlib.md5(str(d).encode("ascii")).digest()[:12]
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(2, 2, 3)
+                k = int(d) % 3
+                if k == 0:
+                    payloads.append(encode_bmp(px))
+                elif k == 1:
+                    payloads.append(encode_ppm(px))
+                else:
+                    payloads.append(b"\x89PNG\r\n\x1a\n" + raw)
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return fan_out(df.select(id_col)).mapInPandas(
+        build, schema=f"{id_col} long, payload binary"
+    )
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
