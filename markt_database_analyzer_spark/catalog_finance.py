@@ -1063,3 +1063,134 @@ def finance_evt_pot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias(f"var_{int(_POT_Q * 100)}"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit — round 10
+# --------------------------------------------------------------------------
+
+_SQL_BENFORD = """
+WITH px AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+counts AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM px GROUP BY d),
+spine AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10)),
+j AS (
+  SELECT digit, COALESCE(n, 0) AS n
+  FROM spine LEFT JOIN counts ON digit = d
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM j),
+s AS (
+  SELECT digit, n, nt,
+         round(CAST(n AS DOUBLE) / nt, 9) AS share,
+         round(log10(1.0 + 1.0 / digit), 9) AS benford_expected
+  FROM j CROSS JOIN tot
+),
+t AS (
+  SELECT digit, n, share, benford_expected,
+         round(abs(share - benford_expected), 9) AS abs_dev,
+         round(nt * (share - benford_expected) * (share - benford_expected)
+               / benford_expected, 9) AS chi2_term
+  FROM s
+)
+SELECT digit, n, share, benford_expected, abs_dev,
+       round((CAST(SUM(CAST(round(abs_dev * 1000000000.0) AS HUGEINT))
+                   OVER () AS DOUBLE) / 1000000000.0) / 9.0, 9) AS mad,
+       round(CAST(SUM(CAST(round(chi2_term * 1000000.0) AS HUGEINT))
+                  OVER () AS DOUBLE) / 1000000.0, 6) AS chi2
+FROM t ORDER BY digit
+"""
+
+
+@register(
+    "finance_benford_first_digit",
+    oracle=_SQL_BENFORD,
+    tags=("finance", "audit", "benford", "stats"),
+)
+def finance_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    classic forensic-accounting conformity test (Nigrini): observed
+    digit shares vs the Benford expectation log10(1 + 1/d), with the
+    mean absolute deviation (Nigrini's MAD, conformity bands at
+    0.006/0.012/0.015) and the 8-dof chi-square as whole-table columns.
+
+    Exactness: the first digit is the first character of the integer
+    CENTS string — no float log10/power extraction, so a price like
+    1000.00 can never flip digits between engines; shares are exact
+    count ratios; MAD and chi2 quantize their 9 per-digit terms on the
+    nano/micro grid before the ordered sum (the dsum discipline), so
+    cross-engine summation order is irrelevant. A 1..9 digit spine
+    LEFT-join zero-fills absent digits (the J4 pattern) so the 9-row
+    shape is unconditional.
+
+    Scale shape: one pruned fact scan -> map-side-combined 9-group
+    hash agg; everything after the agg lives on a 9-row frame
+    (broadcastable spine join + constant-state windows). Linear in the
+    fact table, no global sort, no skew exposure (9 keys, combiner
+    absorbs them map-side)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    j = (
+        spine.join(F.broadcast(counts), spine.digit == counts.d, "left")
+        .select("digit", F.coalesce("n", F.lit(0)).cast("bigint").alias("n"))
+    )
+    wall = Window.partitionBy(F.lit(1))
+    nt = F.sum("n").over(wall)
+    s = j.select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / nt, 9).alias("share"),
+        F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 9).alias(
+            "benford_expected"
+        ),
+        nt.alias("nt"),
+    )
+    t = s.select(
+        "digit",
+        "n",
+        "share",
+        "benford_expected",
+        F.round(F.abs(F.col("share") - F.col("benford_expected")), 9).alias("abs_dev"),
+        F.round(
+            F.col("nt")
+            * (F.col("share") - F.col("benford_expected"))
+            * (F.col("share") - F.col("benford_expected"))
+            / F.col("benford_expected"),
+            9,
+        ).alias("chi2_term"),
+    )
+    return (
+        t.select(
+            "digit",
+            "n",
+            "share",
+            "benford_expected",
+            "abs_dev",
+            F.round(
+                (
+                    F.sum(
+                        F.round(F.col("abs_dev") * 1000000000.0).cast("long")
+                    ).over(wall).cast("double")
+                    / 1000000000.0
+                )
+                / 9.0,
+                9,
+            ).alias("mad"),
+            F.round(
+                F.sum(F.round(F.col("chi2_term") * 1000000.0).cast("long"))
+                .over(wall)
+                .cast("double")
+                / 1000000.0,
+                6,
+            ).alias("chi2"),
+        )
+        .orderBy("digit")
+    )
