@@ -1194,3 +1194,98 @@ def finance_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket association rules (2-itemsets) — round 10
+# --------------------------------------------------------------------------
+
+_BASKET_MIN_COUNT = 3
+
+_SQL_BASKET = f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM items),
+ic AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY p),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING count(*) >= {_BASKET_MIN_COUNT}
+)
+SELECT part_a, part_b, n_both,
+       ca.c AS n_a, cb.c AS n_b,
+       round(CAST(n_both AS DOUBLE) / n_orders, 9) AS support,
+       round(CAST(n_both AS DOUBLE) / ca.c, 9) AS conf_a_to_b,
+       round(CAST(n_both AS DOUBLE) / cb.c, 9) AS conf_b_to_a,
+       round(CAST(n_both AS DOUBLE) * n_orders / (ca.c * cb.c), 9) AS lift
+FROM pairs
+JOIN ic ca ON ca.p = part_a
+JOIN ic cb ON cb.p = part_b
+CROSS JOIN n
+ORDER BY part_a, part_b
+"""
+
+
+@register(
+    "finance_basket_association_rules",
+    oracle=_SQL_BASKET,
+    tags=("finance", "basket", "association", "apriori"),
+)
+def finance_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order line items — the
+    Apriori 2-itemset layer (Agrawal & Srikant's support/confidence
+    framework plus lift): for every part pair co-occurring in at least
+    _BASKET_MIN_COUNT orders, the joint support, both directional confidences
+    and the lift vs independence. All four measures are ratios of exact
+    BIGINT basket counts, so the SQL replay is bit-identical.
+
+    Scale shape: baskets dedup to distinct (order, part) once (one hash
+    agg); candidate pairs come from a SELF-JOIN CO-PARTITIONED ON THE
+    ORDER KEY — one shuffle of the skinny item list, per-task work
+    bounded by C(basket_size, 2), never a cross join over the part
+    domain. Pair counts and per-part counts are map-side-combined hash
+    aggs; the min-count HAVING bounds the rule table (the Apriori
+    support-pruning argument), and the per-part frame broadcast-joins
+    back onto it. Popular-part skew lands in the combiner, not a
+    shuffle hot key. At 100 TB this is the standard two-pass FP-growth
+    preamble; k-itemsets nest the same co-partitioned join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    items = li.distinct()
+    n_orders = items.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    ic = items.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = items.select(F.col("o"), F.col("p").alias("part_a"))
+    b = items.select(F.col("o"), F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= _BASKET_MIN_COUNT)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(ic.select(F.col("p").alias("part_a"), F.col("c").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(ic.select(F.col("p").alias("part_b"), F.col("c").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    both = F.col("n_both").cast("double")
+    return out.select(
+        "part_a",
+        "part_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        F.round(both / F.col("n_orders"), 9).alias("support"),
+        F.round(both / F.col("n_a"), 9).alias("conf_a_to_b"),
+        F.round(both / F.col("n_b"), 9).alias("conf_b_to_a"),
+        F.round(
+            both * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 9
+        ).alias("lift"),
+    ).orderBy("part_a", "part_b")

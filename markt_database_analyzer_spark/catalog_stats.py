@@ -7375,3 +7375,409 @@ def stats_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("or_mh"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 10: mutual information, Jarque-Bera, Cliff's delta, Wasserstein-1
+# --------------------------------------------------------------------------
+
+from .catalog_graph import SQL_NSUM as _SQL_NSUM_R10, nsum as _nsum_r10
+
+
+_SQL_MUTUAL_INFO = f"""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+mx AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+my AS (SELECT source, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM cells),
+mi AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         {{NSUM_MI}} AS mi_nats
+  FROM cells JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN n
+),
+hx AS (SELECT {{NSUM_HX}} AS h_lang FROM mx CROSS JOIN n),
+hy AS (SELECT {{NSUM_HY}} AS h_source FROM my CROSS JOIN n)
+SELECT nt AS n, n_cells, mi_nats, h_lang, h_source,
+       round(mi_nats / sqrt(h_lang * h_source), 9) AS nmi
+FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN n
+""".format(
+    NSUM_MI=_SQL_NSUM_R10.format(
+        x="round((CAST(c AS DOUBLE) / nt)"
+        " * ln(CAST(c AS DOUBLE) * nt / (CAST(cx AS DOUBLE) * cy)), 9)"
+    ),
+    NSUM_HX=_SQL_NSUM_R10.format(
+        x="round(-(CAST(cx AS DOUBLE) / nt) * ln(CAST(cx AS DOUBLE) / nt), 9)"
+    ),
+    NSUM_HY=_SQL_NSUM_R10.format(
+        x="round(-(CAST(cy AS DOUBLE) / nt) * ln(CAST(cy AS DOUBLE) / nt), 9)"
+    ),
+)
+
+
+@register(
+    "stats_mutual_information",
+    oracle=_SQL_MUTUAL_INFO,
+    tags=("stats", "information", "entropy"),
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (lang x
+    source): I = Sigma p_xy ln(p_xy / (p_x p_y)) in nats, alongside both
+    marginal Shannon entropies and the normalized MI
+    I / sqrt(H(X) H(Y)) (Strehl & Ghosh's NMI — the clustering-
+    agreement normalization). The information-theoretic sibling of
+    stats_chi2_lang_source and stats_cramers_v on the same contingency
+    table.
+
+    Exactness: every per-cell / per-margin term is rounded on the 9-dp
+    grid then summed on the nano grid (the l-diversity entropy
+    discipline), so summation order cannot move either engine; counts
+    are exact BIGINTs from one hash agg.
+
+    Scale shape: ONE map-side-combined groupBy over the fact table;
+    margins and the total are re-aggregations of the (|lang| x |source|)
+    cell frame — everything after the first agg is bounded by the
+    categorical domain, not the data."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    mx = cells.groupBy("lang").agg(F.sum("c").cast("bigint").alias("cx"))
+    my = cells.groupBy("source").agg(F.sum("c").cast("bigint").alias("cy"))
+    n = cells.agg(F.sum("c").cast("bigint").alias("nt"))
+    joined = (
+        cells.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    cd = F.col("c").cast("double")
+    mi_term = F.round(
+        (cd / F.col("nt"))
+        * F.log(cd * F.col("nt") / (F.col("cx").cast("double") * F.col("cy"))),
+        9,
+    )
+    mi = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        _nsum_r10(mi_term).alias("mi_nats"),
+    )
+    pxd = F.col("cx").cast("double") / F.col("nt")
+    hx = mx.crossJoin(F.broadcast(n)).agg(
+        _nsum_r10(F.round(-pxd * F.log(pxd), 9)).alias("h_lang")
+    )
+    pyd = F.col("cy").cast("double") / F.col("nt")
+    hy = my.crossJoin(F.broadcast(n)).agg(
+        _nsum_r10(F.round(-pyd * F.log(pyd), 9)).alias("h_source")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("nt").alias("n"),
+            "n_cells",
+            "mi_nats",
+            "h_lang",
+            "h_source",
+            F.round(
+                F.col("mi_nats") / F.sqrt(F.col("h_lang") * F.col("h_source")), 9
+            ).alias("nmi"),
+        )
+    )
+
+
+_SQL_JARQUE_BERA = f"""
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         {{DAVG_V}} AS mean_v
+  FROM ev GROUP BY 1
+),
+d AS (
+  SELECT e.event_type, m.n, m.mean_v, (e.value - m.mean_v) / 100.0 AS dv
+  FROM ev e JOIN m USING (event_type)
+),
+mom AS (
+  SELECT event_type, min(n) AS n, min(mean_v) AS mean_v,
+         {{NSUM_D2}} / min(n) AS s2,
+         {{NSUM_D3}} / min(n) AS s3,
+         {{NSUM_D4}} / min(n) AS s4
+  FROM d GROUP BY 1
+)
+SELECT event_type, n, round(mean_v, 6) AS mean_v,
+       round(s3 / (s2 * sqrt(s2)), 9) AS skewness,
+       round(s4 / (s2 * s2) - 3.0, 9) AS excess_kurtosis,
+       round(CAST(n AS DOUBLE) / 6.0
+             * (round(s3 / (s2 * sqrt(s2)), 9) * round(s3 / (s2 * sqrt(s2)), 9)
+                + round(s4 / (s2 * s2) - 3.0, 9) * round(s4 / (s2 * s2) - 3.0, 9)
+                  / 4.0), 6) AS jarque_bera
+FROM mom ORDER BY event_type
+""".format(
+    DAVG_V=SQL_DAVG.format(x="value"),
+    NSUM_D2=_SQL_NSUM_R10.format(x="round(dv * dv, 9)"),
+    NSUM_D3=_SQL_NSUM_R10.format(x="round(dv * dv * dv, 9)"),
+    NSUM_D4=_SQL_NSUM_R10.format(x="round(dv * dv * dv * dv, 9)"),
+)
+
+
+@register(
+    "stats_jarque_bera",
+    oracle=_SQL_JARQUE_BERA,
+    tags=("stats", "normality", "moments"),
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type: sample skewness and
+    excess kurtosis from exact central moments, pooled into
+    JB = n/6 (g1^2 + g2^2/4) ~ chi2(2) — the moment-based normality
+    audit complementing the ECDF-based stats_ks_test.
+
+    Exactness: the group mean is the quantized davg (identical double
+    on both engines); deviations are divided by the constant 100 BEFORE
+    powering (JB is scale-invariant, and the rescale keeps the 4th-power
+    terms inside the nano grid's integer range at any SF); each power
+    term rounds to 9 dp and sums on the nano grid; g1/g2 round before
+    squaring so JB composes from already-identical doubles.
+
+    Scale shape: two passes over the fact table (mean, then central
+    moments — the numerically-stable textbook split), both map-side-
+    combined hash aggs on the same 5-key group; the mean frame
+    broadcast-joins back. No window, no sort anywhere."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        davg(F.col("value")).alias("mean_v"),
+    )
+    d = ev.join(F.broadcast(m), "event_type").withColumn(
+        "dv", (F.col("value") - F.col("mean_v")) / F.lit(100.0)
+    )
+    dv = F.col("dv")
+    mom = d.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.min("mean_v").alias("mean_v"),
+        (_nsum_r10(F.round(dv * dv, 9)) / F.min("n")).alias("s2"),
+        (_nsum_r10(F.round(dv * dv * dv, 9)) / F.min("n")).alias("s3"),
+        (_nsum_r10(F.round(dv * dv * dv * dv, 9)) / F.min("n")).alias("s4"),
+    )
+    g1 = F.round(F.col("s3") / (F.col("s2") * F.sqrt(F.col("s2"))), 9)
+    g2 = F.round(F.col("s4") / (F.col("s2") * F.col("s2")) - 3.0, 9)
+    return mom.select(
+        "event_type",
+        "n",
+        F.round("mean_v", 6).alias("mean_v"),
+        g1.alias("skewness"),
+        g2.alias("excess_kurtosis"),
+        F.round(
+            F.col("n").cast("double") / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6
+        ).alias("jarque_bera"),
+    ).orderBy("event_type")
+
+
+_SQL_CLIFFS_DELTA = f"""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+vc AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(g) AS BIGINT) AS c1
+  FROM o GROUP BY v
+),
+cum AS (
+  SELECT v, cnt, c1,
+         CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+  FROM vc
+),
+agg AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(cnt) AS BIGINT) AS n,
+         {{DSUM_R1}} AS r1,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+  FROM cum
+),
+u AS (
+  SELECT n1, n - n1 AS n2, n, tie3,
+         r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 AS u1
+  FROM agg
+)
+SELECT n1 AS n_a, n2 AS n_b, round(u1, 6) AS u_a,
+       round((2.0 * u1 - CAST(n1 AS DOUBLE) * n2)
+             / (CAST(n1 AS DOUBLE) * n2), 9) AS cliffs_delta,
+       round((u1 - CAST(n1 AS DOUBLE) * n2 / 2.0)
+             / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                    * ((n + 1) - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1.0)))),
+             6) AS z_mann_whitney
+FROM u
+""".format(
+    DSUM_R1=SQL_DSUM.format(x="CAST(c1 AS DOUBLE) * (cum - (cnt - 1) / 2.0)")
+)
+
+
+@register(
+    "stats_cliffs_delta",
+    oracle=_SQL_CLIFFS_DELTA,
+    tags=("stats", "effect-size", "rank", "nonparametric"),
+)
+def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta (= rank-biserial correlation) between urgent and
+    non-urgent order totals, with the tie-corrected Mann-Whitney U and
+    its normal-approximation z: delta = (#(x>y) - #(x<y)) / (n1 n2),
+    recovered exactly from midranks via 2U/(n1 n2) - 1 — the ordinal
+    effect size to pair with stats_cohens_d_effect's parametric one,
+    and the two-group U underlying stats_kruskal_wallis's k-group H.
+
+    Exactness: values quantize to integer cents, so ranking never
+    compares raw doubles; midranks (integers or exact halves) come from
+    the combined distinct-value running count; R1 = Sigma c1(v) *
+    midrank(v) sums on the micro grid; the tie term Sigma(t^3 - t) is
+    an exact BIGINT; every downstream expression composes identically
+    on both engines from those exact inputs.
+
+    Scale shape: the midrank frame is value_counts_cum's
+    repartitionByRange two-level prefix sum (the stats_spearman_corr
+    discipline — NO global rank window; no task ever sees more than one
+    range slice); group-1 counts ride the SAME distinct-value hash agg,
+    so the whole statistic is two shuffles on the value domain + one
+    1-row combine."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    cum, _n = value_counts_cum(o, F.col("v"))
+    c1 = o.groupBy("v").agg(F.sum("g").cast("bigint").alias("c1"))
+    j = cum.join(c1, "v")
+    midrank = F.col("cum") - (F.col("cnt") - 1) / F.lit(2.0)
+    agg = j.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("cnt").cast("bigint").alias("n"),
+        dsum(F.col("c1").cast("double") * midrank).alias("r1"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).cast("bigint").alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    u1 = F.col("r1") - n1d * (F.col("n1") + 1) / F.lit(2.0)
+    n2 = F.col("n") - F.col("n1")
+    varu = (n1d * n2 / F.lit(12.0)) * (
+        (F.col("n") + 1)
+        - F.col("tie3").cast("double") / (F.col("n").cast("double") * (F.col("n") - F.lit(1.0)))
+    )
+    return agg.select(
+        F.col("n1").alias("n_a"),
+        n2.alias("n_b"),
+        F.round(u1, 6).alias("u_a"),
+        F.round((F.lit(2.0) * u1 - n1d * n2) / (n1d * n2), 9).alias("cliffs_delta"),
+        F.round((u1 - n1d * n2 / F.lit(2.0)) / F.sqrt(varu), 6).alias(
+            "z_mann_whitney"
+        ),
+    )
+
+
+_SQL_WASSERSTEIN = f"""
+WITH ev AS (
+  SELECT CAST(floor(value / 10) AS BIGINT) AS g,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a
+  FROM events WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+),
+c AS (
+  SELECT g, CAST(sum(a) AS BIGINT) AS ca, CAST(count(*) - sum(a) AS BIGINT) AS cb
+  FROM ev GROUP BY g
+),
+bounds AS (SELECT min(g) AS lo, max(g) AS hi FROM c),
+spine AS (SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS g FROM bounds),
+z AS (
+  SELECT s.g, COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+  FROM spine s LEFT JOIN c ON s.g = c.g
+),
+n AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM z),
+f AS (
+  SELECT g,
+         CAST(sum(ca) OVER (ORDER BY g) AS DOUBLE) / (SELECT na FROM n) AS fa,
+         CAST(sum(cb) OVER (ORDER BY g) AS DOUBLE) / (SELECT nb FROM n) AS fb
+  FROM z
+)
+SELECT (SELECT na FROM n) AS n_a, (SELECT nb FROM n) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       round(10.0 * {{NSUM_GAP}}, 6) AS w1
+FROM f
+""".format(NSUM_GAP=_SQL_NSUM_R10.format(x="round(abs(fa - fb), 9)"))
+
+
+@register(
+    "stats_wasserstein_binned",
+    oracle=_SQL_WASSERSTEIN,
+    tags=("stats", "distribution", "wasserstein", "drift"),
+)
+def stats_wasserstein_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between the view and
+    purchase value distributions on a fixed width-10 grid: W1 =
+    Sigma_g |F_a(g) - F_b(g)| * 10, the exact EMD of the binned
+    distributions (the CDF-difference integral collapses to a sum when
+    mass sits on a regular grid). The transport-metric companion to
+    dq_psi_drift (likelihood-ratio binned drift) and stats_ks_test
+    (sup-norm): PSI explodes on empty bins, KS sees only the worst bin,
+    W1 weights every bin by its distance.
+
+    Exactness: bin counts are exact BIGINTs; each CDF value is an exact
+    integer ratio; per-bin gaps round to 9 dp and sum on the nano grid.
+    A min..max bin spine zero-fills holes so both CDFs step on the same
+    domain (the J4 pattern).
+
+    Scale shape: one pruned fact scan -> width-10 hash agg; everything
+    downstream lives on the bin-domain frame, whose cardinality is
+    bounded by the VALUE RANGE / 10 — a domain constant, not a data
+    volume — so the cumulative window never sees fact-cardinality rows
+    at any SF."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("view", "purchase")
+        )
+        .select(
+            F.floor(F.col("value") / 10).cast("bigint").alias("g"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("a"),
+        )
+    )
+    c = ev.groupBy("g").agg(
+        F.sum("a").cast("bigint").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("a")).cast("bigint").alias("cb"),
+    )
+    bounds = c.agg(F.min("g").alias("lo"), F.max("g").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("g")
+    )
+    z = (
+        spine.join(c, "g", "left")
+        .select(
+            "g",
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+        )
+    )
+    n = z.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    wcum = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    f = z.crossJoin(F.broadcast(n)).select(
+        "g",
+        "na",
+        "nb",
+        (F.sum("ca").over(wcum).cast("double") / F.col("na")).alias("fa"),
+        (F.sum("cb").over(wcum).cast("double") / F.col("nb")).alias("fb"),
+    )
+    return f.agg(
+        F.min("na").alias("n_a"),
+        F.min("nb").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(
+            F.lit(10.0) * _nsum_r10(F.round(F.abs(F.col("fa") - F.col("fb")), 9)),
+            6,
+        ).alias("w1"),
+    )
