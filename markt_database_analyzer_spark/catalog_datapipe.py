@@ -1958,3 +1958,96 @@ def ml_knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Linear-kernel MMD distribution shift between embedding groups — round 10
+# --------------------------------------------------------------------------
+
+_SQL_MMD_SHIFT = f"""
+WITH x AS (
+  SELECT label % 2 AS grp, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS xd
+  FROM embeddings
+),
+mu AS (
+  SELECT grp, dim, {SQL_DAVG.format(x='xd')} AS m
+  FROM x GROUP BY grp, dim
+),
+n AS (
+  SELECT CAST(count(*) FILTER (WHERE label % 2 = 0) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (WHERE label % 2 = 1) AS BIGINT) AS n_b
+  FROM embeddings
+),
+d AS (
+  SELECT a.dim, a.m - b.m AS dm
+  FROM mu a JOIN mu b ON a.dim = b.dim AND a.grp = 0 AND b.grp = 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS dim,
+         (CAST(SUM(CAST(round(round(dm * dm, 9) * 1000000000.0) AS HUGEINT))
+               AS DOUBLE) / 1000000000.0) AS mmd2
+  FROM d
+)
+SELECT n_a, n_b, dim, round(mmd2, 9) AS mmd2_linear,
+       round(sqrt(mmd2), 9) AS mmd_linear
+FROM agg CROSS JOIN n
+"""
+
+
+@register(
+    "eval_embedding_mmd_shift",
+    oracle=_SQL_MMD_SHIFT,
+    tags=("eval", "embeddings", "mmd", "drift"),
+)
+def eval_embedding_mmd_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum Mean Discrepancy with the LINEAR kernel between two
+    embedding populations (even vs odd labels): MMD^2 = ||mu_a - mu_b||^2
+    — the kernel two-sample test of Gretton et al. specialized to the
+    kernel whose mean embedding is just the mean vector, which turns the
+    O(n^2) pairwise-kernel estimator into two group means. The
+    embedding-space drift audit to pair with stats_wasserstein_binned
+    (scalar distributions) and dq_psi_drift (binned categorical): run it
+    between a training corpus and an incoming batch to detect
+    representation shift before retraining.
+
+    Exactness: per-dimension group means are quantized davg (identical
+    doubles both engines); squared differences round to 9 dp and sum on
+    the nano grid over the dim-cardinality frame.
+
+    Scale shape: posexplode is map-side (dim x rows, no shuffle); ONE
+    map-side-combined (grp, dim) hash agg — 2 x dim cells — and
+    everything after lives on the dim-bounded frame. The full
+    quadratic-kernel MMD at 100 TB samples instead; the linear-kernel
+    form needs no sampling at any scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        (F.col("label") % 2).alias("grp"),
+        F.posexplode(F.col("embedding")).alias("dim0", "xf"),
+    ).select("grp", (F.col("dim0") + 1).alias("dim"), F.col("xf").cast("double").alias("xd"))
+    mu = x.groupBy("grp", "dim").agg(davg(F.col("xd")).alias("m"))
+    n = emb.agg(
+        F.count(F.when(F.col("label") % 2 == 0, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("label") % 2 == 1, 1)).cast("bigint").alias("n_b"),
+    )
+    a = mu.filter(F.col("grp") == 0).select("dim", F.col("m").alias("ma"))
+    b = mu.filter(F.col("grp") == 1).select("dim", F.col("m").alias("mb"))
+    d = a.join(b, "dim").select((F.col("ma") - F.col("mb")).alias("dm"))
+    agg = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("dim"),
+        (
+            F.sum(
+                F.round(F.round(F.col("dm") * F.col("dm"), 9) * F.lit(1e9)).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / F.lit(1e9)
+        ).alias("mmd2"),
+    )
+    return agg.crossJoin(F.broadcast(n)).select(
+        "n_a",
+        "n_b",
+        "dim",
+        F.round("mmd2", 9).alias("mmd2_linear"),
+        F.round(F.sqrt("mmd2"), 9).alias("mmd_linear"),
+    )

@@ -1010,3 +1010,103 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v") > 0.0, F.round(F.col("omd") * F.col("omd") / F.col("v"), 9)
         ).alias("logrank_chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Page-Hinkley drift detection — round 10
+# --------------------------------------------------------------------------
+
+_PH_DELTA_FRAC = 0.05   # tolerance as a fraction of the series mean
+_PH_LAMBDA_FRAC = 2.0   # alarm threshold as a multiple of the series mean
+
+_SQL_PAGE_HINKLEY = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT CAST(sum(x) AS DOUBLE) / count(*) AS xbar FROM daily
+),
+t AS (
+  SELECT d, x,
+         CAST(round((x - m.xbar - {_PH_DELTA_FRAC} * m.xbar) * 1000000000.0)
+              AS HUGEINT) AS term_u,
+         m.xbar
+  FROM daily CROSS JOIN m
+),
+c AS (
+  SELECT d, x, xbar,
+         CAST(sum(term_u) OVER (ORDER BY d) AS DOUBLE) / 1000000000.0 AS m_t
+  FROM t
+),
+p AS (
+  SELECT d, x, xbar, m_t,
+         min(m_t) OVER (ORDER BY d) AS m_min
+  FROM c
+)
+SELECT d, x,
+       round(m_t - m_min, 6) AS ph,
+       (m_t - m_min) > {_PH_LAMBDA_FRAC} * xbar AS alarm
+FROM p ORDER BY d
+"""
+
+
+@register(
+    "events_page_hinkley",
+    oracle=_SQL_PAGE_HINKLEY,
+    tags=("events", "drift", "changepoint", "sequential"),
+)
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detector over the daily event-count
+    series: the cumulative deviation m_t = Sigma (x_i - xbar - delta)
+    minus its running minimum, alarming when the gap exceeds lambda —
+    the sequential-analysis sibling of events_changepoint_cusum (PH
+    tracks drift from a running minimum; CUSUM resets at zero).
+    delta / lambda are fixed fractions of the series mean so the test
+    is scale-free across SFs.
+
+    Exactness: daily counts are exact integers; xbar is one exact
+    integer ratio; each deviation term quantizes to the nano grid and
+    the cumulative sums run over EXACT integers (HUGEINT / long), so
+    m_t, the running minimum, and the alarm predicate are identical on
+    both engines in every row.
+
+    Scale shape: one fact-scan hash agg to day grain; both windows
+    (running sum, running min) live on the calendar-bounded daily frame
+    — series cardinality, never event cardinality."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    m = daily.agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("xbar")
+    )
+    t = daily.crossJoin(F.broadcast(m)).select(
+        "d",
+        "x",
+        "xbar",
+        F.round(
+            (F.col("x") - F.col("xbar") - F.lit(_PH_DELTA_FRAC) * F.col("xbar"))
+            * F.lit(1e9)
+        )
+        .cast("decimal(38,0)")
+        .alias("term_u"),
+    )
+    wday = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.select(
+        "d",
+        "x",
+        "xbar",
+        (F.sum("term_u").over(wday).cast("double") / F.lit(1e9)).alias("m_t"),
+    )
+    p = c.withColumn("m_min", F.min("m_t").over(wday))
+    return p.select(
+        "d",
+        "x",
+        F.round(F.col("m_t") - F.col("m_min"), 6).alias("ph"),
+        ((F.col("m_t") - F.col("m_min")) > F.lit(_PH_LAMBDA_FRAC) * F.col("xbar")).alias(
+            "alarm"
+        ),
+    ).orderBy("d")

@@ -2357,3 +2357,131 @@ def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("f", 9).alias("f_stat"),
         F.round(2.0 * (1.0 - phi), 6).alias("p_approx"),
     )
+
+
+# --------------------------------------------------------------------------
+# Durbin-Watson residual autocorrelation — round 10
+# --------------------------------------------------------------------------
+
+_SQL_NSUM_TS = "(CAST(SUM(CAST(round(({x}) * 1000000000.0) AS HUGEINT)) AS DOUBLE) / 1000000000.0)"
+
+_SQL_DURBIN_WATSON = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         {SQL_DSUM.format(x='o_totalprice')} AS y
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT d, y,
+         CAST(date_diff('day', (SELECT min(d) FROM daily), d) AS DOUBLE) AS t
+  FROM daily
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         {SQL_DAVG.format(x='t')} AS tbar,
+         {SQL_DAVG.format(x='y')} AS ybar
+  FROM idx
+),
+fit AS (
+  SELECT min(m.n) AS n, min(m.tbar) AS tbar, min(m.ybar) AS ybar,
+         {_SQL_NSUM_TS.format(x='round((t - m.tbar) * (y - m.ybar) / 1000.0, 9)')} AS sxy,
+         {_SQL_NSUM_TS.format(x='round((t - m.tbar) * (t - m.tbar) / 1000.0, 9)')} AS sxx
+  FROM idx CROSS JOIN m
+),
+res AS (
+  SELECT idx.t,
+         idx.y - (fit.ybar + (fit.sxy / fit.sxx) * (idx.t - fit.tbar)) AS e,
+         fit.n, fit.sxy, fit.sxx
+  FROM idx CROSS JOIN fit
+),
+led AS (
+  SELECT n, sxy, sxx, e,
+         lag(e) OVER (ORDER BY t) AS e_prev
+  FROM res
+)
+SELECT min(n) AS n_days,
+       round(min(sxy) / min(sxx), 9) AS slope_per_day,
+       round({_SQL_NSUM_TS.format(x='CASE WHEN e_prev IS NOT NULL THEN round((e - e_prev) * (e - e_prev) / 1000000.0, 9) ELSE 0.0 END')}
+             / {_SQL_NSUM_TS.format(x='round(e * e / 1000000.0, 9)')}, 6) AS durbin_watson
+FROM led
+"""
+
+
+@register(
+    "ts_durbin_watson",
+    oracle=_SQL_DURBIN_WATSON,
+    tags=("timeseries", "regression", "autocorrelation"),
+)
+def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of the residuals from an OLS linear trend
+    on daily order revenue: DW = Sigma (e_t - e_{t-1})^2 / Sigma e_t^2
+    in (0, 4), ~2 under no serial correlation — the classic
+    residual-autocorrelation audit after a trend fit, complementing
+    ts_autocorrelation (raw-series ACF) and stats_runs_test
+    (sign-based randomness).
+
+    Exactness: daily revenue is the quantized dsum; slope/intercept come
+    from nano-grid centered cross-moments (terms pre-scaled by constants
+    so day-index x revenue products stay in integer range); residuals
+    are then identical doubles on both engines, and both DW sums
+    quantize per-term (scaled by 1e-6 — residuals are revenue-sized)
+    before the nano-grid sum. The first row's undefined lag contributes
+    exactly 0 to the numerator on both engines.
+
+    Scale shape: one fact-table hash agg to day grain; everything after
+    (fit, residuals, one lag window) runs on the calendar-bounded daily
+    frame — ~2.2k rows here, ~36k rows for a century."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("d"))
+        .agg(dsum(F.col("o_totalprice")).alias("y"))
+    )
+    mind = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mind)).select(
+        F.datediff("d", "d0").cast("double").alias("t"), "y"
+    )
+    m = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        davg(F.col("t")).alias("tbar"),
+        davg(F.col("y")).alias("ybar"),
+    )
+
+    def nsum_ts(col):
+        return (
+            F.sum(F.round(col * F.lit(1e9)).cast("decimal(38,0)")).cast("double")
+            / F.lit(1e9)
+        )
+
+    cen = idx.crossJoin(F.broadcast(m))
+    fit = cen.agg(
+        F.min("n").alias("n"),
+        F.min("tbar").alias("tbar"),
+        F.min("ybar").alias("ybar"),
+        nsum_ts(
+            F.round((F.col("t") - F.col("tbar")) * (F.col("y") - F.col("ybar")) / 1000.0, 9)
+        ).alias("sxy"),
+        nsum_ts(
+            F.round((F.col("t") - F.col("tbar")) * (F.col("t") - F.col("tbar")) / 1000.0, 9)
+        ).alias("sxx"),
+    )
+    res = idx.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "n",
+        "sxy",
+        "sxx",
+        (
+            F.col("y")
+            - (F.col("ybar") + (F.col("sxy") / F.col("sxx")) * (F.col("t") - F.col("tbar")))
+        ).alias("e"),
+    )
+    led = res.withColumn("e_prev", F.lag("e").over(Window.orderBy("t")))
+    num_term = F.when(
+        F.col("e_prev").isNotNull(),
+        F.round((F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev")) / 1e6, 9),
+    ).otherwise(F.lit(0.0))
+    den_term = F.round(F.col("e") * F.col("e") / 1e6, 9)
+    return led.agg(
+        F.min("n").alias("n_days"),
+        F.round(F.min("sxy") / F.min("sxx"), 9).alias("slope_per_day"),
+        F.round(nsum_ts(num_term) / nsum_ts(den_term), 6).alias("durbin_watson"),
+    )
