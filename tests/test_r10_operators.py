@@ -95,3 +95,150 @@ def test_benford_digit_extraction_never_uses_float_log(spark, tmp_path):
     got = REGISTRY["finance_benford_first_digit"].fn(spark, str(tmp_path)).toPandas()
     row = got.set_index("digit").loc[1]
     assert row["n"] == 1 and row["share"] == 1.0
+
+
+def test_basket_rules_crafted_pair_counts(spark, tmp_path):
+    # orders: {1:(10,20),2:(10,20),3:(10,20),4:(10,30),5:(20,30),6:(10,)}
+    rows = []
+    baskets = {1: [10, 20], 2: [10, 20], 3: [10, 20, 20], 4: [10, 30],
+               5: [20, 30], 6: [10]}
+    i = 0
+    for o, parts in baskets.items():
+        for p in parts:
+            rows.append({"l_orderkey": o, "l_partkey": p, "l_suppkey": 1,
+                         "l_linenumber": i % 7 + 1, "l_quantity": 1.0,
+                         "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0})
+            i += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "lineitem.parquet", index=False)
+    got, want = _run_both(
+        spark, "finance_basket_association_rules", str(tmp_path), ["lineitem"]
+    )
+    _assert_equal(got, want)
+    # only (10,20) co-occurs >= 3 times (order 3's duplicate 20 dedups)
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["part_a"], r["part_b"], r["n_both"]) == (10, 20, 3)
+    assert r["n_a"] == 5 and r["n_b"] == 4  # basket counts, deduped
+    assert r["support"] == 0.5  # 3 of 6 orders
+    assert r["lift"] == round(3 * 6 / (5 * 4), 9)
+
+
+def test_mutual_information_crafted_exact(spark, tmp_path):
+    # 2x2 contingency: (en,web)=30 (en,api)=10 (de,web)=10 (de,api)=30
+    rows = []
+    for lang, source, n in [("en", "web", 30), ("en", "api", 10),
+                            ("de", "web", 10), ("de", "api", 30)]:
+        for i in range(n):
+            rows.append({"doc_id": len(rows), "text": "x", "lang": lang,
+                         "source": source, "n_chars": 1})
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got, want = _run_both(
+        spark, "stats_mutual_information", str(tmp_path), ["documents"]
+    )
+    _assert_equal(got, want)
+    # replay on the nano grid
+    N = 80
+    cells = [(30, 40, 40), (10, 40, 40), (10, 40, 40), (30, 40, 40)]
+    mi_u = sum(round(round((c / N) * math.log(c * N / (cx * cy)), 9) * 1e9)
+               for c, cx, cy in cells)
+    h_u = sum(round(round(-(40 / N) * math.log(40 / N), 9) * 1e9) for _ in range(2))
+    r = got.iloc[0]
+    assert r["n"] == 80 and r["n_cells"] == 4
+    assert r["mi_nats"] == pytest.approx(mi_u / 1e9, abs=1e-12)
+    assert r["h_lang"] == pytest.approx(h_u / 1e9, abs=1e-12)
+    assert r["nmi"] == pytest.approx(
+        round((mi_u / 1e9) / math.sqrt((h_u / 1e9) ** 2), 9), abs=1e-12
+    )
+
+
+def test_cliffs_delta_crafted_brute_force(spark, tmp_path):
+    # group A (urgent): [10, 20, 20, 50]; group B: [15, 20, 40]
+    va = [10.0, 20.0, 20.0, 50.0]
+    vb = [15.0, 20.0, 40.0]
+    rows = [
+        {"o_orderkey": i, "o_custkey": 1, "o_totalprice": v,
+         "o_orderdate": pd.Timestamp("1995-01-01"),
+         "o_orderpriority": "1-URGENT"} for i, v in enumerate(va)
+    ] + [
+        {"o_orderkey": 100 + i, "o_custkey": 1, "o_totalprice": v,
+         "o_orderdate": pd.Timestamp("1995-01-01"),
+         "o_orderpriority": "3-MEDIUM"} for i, v in enumerate(vb)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "orders.parquet", index=False)
+    got, want = _run_both(spark, "stats_cliffs_delta", str(tmp_path), ["orders"])
+    _assert_equal(got, want)
+    gt = sum(1 for x in va for y in vb if x > y)
+    lt = sum(1 for x in va for y in vb if x < y)
+    r = got.iloc[0]
+    assert r["n_a"] == 4 and r["n_b"] == 3
+    assert r["cliffs_delta"] == round((gt - lt) / (4 * 3), 9)
+    # U from midranks must equal #(x>y) + 0.5 #(x=y)
+    eq = sum(1 for x in va for y in vb if x == y)
+    assert r["u_a"] == gt + 0.5 * eq
+
+
+def test_wasserstein_crafted_exact_emd(spark, tmp_path):
+    import datetime as dt
+    # view values all in bin 0 (0..9); purchase all in bin 2 (20..29):
+    # CDFs differ by 1.0 on bins 0 and 1 -> W1 = 2 * 10 = 20
+    rows = []
+    for i in range(5):
+        rows.append({"event_id": i, "ts": dt.datetime(2024, 1, 1), "user_id": 1,
+                     "event_type": "view", "value": 3.0 + i, "props": "{}"})
+    for i in range(7):
+        rows.append({"event_id": 100 + i, "ts": dt.datetime(2024, 1, 1),
+                     "user_id": 1, "event_type": "purchase",
+                     "value": 23.0 + 0.5 * i, "props": "{}"})
+    # a decoy type that must be filtered out
+    rows.append({"event_id": 999, "ts": dt.datetime(2024, 1, 1), "user_id": 1,
+                 "event_type": "click", "value": 500.0, "props": "{}"})
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    got, want = _run_both(spark, "stats_wasserstein_binned", str(tmp_path), ["events"])
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert (r["n_a"], r["n_b"], r["n_bins"]) == (5, 7, 3)
+    assert r["w1"] == 20.0
+
+
+def test_page_hinkley_level_shift_alarms(spark, tmp_path):
+    import datetime as dt
+    rows = []
+    eid = 0
+    # 20 quiet days of 5 events, then 10 days of 50 events
+    for d in range(30):
+        n = 5 if d < 20 else 50
+        for _ in range(n):
+            rows.append({"event_id": eid, "ts": dt.datetime(2024, 1, 1) +
+                         dt.timedelta(days=d), "user_id": 1,
+                         "event_type": "view", "value": 1.0, "props": "{}"})
+            eid += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    got, want = _run_both(spark, "events_page_hinkley", str(tmp_path), ["events"])
+    # normalize the DATE column (Spark -> datetime.date objects, DuckDB ->
+    # datetime64) the way check_oracle's object-str normalization does
+    got = got.assign(d=got["d"].astype(str))
+    want = want.assign(d=pd.to_datetime(want["d"]).dt.date.astype(str))
+    _assert_equal(got, want)
+    assert not got.iloc[:20]["alarm"].any()   # quiet regime: no alarm
+    assert got.iloc[-1]["alarm"]              # after the shift: alarmed
+    assert got["ph"].iloc[-1] > got["ph"].iloc[19]
+
+
+def test_mmd_shift_crafted_mean_gap(spark, tmp_path):
+    import numpy as np
+    # group 0 at +1 in dim 0, group 1 at -1: mmd2 = 4 in dim 0 only
+    rows = []
+    for i in range(6):
+        grp = i % 2
+        vec = [0.0] * 8
+        vec[0] = 1.0 if grp == 0 else -1.0
+        rows.append({"vec_id": i, "embedding": np.array(vec, dtype=np.float32),
+                     "label": grp})
+    pd.DataFrame(rows).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    got, want = _run_both(
+        spark, "eval_embedding_mmd_shift", str(tmp_path), ["embeddings"]
+    )
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert (r["n_a"], r["n_b"], r["dim"]) == (3, 3, 8)
+    assert r["mmd2_linear"] == 4.0 and r["mmd_linear"] == 2.0
