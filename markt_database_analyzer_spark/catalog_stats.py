@@ -7781,3 +7781,147 @@ def stats_wasserstein_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w1"),
     )
+
+
+_COCHRAN_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_SQL_COCHRAN_Q = f"""
+WITH m AS (
+  SELECT user_id,
+         {', '.join(f"max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS x{i}"
+                    for i, t in enumerate(_COCHRAN_TYPES))}
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT user_id, {' + '.join(f'x{i}' for i in range(len(_COCHRAN_TYPES)))} AS ri,
+         {', '.join(f'x{i}' for i in range(len(_COCHRAN_TYPES)))}
+  FROM m
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(ri) AS BIGINT) AS grand,
+         CAST(sum(ri * ri) AS BIGINT) AS sum_r2,
+         {', '.join(f'CAST(sum(x{i}) AS BIGINT) AS c{i}' for i in range(len(_COCHRAN_TYPES)))}
+  FROM r
+)
+SELECT n_users, grand,
+       {len(_COCHRAN_TYPES)} AS k,
+       CASE WHEN {len(_COCHRAN_TYPES)} * grand - sum_r2 > 0
+            THEN round(({len(_COCHRAN_TYPES)} - 1.0)
+                 * ({len(_COCHRAN_TYPES)}.0 * ({' + '.join(f'c{i} * c{i}' for i in range(len(_COCHRAN_TYPES)))}) - CAST(grand AS DOUBLE) * grand)
+                 / ({len(_COCHRAN_TYPES)}.0 * grand - sum_r2), 9)
+       END AS cochran_q
+FROM agg
+"""
+
+
+@register(
+    "stats_cochran_q",
+    oracle=_SQL_COCHRAN_Q,
+    tags=("stats", "nonparametric", "repeated-measures"),
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test for equal marginal proportions across k
+    correlated binary treatments: per user, did they ever perform each
+    of the 5 event types (a repeated-measures binary design — the same
+    subjects under every treatment), pooled into
+    Q = (k-1)(k Sigma C_j^2 - G^2) / (k G - Sigma R_i^2) ~ chi2(k-1).
+    The k-treatment generalization of stats_mcnemar_test, and the
+    binary analog of stats_friedman_test. NULL when the denominator
+    is 0 (every user all-or-nothing).
+
+    Exactness: every input to Q is an exact BIGINT (row/column totals
+    and their squares from one per-user agg + one combine), so the
+    single closed-form double expression is identical on both engines.
+
+    Scale shape: one map-side-combined user agg (the fact table's only
+    pass), one 1-row combine of integer totals. No window, no sort, no
+    join."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"x{i}")
+            for i, t in enumerate(_COCHRAN_TYPES)
+        ]
+    )
+    k = len(_COCHRAN_TYPES)
+    ri = sum(F.col(f"x{i}") for i in range(k))
+    agg = m.select(*[F.col(f"x{i}") for i in range(k)], ri.alias("ri")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("ri").cast("bigint").alias("grand"),
+        F.sum(F.col("ri") * F.col("ri")).cast("bigint").alias("sum_r2"),
+        *[F.sum(f"x{i}").cast("bigint").alias(f"c{i}") for i in range(k)],
+    )
+    sum_c2 = sum(F.col(f"c{i}") * F.col(f"c{i}") for i in range(k))
+    denom = F.lit(float(k)) * F.col("grand") - F.col("sum_r2")
+    q = (
+        F.lit(k - 1.0)
+        * (F.lit(float(k)) * sum_c2 - F.col("grand").cast("double") * F.col("grand"))
+        / denom
+    )
+    return agg.select(
+        "n_users",
+        "grand",
+        F.lit(k).alias("k"),
+        F.when(F.lit(k) * F.col("grand") - F.col("sum_r2") > 0, F.round(q, 9)).alias(
+            "cochran_q"
+        ),
+    )
+
+
+_SQL_ATKINSON = f"""
+WITH c AS (
+  SELECT c_acctbal AS x FROM customer WHERE c_acctbal > 0
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         {SQL_DAVG.format(x='x')} AS mean_x,
+         {SQL_DAVG.format(x='sqrt(x)')} AS mean_sqrt,
+         {SQL_DAVG.format(x='round(ln(x), 9)')} AS mean_ln
+  FROM c
+)
+SELECT n, round(mean_x, 6) AS mean_x,
+       round(1.0 - (mean_sqrt * mean_sqrt) / mean_x, 9) AS atkinson_eps_half,
+       round(1.0 - exp(mean_ln) / mean_x, 9) AS atkinson_eps_one
+FROM agg
+"""
+
+
+@register(
+    "stats_atkinson_index",
+    oracle=_SQL_ATKINSON,
+    tags=("stats", "inequality", "welfare"),
+)
+def stats_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index of positive customer balances at the
+    two canonical aversion levels: A(0.5) = 1 - (mean sqrt(x))^2 / mean
+    and A(1) = 1 - geomean / mean — the welfare-founded complement to
+    the Gini (udf_grouped_agg_gini) and Theil (stats_theil_index)
+    entries: Atkinson makes the inequality-aversion parameter explicit
+    and is decomposable by subgroup.
+
+    Exactness: all three generalized means are quantized davg over
+    exact per-row transforms (ln terms pre-rounded to 9 dp so the
+    micro-grid mean of identical doubles is identical); the two index
+    expressions then compose from identical doubles.
+
+    Scale shape: one pruned scan, one map-side-combined aggregate of
+    three running sums. Nothing else."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    agg = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        davg(F.col("c_acctbal")).alias("mean_x"),
+        davg(F.sqrt(F.col("c_acctbal"))).alias("mean_sqrt"),
+        davg(F.round(F.log(F.col("c_acctbal")), 9)).alias("mean_ln"),
+    )
+    return agg.select(
+        "n",
+        F.round("mean_x", 6).alias("mean_x"),
+        F.round(
+            F.lit(1.0) - (F.col("mean_sqrt") * F.col("mean_sqrt")) / F.col("mean_x"),
+            9,
+        ).alias("atkinson_eps_half"),
+        F.round(
+            F.lit(1.0) - F.exp(F.col("mean_ln")) / F.col("mean_x"), 9
+        ).alias("atkinson_eps_one"),
+    )

@@ -242,3 +242,71 @@ def test_mmd_shift_crafted_mean_gap(spark, tmp_path):
     r = got.iloc[0]
     assert (r["n_a"], r["n_b"], r["dim"]) == (3, 3, 8)
     assert r["mmd2_linear"] == 4.0 and r["mmd_linear"] == 2.0
+
+
+def test_cochran_q_crafted_exact(spark, tmp_path):
+    import datetime as dt
+    # 4 users x 5 types; user0 does all, user1 does click+view,
+    # user2 does view only, user3 does purchase+signup
+    did = {
+        0: ["click", "error", "purchase", "signup", "view"],
+        1: ["click", "view"],
+        2: ["view"],
+        3: ["purchase", "signup"],
+    }
+    rows = []
+    eid = 0
+    for u, types in did.items():
+        for t in types:
+            rows.append({"event_id": eid, "ts": dt.datetime(2024, 1, 1),
+                         "user_id": u, "event_type": t, "value": 1.0,
+                         "props": "{}"})
+            eid += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    got, want = _run_both(spark, "stats_cochran_q", str(tmp_path), ["events"])
+    _assert_equal(got, want)
+    # closed-form replay
+    k = 5
+    cols = {"click": 2, "error": 1, "purchase": 2, "signup": 2, "view": 3}
+    ri = [5, 2, 1, 2]
+    grand = sum(ri)
+    q = (k - 1) * (k * sum(c * c for c in cols.values()) - grand * grand) / (
+        k * grand - sum(r * r for r in ri)
+    )
+    r = got.iloc[0]
+    assert r["n_users"] == 4 and r["grand"] == 10 and r["k"] == 5
+    assert r["cochran_q"] == round(q, 9)
+
+
+def test_cochran_q_degenerate_denominator_null(spark, tmp_path):
+    import datetime as dt
+    # every user performs ALL types: R_i = k for all -> kG = sum R^2
+    rows = []
+    eid = 0
+    for u in range(3):
+        for t in ["click", "error", "purchase", "signup", "view"]:
+            rows.append({"event_id": eid, "ts": dt.datetime(2024, 1, 1),
+                         "user_id": u, "event_type": t, "value": 1.0,
+                         "props": "{}"})
+            eid += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    got, want = _run_both(spark, "stats_cochran_q", str(tmp_path), ["events"])
+    _assert_equal(got, want)
+    assert got["cochran_q"].isna().all()
+
+
+def test_atkinson_equal_balances_zero_inequality(spark, tmp_path):
+    rows = [
+        {"c_custkey": i, "c_nationkey": 0, "c_acctbal": 500.0,
+         "c_mktsegment": "A"} for i in range(10)
+    ]
+    # non-positive balances are excluded, not ln(-x) errors
+    rows.append({"c_custkey": 99, "c_nationkey": 0, "c_acctbal": -10.0,
+                 "c_mktsegment": "A"})
+    pd.DataFrame(rows).to_parquet(tmp_path / "customer.parquet", index=False)
+    got, want = _run_both(spark, "stats_atkinson_index", str(tmp_path), ["customer"])
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert r["n"] == 10
+    assert abs(r["atkinson_eps_half"]) < 1e-6  # equal incomes: A = 0
+    assert abs(r["atkinson_eps_one"]) < 1e-6
