@@ -1252,7 +1252,11 @@ def finance_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFr
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    items = li.distinct()
+    # the deduped basket frame feeds FOUR consumers (both self-join
+    # sides, per-part counts, the order total): localCheckpoint pins it
+    # so the scan+distinct shuffle runs once, not once per consumer
+    # (the graph-entry shared-subtree discipline)
+    items = li.distinct().localCheckpoint(eager=True)
     n_orders = items.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
     ic = items.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     a = items.select(F.col("o"), F.col("p").alias("part_a"))
