@@ -485,6 +485,21 @@ R9_ENTRIES = [
     "eval_auc_hanley_ci",
 ]
 
+R10_ENTRIES = [
+    "finance_benford_first_digit",
+    "finance_basket_association_rules",
+    "stats_mutual_information",
+    "stats_jarque_bera",
+    "stats_cliffs_delta",
+    "stats_wasserstein_binned",
+    "ts_durbin_watson",
+    "events_page_hinkley",
+    "eval_embedding_mmd_shift",
+    "stats_cochran_q",
+    "stats_atkinson_index",
+    "multimodal_decode_real",
+]
+
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
 
 _R3_TABLES = {
@@ -559,14 +574,15 @@ def main() -> None:
     r6e_mode = "--r6e" in sys.argv
     r7_mode = "--r7" in sys.argv
     r9_mode = "--r9" in sys.argv
+    r10_mode = "--r10" in sys.argv
 
-    if r3_mode or r4_mode or r5_mode or r6_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode or r7_mode or r9_mode:
+    if r3_mode or r4_mode or r5_mode or r6_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode or r7_mode or r9_mode or r10_mode:
         print("building 10x relational replication ...", file=sys.stderr)
         big_rel = build_10x_rel(spark)
     else:
         print("building 10x replication ...", file=sys.stderr)
         big_dir = build_10x(spark)
-    if r5_mode or r6_mode or not (r3_mode or r4_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode or r7_mode or r9_mode):
+    if r5_mode or r6_mode or not (r3_mode or r4_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode or r7_mode or r9_mode or r10_mode):
         print("building 10x distinct-content replication ...", file=sys.stderr)
         big_distinct_dir = build_10x(spark, distinct=True)
 
@@ -601,7 +617,9 @@ def main() -> None:
         )
         return rec
 
-    if r9_mode:
+    if r10_mode:
+        rows_r10 = measure(R10_ENTRIES, big_rel)
+    elif r9_mode:
         rows_r9 = measure(R9_ENTRIES, big_rel)
     elif r7_mode:
         rows_r7 = measure(R7_ENTRIES, big_rel)
@@ -643,6 +661,33 @@ def main() -> None:
     md_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_EVIDENCE.md"
     )
+    if r10_mode:
+        lines = [
+            "",
+            "## Round-10 at sf1 (the twelve new entries)",
+            "",
+            "Same sf1 relational-replication protocol as the tables above. "
+            "The basket self-join (co-partitioned on the order key, pair "
+            "volume ~ baskets x C(basket,2)) and Cliff's delta (10x order "
+            "values through the distinct-domain prefix sum) are the volume "
+            "rows; the BMP/PPM decode is two map-only Arrow stages over "
+            "10x payloads; Benford/MI/JB/Cochran/Atkinson/MMD reduce to "
+            "digit/cell/type/dim-bounded frames after one map-side-"
+            "combined agg; Durbin-Watson, Page-Hinkley and Wasserstein "
+            "live on calendar- or domain-bounded frames after the scan.",
+            "",
+        ]
+        lines += table(rows_r10)
+        lines += [""]
+        prev = open(md_path).read() if os.path.exists(md_path) else ""
+        marker = "\n## Round-10 at sf1"
+        if marker in prev:
+            prev = prev[: prev.index(marker)]
+        with open(md_path, "w") as f:
+            f.write(prev.rstrip("\n") + "\n" + "\n".join(lines))
+        print("appended round-10 sf1 section to SCALE_EVIDENCE.md", file=sys.stderr)
+        return
+
     if r9_mode:
         lines = [
             "",
