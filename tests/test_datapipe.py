@@ -176,8 +176,13 @@ def test_multimodal_decode_stub(spark):
     row = mm.decode_features(df).first()
     assert row["n_bytes"] == 3 and row["byte_min"] == ord("a") and row["byte_max"] == ord("c")
     assert row["feature_version"] == "fake-v1"
-    with pytest.raises(NotImplementedError):
-        mm.decode_features(df, backend="real")
+    # backend="real" is a working raster decoder since round 10
+    # (tests/test_multimodal_real.py); a text payload has no BMP/PPM
+    # magic, so it takes the NULL-feature unsupported path
+    real = mm.decode_features(df, backend="real").first()
+    assert real["format"] == "unsupported" and real["width"] is None
+    with pytest.raises(ValueError, match="backend"):
+        mm.decode_features(df, backend="nope")
 
 
 def test_frame_sample_plan(spark):

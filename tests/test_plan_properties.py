@@ -102,6 +102,25 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # DSIR selection threshold: n-th largest Gumbel key via
         # distributed top-n, injected as crossJoin(broadcast(1-row min))
         "sample_dsir_importance",
+        # injects the 1-row basket total (n_orders) via
+        # crossJoin(broadcast) — the tfidf corpus-size idiom; the pair
+        # join itself is a co-partitioned equi-join on the order key
+        "finance_basket_association_rules",
+        # 1-row grand total N broadcast into the (lang x source) cell
+        # frame and both margin frames — three scalar-broadcast joins
+        "stats_mutual_information",
+        # 1-row (n_a, n_b) totals broadcast into the domain-bounded bin
+        # spine — the Kaplan-Meier censoring idiom
+        "stats_wasserstein_binned",
+        # 1-row group-size pair broadcast onto the dim-bounded mean-gap
+        # frame — the scalar-broadcast idiom
+        "eval_embedding_mmd_shift",
+        # 1-row series mean broadcast into the calendar-bounded daily
+        # frame (delta/lambda are fractions of it)
+        "events_page_hinkley",
+        # two scalar broadcasts (min day, then the 1-row OLS fit) into
+        # the calendar-bounded daily frame
+        "ts_durbin_watson",
         # ADC scan IS reconstructed-corpus × broadcast(queries) — the
         # all-pairs scoring PQ exists to make cheap; at scale it runs
         # per IVF cell (IVF-PQ), same shape as similarity_ivf_topk
