@@ -99,6 +99,18 @@ def main() -> None:
     # alongside (BENCH_FULL.json): min-vs-median spread is a per-entry
     # noise bound a regression claim must clear.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    def release_blocks() -> None:
+        # Entries that pin shared subtrees (persist / eager localCheckpoint
+        # — the graph/basket discipline) leave their blocks in the block
+        # manager; over 385 entries x runs passes in ONE JVM the leak
+        # accumulates into storage-memory pressure and late-run GC stalls
+        # (r10 first pass: tpch_q1 min 3.0 s vs median 29.7 s). Unpersist
+        # everything between entries so each measurement starts clean.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     headline_total = 0.0
@@ -108,6 +120,7 @@ def main() -> None:
             t0 = time.time()
             force(spec.fn(spark, sf_dir))
             samples.append(time.time() - t0)
+            release_blocks()
         samples.sort()
         timings[name] = round(samples[0], 3)
         # true median: average the two middle samples for even n (the
