@@ -1762,3 +1762,161 @@ def eval_auc_hanley_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci95_hi"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus BLEU over adjacent-id document pairs — round 10
+# --------------------------------------------------------------------------
+
+def _sql_bleu() -> str:
+    toks = tx.sql_tokens("text")
+    big = f"list_transform(range(1, len({toks})), i -> {toks}[i] || ' ' || {toks}[i + 1])"
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS t1, {big} AS t2 FROM documents),
+pairs AS (
+  SELECT c.doc_id AS pid, c.t1 AS c1, c.t2 AS c2, r.t1 AS r1, r.t2 AS r2
+  FROM d c JOIN d r ON r.doc_id = c.doc_id + 1
+),
+cu AS (
+  SELECT pid, 1 AS n, unnest(c1) AS g FROM pairs
+  UNION ALL SELECT pid, 2, unnest(c2) FROM pairs
+),
+ru AS (
+  SELECT pid, 1 AS n, unnest(r1) AS g FROM pairs
+  UNION ALL SELECT pid, 2, unnest(r2) FROM pairs
+),
+cc AS (SELECT pid, n, g, CAST(count(*) AS BIGINT) AS kc FROM cu GROUP BY 1, 2, 3),
+rc AS (SELECT pid, n, g, CAST(count(*) AS BIGINT) AS kr FROM ru GROUP BY 1, 2, 3),
+clip AS (
+  SELECT cc.n, CAST(sum(least(kc, kr)) AS BIGINT) AS clipped
+  FROM cc JOIN rc ON cc.pid = rc.pid AND cc.n = rc.n AND cc.g = rc.g
+  GROUP BY cc.n
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(len(c1)) AS BIGINT) AS cand1,
+         CAST(sum(len(c2)) AS BIGINT) AS cand2,
+         CAST(sum(len(r1)) AS BIGINT) AS ref_len
+  FROM pairs
+),
+p AS (
+  SELECT n_pairs, cand1 AS cand_len, ref_len,
+         CASE WHEN cand1 = 0 THEN 0.0 ELSE
+           CAST(coalesce((SELECT clipped FROM clip WHERE n = 1), 0) AS DOUBLE) / cand1
+         END AS p1,
+         CASE WHEN cand2 = 0 THEN 0.0 ELSE
+           CAST(coalesce((SELECT clipped FROM clip WHERE n = 2), 0) AS DOUBLE) / cand2
+         END AS p2
+  FROM tot
+)
+SELECT n_pairs, cand_len, ref_len,
+       round(p1, 9) AS p1, round(p2, 9) AS p2,
+       CASE WHEN p1 > 0 AND p2 > 0 THEN
+         round(CASE WHEN cand_len > ref_len THEN 1.0
+                    ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / cand_len) END
+               * exp(0.5 * (ln(p1) + ln(p2))), 9)
+       ELSE 0.0 END AS bleu2
+FROM p
+"""
+
+
+@register(
+    "eval_bleu_adjacent_pairs",
+    oracle=_sql_bleu(),
+    tags=("eval", "bleu", "ngram", "generation"),
+)
+def eval_bleu_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-2 (Papineni et al.: clipped modified n-gram
+    precision + brevity penalty, uniform 1/2-gram weights) over a
+    deterministic candidate/reference pairing (each doc scored against
+    the next doc id) — the generation-eval metric a distillation or
+    rephrase pipeline runs against references; here the random pairing
+    doubles as the metric's floor calibration. The n-gram-overlap
+    companion to eval_rank_biased_overlap (rankings) and the kappa
+    entries (labels).
+
+    Exactness: every clipped count is sum(least(kc, kr)) of exact
+    per-pair BIGINT n-gram counts; p1/p2 are exact integer ratios; the
+    brevity penalty and geometric mean compose from identical doubles.
+    Zero matches in either order pins BLEU to exactly 0.0 on both
+    engines.
+
+    Scale shape: the pairing is an equi-join on doc_id + 1 (co-
+    partitioned, no window); n-gram counting shuffles (pair, n, gram)
+    rows with map-side combine; the clip join is per-(pair, gram) —
+    everything linear in token volume. One 1-row combine at the end."""
+    docs = _t(spark, sf_dir, "documents")
+    t1 = tx.tokens("text")
+    n_tok = F.size(t1)
+    t2 = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t1, i), F.element_at(t1, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select("doc_id", t1.alias("t1"), t2.alias("t2"))
+    c = d.select(
+        F.col("doc_id").alias("pid"),
+        F.col("t1").alias("c1"),
+        F.col("t2").alias("c2"),
+        (F.col("doc_id") + 1).alias("rid"),
+    )
+    r = d.select(
+        F.col("doc_id").alias("rid"),
+        F.col("t1").alias("r1"),
+        F.col("t2").alias("r2"),
+    )
+    pairs = c.join(r, "rid")
+    def counts(col1, col2, out):
+        u = pairs.select("pid", F.lit(1).alias("n"), F.explode(col1).alias("g")).unionByName(
+            pairs.select("pid", F.lit(2).alias("n"), F.explode(col2).alias("g"))
+        )
+        return u.groupBy("pid", "n", "g").agg(
+            F.count(F.lit(1)).cast("bigint").alias(out)
+        )
+    cc = counts(F.col("c1"), F.col("c2"), "kc")
+    rc = counts(F.col("r1"), F.col("r2"), "kr")
+    clip = (
+        cc.join(rc, ["pid", "n", "g"])
+        .groupBy("n")
+        .agg(F.sum(F.least("kc", "kr")).cast("bigint").alias("clipped"))
+    )
+    tot = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.size("c1")).cast("bigint").alias("cand1"),
+        F.sum(F.size("c2")).cast("bigint").alias("cand2"),
+        F.sum(F.size("r1")).cast("bigint").alias("ref_len"),
+    )
+    clip_w = clip.groupBy().pivot("n", [1, 2]).sum("clipped")
+    p = tot.crossJoin(F.broadcast(clip_w)).select(
+        "n_pairs",
+        F.col("cand1").alias("cand_len"),
+        "ref_len",
+        F.when(F.col("cand1") == 0, F.lit(0.0))
+        .otherwise(F.coalesce(F.col("1"), F.lit(0)).cast("double") / F.col("cand1"))
+        .alias("p1"),
+        # a corpus of single-token docs has NO candidate bigrams at all:
+        # p2 pins to 0 (BLEU-2 undefined -> 0) instead of an ANSI /0
+        F.when(F.col("cand2") == 0, F.lit(0.0))
+        .otherwise(F.coalesce(F.col("2"), F.lit(0)).cast("double") / F.col("cand2"))
+        .alias("p2"),
+    )
+    bp = F.when(F.col("cand_len") > F.col("ref_len"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - F.col("ref_len").cast("double") / F.col("cand_len"))
+    )
+    return p.select(
+        "n_pairs",
+        "cand_len",
+        "ref_len",
+        F.round("p1", 9).alias("p1"),
+        F.round("p2", 9).alias("p2"),
+        F.when(
+            (F.col("p1") > 0) & (F.col("p2") > 0),
+            F.round(bp * F.exp(0.5 * (F.log("p1") + F.log("p2"))), 9),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("bleu2"),
+    )

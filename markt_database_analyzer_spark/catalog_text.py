@@ -2437,3 +2437,124 @@ def text_msttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram KL / JS divergence between corpora — round 10
+# --------------------------------------------------------------------------
+
+_KL_ALPHA = 0.5  # add-alpha smoothing over the union vocabulary
+_SQL_NSUM_TX = "(CAST(SUM(CAST(round(({x}) * 1000000000.0) AS HUGEINT)) AS DOUBLE) / 1000000000.0)"
+
+
+def _sql_unigram_kl() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH tok AS (
+  SELECT lang, unnest({toks}) AS w
+  FROM documents WHERE lang IN ('en', 'de')
+),
+c AS (
+  SELECT w,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS c2
+  FROM tok GROUP BY w
+),
+tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(count(*) AS BIGINT) AS v
+  FROM c
+),
+d AS (
+  SELECT (c1 + {_KL_ALPHA}) / (n1 + {_KL_ALPHA} * v) AS p,
+         (c2 + {_KL_ALPHA}) / (n2 + {_KL_ALPHA} * v) AS q
+  FROM c CROSS JOIN tot
+),
+agg AS (
+  SELECT
+    {_SQL_NSUM_TX.format(x='round(p * ln(p / q), 9)')} AS kl_pq,
+    {_SQL_NSUM_TX.format(x='round(q * ln(q / p), 9)')} AS kl_qp,
+    {_SQL_NSUM_TX.format(
+        x='round(0.5 * p * ln(2.0 * p / (p + q)) + 0.5 * q * ln(2.0 * q / (p + q)), 9)'
+    )} AS js
+  FROM d
+)
+SELECT n1 AS n_tokens_en, n2 AS n_tokens_de, v AS vocab_union,
+       round(kl_pq, 9) AS kl_en_de, round(kl_qp, 9) AS kl_de_en,
+       round(js, 9) AS js_divergence
+FROM agg CROSS JOIN tot
+"""
+
+
+@register(
+    "text_unigram_kl_divergence",
+    oracle=_sql_unigram_kl(),
+    tags=("text", "divergence", "corpus-compare", "lm"),
+)
+def text_unigram_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL and Jensen-Shannon divergence between two corpora's unigram
+    distributions (en vs de documents) with add-alpha smoothing over the
+    UNION vocabulary — the corpus-level distribution-shift measure
+    behind DSIR-style importance weights (log p/q IS the DSIR ratio) and
+    quality-filter domain matching; the token-level companion to
+    dq_jensen_shannon_drift (binned numeric) and
+    stats_wasserstein_binned (transport).
+
+    Exactness: token counts are exact BIGINTs from ONE conditional hash
+    agg over the union vocabulary; smoothed p/q are single fp
+    expressions of those integers (identical doubles); each divergence
+    term rounds to 9 dp and sums on the nano grid, so the three
+    divergences are summation-order-free on both engines. JS is
+    computed term-wise against M = (P+Q)/2 and is bounded by ln 2.
+
+    Scale shape: explode -> map-side-combined (word) agg is the only
+    fact-volume stage; everything after lives on the vocabulary frame
+    (Heaps-law sublinear) with the 1-row totals broadcast. At 100 TB
+    hash the token to int64 first (the bigram-LM discipline) so the
+    shuffle carries 8-byte keys."""
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("en", "de"))
+        .select("lang", F.explode(tx.tokens("text")).alias("w"))
+    )
+    c = tok.groupBy("w").agg(
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("c1"),
+        F.count(F.when(F.col("lang") == "de", 1)).cast("bigint").alias("c2"),
+    )
+    tot = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    a = F.lit(_KL_ALPHA)
+    d = c.crossJoin(F.broadcast(tot)).select(
+        ((F.col("c1") + a) / (F.col("n1") + a * F.col("v"))).alias("p"),
+        ((F.col("c2") + a) / (F.col("n2") + a * F.col("v"))).alias("q"),
+    )
+
+    def nsum_tx(col):
+        return (
+            F.sum(F.round(col * F.lit(1e9)).cast("decimal(38,0)")).cast("double")
+            / F.lit(1e9)
+        )
+
+    p, q = F.col("p"), F.col("q")
+    agg = d.agg(
+        nsum_tx(F.round(p * F.log(p / q), 9)).alias("kl_pq"),
+        nsum_tx(F.round(q * F.log(q / p), 9)).alias("kl_qp"),
+        nsum_tx(
+            F.round(
+                0.5 * p * F.log(2.0 * p / (p + q))
+                + 0.5 * q * F.log(2.0 * q / (p + q)),
+                9,
+            )
+        ).alias("js"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("n1").alias("n_tokens_en"),
+        F.col("n2").alias("n_tokens_de"),
+        F.col("v").alias("vocab_union"),
+        F.round("kl_pq", 9).alias("kl_en_de"),
+        F.round("kl_qp", 9).alias("kl_de_en"),
+        F.round("js", 9).alias("js_divergence"),
+    )

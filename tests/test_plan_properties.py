@@ -121,6 +121,12 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # two scalar broadcasts (min day, then the 1-row OLS fit) into
         # the calendar-bounded daily frame
         "ts_durbin_watson",
+        # 1-row (n1, n2, V) totals broadcast into the vocabulary frame
+        # for add-alpha smoothing — the tfidf corpus-size idiom
+        "text_unigram_kl_divergence",
+        # 1-row clipped-count pivot + 1-row length totals crossJoined
+        # into the single corpus-BLEU output row
+        "eval_bleu_adjacent_pairs",
         # ADC scan IS reconstructed-corpus × broadcast(queries) — the
         # all-pairs scoring PQ exists to make cheap; at scale it runs
         # per IVF cell (IVF-PQ), same shape as similarity_ivf_topk

@@ -310,3 +310,75 @@ def test_atkinson_equal_balances_zero_inequality(spark, tmp_path):
     assert r["n"] == 10
     assert abs(r["atkinson_eps_half"]) < 1e-6  # equal incomes: A = 0
     assert abs(r["atkinson_eps_one"]) < 1e-6
+
+
+def test_unigram_kl_crafted_exact(spark, tmp_path):
+    # en corpus: "a a b"; de corpus: "a c c c" -> union vocab {a, b, c}
+    rows = [
+        {"doc_id": 1, "text": "a a b", "lang": "en", "source": "s", "n_chars": 5},
+        {"doc_id": 2, "text": "a c c c", "lang": "de", "source": "s", "n_chars": 7},
+        # other langs must be excluded entirely
+        {"doc_id": 3, "text": "zz zz", "lang": "fr", "source": "s", "n_chars": 5},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got, want = _run_both(
+        spark, "text_unigram_kl_divergence", str(tmp_path), ["documents"]
+    )
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert (r["n_tokens_en"], r["n_tokens_de"], r["vocab_union"]) == (3, 4, 3)
+    # nano-grid replay with alpha = 0.5 over V = 3
+    a, v = 0.5, 3
+    c1, c2 = {"a": 2, "b": 1, "c": 0}, {"a": 1, "b": 0, "c": 3}
+    kl_u = js_u = 0
+    for w in c1:
+        p = (c1[w] + a) / (3 + a * v)
+        q = (c2[w] + a) / (4 + a * v)
+        kl_u += round(round(p * math.log(p / q), 9) * 1e9)
+        m2 = p + q
+        js_u += round(
+            round(0.5 * p * math.log(2 * p / m2) + 0.5 * q * math.log(2 * q / m2), 9)
+            * 1e9
+        )
+    assert r["kl_en_de"] == round(kl_u / 1e9, 9)
+    assert r["js_divergence"] == round(js_u / 1e9, 9)
+    assert 0.0 < r["js_divergence"] < math.log(2)
+
+
+def test_bleu_identical_pair_is_one_and_disjoint_is_zero(spark, tmp_path):
+    mk = lambda i, text: {"doc_id": i, "text": text, "lang": "en",
+                          "source": "s", "n_chars": len(text)}
+    # pair (1, 2): identical texts -> p1 = p2 = 1, BP = 1, BLEU = 1
+    rows = [mk(1, "the cat sat"), mk(2, "the cat sat")]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got, want = _run_both(spark, "eval_bleu_adjacent_pairs", str(tmp_path), ["documents"])
+    _assert_equal(got, want)
+    assert got.iloc[0]["bleu2"] == 1.0 and got.iloc[0]["n_pairs"] == 1
+
+    # disjoint texts -> zero overlap -> BLEU exactly 0.0
+    rows = [mk(1, "aa bb cc"), mk(2, "dd ee ff")]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got2, want2 = _run_both(spark, "eval_bleu_adjacent_pairs", str(tmp_path), ["documents"])
+    _assert_equal(got2, want2)
+    assert got2.iloc[0]["bleu2"] == 0.0
+
+
+def test_bleu_clipping_and_brevity_penalty(spark, tmp_path):
+    mk = lambda i, text: {"doc_id": i, "text": text, "lang": "en",
+                          "source": "s", "n_chars": len(text)}
+    # candidate "the the the" vs reference "the cat": clipped unigram
+    # count = min(3, 1) = 1 of 3 -> p1 = 1/3; no bigram overlap -> bleu 0;
+    # cand_len 3 > ref_len 2 -> BP would be 1
+    rows = [mk(1, "the the the"), mk(2, "the cat")]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got, want = _run_both(spark, "eval_bleu_adjacent_pairs", str(tmp_path), ["documents"])
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert r["p1"] == round(1 / 3, 9) and r["p2"] == 0.0 and r["bleu2"] == 0.0
+    # single-token docs: bigram lists must be EMPTY, not a reversed
+    # sequence artifact (the Spark sequence(1, 0) guard)
+    rows = [mk(1, "hello"), mk(2, "hello")]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got2, want2 = _run_both(spark, "eval_bleu_adjacent_pairs", str(tmp_path), ["documents"])
+    _assert_equal(got2, want2)
+    assert got2.iloc[0]["p1"] == 1.0 and got2.iloc[0]["bleu2"] == 0.0
