@@ -1841,54 +1841,70 @@ def eval_bleu_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero matches in either order pins BLEU to exactly 0.0 on both
     engines.
 
-    Scale shape: the pairing is an equi-join on doc_id + 1 (co-
-    partitioned, no window); n-gram counting shuffles (pair, n, gram)
-    rows with map-side combine; the clip join is per-(pair, gram) —
-    everything linear in token volume. One 1-row combine at the end."""
-    docs = _t(spark, sf_dir, "documents")
-    t1 = tx.tokens("text")
-    n_tok = F.size(t1)
+    Scale shape: n-grams are counted ONCE PER DOCUMENT (tokenize on a
+    fanned-out scan, explode, map-side-combined (doc, n, gram) agg) and
+    the per-doc count frame is then reused for both roles — the pairing
+    and the clip are equi-joins on (doc-derived pair id, n, gram), so
+    token arrays never ship through a join and no text is exploded
+    twice. One 1-row combine at the end."""
+    from .datapipe.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    # STAGED projection (the winnow_fp_frame discipline): bind tokens as
+    # a real column first, so the bigram lambda references a bound
+    # attribute — embedding the tokenize subtree inside the transform
+    # re-evaluates the regex split once PER BIGRAM POSITION (lambda
+    # bodies are interpreted with no subexpression reuse; measured
+    # 27 s -> 1.4 s for the same staging in datapipe/text.py)
+    bt = F.col("_bt")
     t2 = F.when(
-        n_tok >= 2,
+        F.size(bt) >= 2,
         F.transform(
-            F.sequence(F.lit(1), n_tok - 1),
+            F.sequence(F.lit(1), F.size(bt) - 1),
             lambda i: F.concat_ws(
-                " ", F.element_at(t1, i), F.element_at(t1, i + 1)
+                " ", F.element_at(bt, i), F.element_at(bt, i + 1)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    d = docs.select("doc_id", t1.alias("t1"), t2.alias("t2"))
-    c = d.select(
-        F.col("doc_id").alias("pid"),
-        F.col("t1").alias("c1"),
-        F.col("t2").alias("c2"),
-        (F.col("doc_id") + 1).alias("rid"),
+    d = (
+        docs.select("doc_id", tx.tokens("text").alias("_bt"))
+        .select("doc_id", F.col("_bt").alias("t1"), t2.alias("t2"))
+        .localCheckpoint(eager=True)
     )
-    r = d.select(
-        F.col("doc_id").alias("rid"),
-        F.col("t1").alias("r1"),
-        F.col("t2").alias("r2"),
+    # per-doc gram counts, computed once and reused for both pair roles
+    gu = d.select("doc_id", F.lit(1).alias("n"), F.explode("t1").alias("g")).unionByName(
+        d.select("doc_id", F.lit(2).alias("n"), F.explode("t2").alias("g"))
     )
-    pairs = c.join(r, "rid")
-    def counts(col1, col2, out):
-        u = pairs.select("pid", F.lit(1).alias("n"), F.explode(col1).alias("g")).unionByName(
-            pairs.select("pid", F.lit(2).alias("n"), F.explode(col2).alias("g"))
-        )
-        return u.groupBy("pid", "n", "g").agg(
-            F.count(F.lit(1)).cast("bigint").alias(out)
-        )
-    cc = counts(F.col("c1"), F.col("c2"), "kc")
-    rc = counts(F.col("r1"), F.col("r2"), "kr")
+    gc = gu.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    ids = d.select(F.col("doc_id").alias("succ_id"))
+    # candidate side = docs that HAVE a successor (doc-cardinality
+    # semi-join on the id key; Catalyst picks broadcast vs shuffled)
+    cc = gc.join(
+        ids, gc.doc_id + 1 == ids.succ_id, "left_semi"
+    ).select(
+        F.col("doc_id").alias("pid"), "n", "g", F.col("k").alias("kc")
+    )
+    rc = gc.select(
+        (F.col("doc_id") - 1).alias("pid"), "n", "g", F.col("k").alias("kr")
+    )
     clip = (
         cc.join(rc, ["pid", "n", "g"])
         .groupBy("n")
         .agg(F.sum(F.least("kc", "kr")).cast("bigint").alias("clipped"))
     )
+    lens = d.select(
+        "doc_id", F.size("t1").alias("l1"), F.size("t2").alias("l2")
+    )
+    pairs = lens.alias("c").join(
+        lens.alias("r"), F.col("c.doc_id") + 1 == F.col("r.doc_id")
+    )
     tot = pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(F.size("c1")).cast("bigint").alias("cand1"),
-        F.sum(F.size("c2")).cast("bigint").alias("cand2"),
-        F.sum(F.size("r1")).cast("bigint").alias("ref_len"),
+        F.sum("c.l1").cast("bigint").alias("cand1"),
+        F.sum("c.l2").cast("bigint").alias("cand2"),
+        F.sum("r.l1").cast("bigint").alias("ref_len"),
     )
     clip_w = clip.groupBy().pivot("n", [1, 2]).sum("clipped")
     p = tot.crossJoin(F.broadcast(clip_w)).select(

@@ -498,6 +498,8 @@ R10_ENTRIES = [
     "stats_cochran_q",
     "stats_atkinson_index",
     "multimodal_decode_real",
+    "text_unigram_kl_divergence",
+    "eval_bleu_adjacent_pairs",
 ]
 
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
@@ -664,7 +666,7 @@ def main() -> None:
     if r10_mode:
         lines = [
             "",
-            "## Round-10 at sf1 (the twelve new entries)",
+            "## Round-10 at sf1 (the fourteen new entries)",
             "",
             "Same sf1 relational-replication protocol as the tables above. "
             "The basket self-join (co-partitioned on the order key, pair "
