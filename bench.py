@@ -107,8 +107,13 @@ def main() -> None:
         # accumulates into storage-memory pressure and late-run GC stalls
         # (r10 first pass: tpch_q1 min 3.0 s vs median 29.7 s). Unpersist
         # everything between entries so each measurement starts clean.
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist(False)
+        # getPersistentRDDs is a private py4j surface absent under Spark
+        # Connect; clearCache alone is the portable fallback (ADVICE r10).
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(False)
+        except Exception:
+            pass
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}

@@ -100,14 +100,16 @@ DEMO_FORM_MAX_ROWS = 2_000_000
 def demo_guard(df: DataFrame, entry: str, twin: str, cap: int = DEMO_FORM_MAX_ROWS) -> DataFrame:
     """Refuse to build a global-total-order demo plan over a frame larger
     than ``cap`` rows (the ``sources/plots.py`` MAX_PLOT_ROWS pattern,
-    applied at the input instead of the sink). The count is one
-    metadata-cheap job on the raw scan; ``df`` is returned unchanged so
-    call sites stay single-expression."""
-    n = df.count()
-    if n > cap:
+    applied at the input instead of the sink). The probe counts
+    ``limit(cap + 1)`` — it stops the scan as soon as cap+1 rows have
+    surfaced, so the guard's cost is bounded by the CAP, not the input
+    size (ADVICE r10: a plain count() was a full-scan job inside the
+    bench's timed window). ``df`` is returned unchanged so call sites
+    stay single-expression."""
+    if df.limit(cap + 1).count() > cap:
         raise ValueError(
             f"{entry} is an oracle-parity demo form (global total-order plan) "
-            f"and refuses inputs over {cap:,} rows (got {n:,}); "
+            f"and refuses inputs over {cap:,} rows; "
             f"use its scale twin {twin} instead"
         )
     return df

@@ -34,8 +34,11 @@ def test_demo_guard_noop_below_cap(spark):
 
 
 def test_demo_guard_refuses_above_cap_and_names_twin(spark):
+    # the probe is limit(cap+1).count() so the exact input size is
+    # never computed (guard cost bounded by the cap, ADVICE r10) —
+    # the message names the cap and the twin, not the input size
     df = spark.range(11)
-    with pytest.raises(ValueError, match=r"some_entry.*got 11.*some_twin"):
+    with pytest.raises(ValueError, match=r"some_entry.*over 10.*some_twin"):
         demo_guard(df, "some_entry", "some_twin", cap=10)
 
 

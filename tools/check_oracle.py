@@ -101,6 +101,10 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: check_oracle.py [--json OUT.json] [SF_DIR] [ENTRY ...]",
+                  file=sys.stderr)
+            return 2
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv and argv[0].startswith("/") else DEFAULT_SF
@@ -120,6 +124,21 @@ def main() -> int:
     from markt_database_analyzer_spark.catalog import REGISTRY as _REG
 
     sf_pinned = {n for n, s in _REG.items() if "oracle-sf0.01" in s.tags}
+
+    def release_blocks() -> None:
+        # Same cleanup as bench.py: entries that persist/localCheckpoint
+        # shared subtrees leave blocks in the block manager; over 387
+        # entries in ONE JVM that accumulates into storage-memory
+        # pressure that skews late-entry `secs` (ADVICE r10). The
+        # getPersistentRDDs sweep uses a private py4j surface absent
+        # under Spark Connect, so fall back to clearCache alone.
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(False)
+        except Exception:
+            pass
+        spark.catalog.clearCache()
+
     failures = 0
     records: dict[str, dict] = {}
     for name in names:
@@ -127,6 +146,7 @@ def main() -> int:
             print(f"SKIP  {name}: oracle rendered for sf0.01 (tag oracle-sf0.01)")
             records[name] = {"match": None, "skip": "oracle-sf0.01"}
             continue
+        release_blocks()  # untimed: before t0, so cleanup cost never lands in `secs`
         t0 = time.time()
         try:
             got = qs[name](spark, sf_dir).toPandas()
