@@ -86,6 +86,23 @@ def main() -> None:
         spark.range(0, 32, 1, 32).mapInPandas(_identity, schema="id long")
     )
 
+    # Box-speed calibration (VERDICT r10 item 4): round 10 proved the box
+    # itself can shift ~1.5-2x between rounds (byte-identical code
+    # re-timed 2x slower in fresh sessions), making cross-round absolute
+    # totals meaningless. This fixed synthetic job — 200M rows of
+    # codegen'd trig arithmetic over 64 splits, no I/O, no shuffle beyond
+    # the final 1-row agg — is identical work every round, so
+    # `value / calib_sec` is a box-normalized figure that survives a
+    # box-speed shift. min of 3 passes, same discipline as the queries.
+    calib_samples = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 200_000_000, 1, 64).selectExpr(
+            "sum(sin(id % 1000) * cos(id % 997)) AS s"
+        ).collect()
+        calib_samples.append(time.time() - t0)
+    calib_sec = round(min(calib_samples), 3)
+
     # Machine-load context (VERDICT r8 item 6): the r8 idle round
     # measured ±13% headline / up to ±96% single-query drift on
     # byte-identical code, so cross-round comparisons need the noise
@@ -162,6 +179,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "all_queries_total_sec": round(sum(timings.values()), 3),
                 "all_queries_median_total_sec": round(sum(medians.values()), 3),
+                "calib_sec": calib_sec,
                 "load_before": load_before,
                 "load_after": load_after,
             },
@@ -188,6 +206,9 @@ def main() -> None:
                 "headline_median_total_sec": round(
                     sum(medians[n] for n in headline), 3
                 ),
+                # fixed synthetic CPU job (min of 3): divide `value` by
+                # this to compare rounds across box-speed shifts (r10)
+                "calib_sec": calib_sec,
                 "load_before": load_before,
                 "load_after": load_after,
                 "full": "BENCH_FULL.json",

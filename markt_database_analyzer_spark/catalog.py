@@ -382,7 +382,7 @@ def c_gain_by_nation(spark: SparkSession, sf_dir: str, min_customers: int = 50) 
 
     merged = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .withColumn("age_days", F.datediff("l_shipdate", "o_orderdate").cast("double"))
     )
@@ -550,7 +550,7 @@ def j3_having_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 HAVING + J3 left-semi restriction (analyse.py:419-431)."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    fact = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    fact = orders.join(cust, orders.o_custkey == cust.c_custkey)
     restricted = restrict_to_groups_with_min_count(fact, cust, "c_mktsegment", min_count=300)
     return (
         restricted.groupBy(F.col("c_mktsegment").alias("segment"))

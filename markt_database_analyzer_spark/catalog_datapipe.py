@@ -264,7 +264,7 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order tokens rarest-first: join each token to its df, sort by
     # (df, token) via struct sort, project the token back out
     exploded = toks.select("doc_id", F.explode("ts").alias("tok")).join(
-        F.broadcast(dfx), "tok"
+        dfx, "tok"
     )
     ordered = exploded.groupBy("doc_id").agg(
         F.transform(
@@ -322,8 +322,8 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
     uni = F.size("ts_a") + F.size("ts_b") - inter
     return (
-        cand.join(F.broadcast(ta), "id_a")
-        .join(F.broadcast(tb), "id_b")
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
         .select(
             "id_a",
             "id_b",

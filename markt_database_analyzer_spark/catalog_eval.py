@@ -1154,7 +1154,7 @@ def eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(F.broadcast(idf), "w")
+        tf.join(idf, "w")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")

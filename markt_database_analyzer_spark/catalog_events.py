@@ -124,7 +124,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.date_trunc("day", "ts")).alias("cohort_day")
     )
     activity = (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_day",

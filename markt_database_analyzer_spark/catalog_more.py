@@ -672,7 +672,7 @@ def streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     enriched = (
-        ev.join(F.broadcast(cust), "user_id")
+        ev.join(cust, "user_id")
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )

@@ -144,7 +144,7 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ri = (
         orders.select("o_custkey")
         .filter(F.col("o_custkey").isNotNull())
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti")
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("orphans"))
     )
     row = m.crossJoin(ri)

@@ -441,7 +441,7 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(F.broadcast(idf), "w")
+        tf.join(idf, "w")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
@@ -1681,7 +1681,7 @@ def search_pseudo_relevance_feedback(spark: SparkSession, sf_dir: str) -> DataFr
         )
         idf = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
         return (
-            tf.join(F.broadcast(idf), "w")
+            tf.join(idf, "w")
             .join(dl, "doc_id")
             .crossJoin(F.broadcast(stats))
             .groupBy("doc_id")

@@ -97,10 +97,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_leg), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
-        .join(F.broadcast(supp_leg), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_leg, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp_leg, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(F.year("o_orderdate").alias("o_year"), volume.alias("volume"), "supp_nation")
     )
     return (
@@ -185,7 +185,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             dsum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)).alias("num"),
             dsum(disc).alias("den"),
@@ -232,7 +232,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue0.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -267,7 +267,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = _t(spark, sf_dir, "lineitem")
-    li_brand = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    li_brand = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     thresholds = li_brand.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.lit(0.2) * davg(F.col("l_quantity"))).alias("qty_threshold")
     )
@@ -327,7 +327,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         residual = cond if residual is None else (residual | cond)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(residual)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -532,8 +532,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("nation", F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
         .groupBy("nation", "o_year")
@@ -795,7 +795,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        waiting.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        waiting.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -55,7 +55,10 @@ def lifetime_view_rate_curve(
 
     prof = profiles.select(*key, "age", "profile_url")
     df = (
-        monitor.join(F.broadcast(prof), on=key, how="inner")  # J1: dim side small
+        # J1: profiles is the dim side but profile count scales with the
+        # data (one row per ad) — no broadcast hint; AQE broadcasts when
+        # the runtime size allows and sort-merges otherwise (r11 audit)
+        monitor.join(prof, on=key, how="inner")
         .filter(not_null_or_empty("age"))  # P3 analyse.py:28
         .withColumn("age_numeric", coerce_numeric("age"))  # F8 analyse.py:29
         .filter(F.col("age_numeric").isNotNull())  # P4 analyse.py:30

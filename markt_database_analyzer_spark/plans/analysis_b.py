@@ -92,7 +92,7 @@ def initial_rate_by_posting_hour(
         order_by=[F.col("posting_ts")],
     )
 
-    merged = mon.join(F.broadcast(prof), on=KEY, how="inner")  # analyse.py:235-240
+    merged = mon.join(prof, on=KEY, how="inner")  # analyse.py:235-240
     initial = merged.filter(F.col("ad_age_num") <= max_age_minutes)  # analyse.py:245
 
     per_push = first_last_by_order(

@@ -45,7 +45,7 @@ def views_gained_by_city(
     )
     prof_unique = dedup_keep_first(prof, KEY, order_by=[F.col("city")])
 
-    merged = mon.join(F.broadcast(prof_unique), on=KEY, how="inner")  # analyse.py:406-411
+    merged = mon.join(prof_unique, on=KEY, how="inner")  # analyse.py:406-411
 
     # HAVING on the PRE-join profiles: pushes without monitor rows still
     # count toward the city threshold (deliberate, analyse.py:417-419).
