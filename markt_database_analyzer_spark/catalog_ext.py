@@ -522,6 +522,67 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_features(with_payload, backend="real").orderBy("doc_id")
 
 
+@register(
+    "multimodal_decode_audio",
+    # The decoder is REAL (RIFF chunk walk → PCM int16 → amplitude
+    # stats), and the fixture is SQL-replayable by construction: each
+    # payload's 8 samples are the first 16 md5 bytes of str(doc_id) read
+    # as little-endian int16 pairs, container rotating on doc_id % 3
+    # (mono WAV / stereo WAV with an extra LIST chunk / ID3-magic
+    # unsupported), sample rate 8000 + 1000*(doc_id % 5). The oracle
+    # recomputes every statistic from the same md5 hex pairs — integer
+    # sums first, float division last, in the decoder's exact operation
+    # order — so mean/clip are bit-exact and rms differs only by the
+    # shared IEEE sqrt.
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, doc_id % 3 AS k, doc_id % 5 AS m,
+         list_transform(
+           list_transform(
+             range(0, 8),
+             j -> ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 4 * j + 1, 2))::INT
+                  + 256 * ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 4 * j + 3, 2))::INT
+           ),
+           v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+         ) AS smp
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN k < 2 THEN 'wav' ELSE 'unsupported' END AS format,
+       CASE k WHEN 0 THEN 1 WHEN 1 THEN 2 END AS n_channels,
+       CASE WHEN k < 2 THEN 8000 + 1000 * m END AS sample_rate,
+       CASE k WHEN 0 THEN CAST(8 AS BIGINT) WHEN 1 THEN CAST(4 AS BIGINT) END AS n_frames,
+       CASE WHEN k < 2 THEN CAST(8 AS BIGINT) END AS n_samples,
+       CASE WHEN k < 2
+            THEN CAST(list_aggregate(smp, 'sum') AS DOUBLE) / 8 END AS mean_amp,
+       CASE WHEN k < 2
+            THEN round(sqrt(CAST(list_aggregate(
+                   list_transform(smp, x -> x * x), 'sum') AS DOUBLE) / 8), 6)
+       END AS rms,
+       CASE WHEN k < 2
+            THEN CAST(len(list_filter(smp, x -> abs(x) >= {mm.CLIP_ABS})) AS DOUBLE) / 8
+       END AS clip_frac,
+       'audio-v1' AS feature_version
+FROM s ORDER BY doc_id
+""",
+    tags=("multimodal", "mapInPandas", "codec", "audio"),
+)
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode inside the Arrow mapInPandas plumbing — the WAV
+    twin of multimodal_decode_real (VERDICT r10 item 6): crafted RIFF/
+    WAVE PCM payloads (samples = md5(doc_id) bytes as int16 LE, see
+    datapipe.multimodal.crafted_audio_payloads) are decoded by the
+    pure-numpy chunk-walking parser — fmt/data discovery, an interleaved
+    LIST chunk, stereo frame accounting — into per-doc amplitude stats
+    (n_frames, n_samples, mean amplitude, RMS, clip fraction);
+    ID3-magic payloads take the NULL-feature unsupported path. Scale
+    shape: two chained map-only Arrow stages, no shuffle at all — the
+    same envelope measured 1.07x wall at 10x for the raster twin."""
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = mm.crafted_audio_payloads(docs, "doc_id")
+    return mm.decode_audio_features(with_payload).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Streaming
 # --------------------------------------------------------------------------

