@@ -1301,3 +1301,116 @@ def finance_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFr
             both * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 9
         ).alias("lift"),
     ).orderBy("part_a", "part_b")
+
+
+# --------------------------------------------------------------------------
+# Market-basket association rules (3-itemsets, Apriori-pruned) — round 11
+# --------------------------------------------------------------------------
+
+_TRIPLE_MIN_COUNT = 2
+
+_SQL_BASKET_TRIPLES = f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM items),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_pair
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING count(*) >= {_TRIPLE_MIN_COUNT}
+),
+trips AS (
+  SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c,
+         CAST(count(*) AS BIGINT) AS n_all
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+               JOIN items c ON b.o = c.o AND b.p < c.p
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= {_TRIPLE_MIN_COUNT}
+)
+SELECT part_a, part_b, part_c, n_all, pr.n_pair AS n_ab,
+       round(CAST(n_all AS DOUBLE) / n_orders, 9) AS support,
+       round(CAST(n_all AS DOUBLE) / pr.n_pair, 9) AS conf_ab_to_c
+FROM trips
+JOIN pairs pr ON pr.pa = part_a AND pr.pb = part_b
+CROSS JOIN n
+ORDER BY part_a, part_b, part_c
+"""
+
+
+@register(
+    "finance_basket_triples",
+    oracle=_SQL_BASKET_TRIPLES,
+    tags=("finance", "basket", "association", "apriori"),
+)
+def finance_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Apriori k=3 layer nested on the same co-partitioned basket
+    self-join as finance_basket_association_rules (proving that entry's
+    'k-itemsets nest the same join' claim): 3-itemset support plus the
+    (a,b) -> c confidence against the frequent-pair table. All measures
+    are ratios of exact BIGINT counts, so the SQL replay is bit-exact.
+
+    Apriori pruning is LOSSLESS here and applied before the cubic join:
+    any part in a frequent triple appears in a frequent sub-pair
+    (sub-pattern support >= triple support >= min), so restricting the
+    item list to parts of frequent pairs (one semi-join) cannot drop a
+    result — it only shrinks the per-basket candidate count b, and the
+    triple join's per-task work is C(b, 3). Likewise the final HAVING
+    implies every sub-pair is frequent, so the confidence join always
+    hits. Scale shape: the 3-way self-join stays co-partitioned on the
+    order key (the first join's shuffle partitioning is reused for the
+    second), pair/triple counts are map-side-combined hash aggs, and no
+    sf-proportional frame carries a broadcast hint (r11 audit rule) —
+    the frequent-pair and pruned-item joins are plain joins AQE sizes at
+    runtime."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    items = li.distinct().localCheckpoint(eager=True)
+    n_orders = items.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    a = items.select("o", F.col("p").alias("pa"))
+    b = items.select("o", F.col("p").alias("pb"))
+    # L2 feeds two consumers (the part prune + the confidence join): pin
+    # it so the pair shuffle runs once (shared-subtree discipline)
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= _TRIPLE_MIN_COUNT)
+        .localCheckpoint(eager=True)
+    )
+    freq_parts = (
+        pairs.select(F.col("pa").alias("p"))
+        .union(pairs.select(F.col("pb").alias("p")))
+        .distinct()
+    )
+    pruned = items.join(freq_parts, "p", "left_semi")
+    pa = pruned.select("o", F.col("p").alias("part_a"))
+    pb = pruned.select("o", F.col("p").alias("part_b"))
+    pc = pruned.select("o", F.col("p").alias("part_c"))
+    trips = (
+        pa.join(pb, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .join(pc, "o")
+        .filter(F.col("part_b") < F.col("part_c"))
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+        .filter(F.col("n_all") >= _TRIPLE_MIN_COUNT)
+    )
+    out = trips.join(
+        pairs.select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("n_pair").alias("n_ab"),
+        ),
+        ["part_a", "part_b"],
+    ).crossJoin(F.broadcast(n_orders))
+    n_all = F.col("n_all").cast("double")
+    return out.select(
+        "part_a",
+        "part_b",
+        "part_c",
+        "n_all",
+        "n_ab",
+        F.round(n_all / F.col("n_orders"), 9).alias("support"),
+        F.round(n_all / F.col("n_ab"), 9).alias("conf_ab_to_c"),
+    ).orderBy("part_a", "part_b", "part_c")

@@ -1,0 +1,94 @@
+"""Round-11 operator pins: crafted-input replays for the new entries,
+exercising edges the sf testdata may not hit (Apriori pruning actually
+dropping infrequent parts; triple counts implying sub-pair frequency).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from markt_database_analyzer_spark.catalog import REGISTRY
+
+
+def _run_both(spark, name, sf_dir, tables):
+    got = REGISTRY[name].fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = con.execute(REGISTRY[name].oracle).df()
+    con.close()
+    return got, want
+
+
+def _assert_equal(got, want):
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+
+def _write_baskets(tmp_path, baskets):
+    rows, i = [], 0
+    for o, parts in baskets.items():
+        for p in parts:
+            rows.append({"l_orderkey": o, "l_partkey": p, "l_suppkey": 1,
+                         "l_linenumber": i % 7 + 1, "l_quantity": 1.0,
+                         "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0})
+            i += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+
+def test_basket_triples_crafted_counts(spark, tmp_path):
+    # (10,20,30) co-occurs in orders 1,2 (count 2 = min); (10,20,40) only
+    # in order 3 (count 1, pruned); part 50 appears once so the Apriori
+    # part-prune drops it before the cubic join; order 4's duplicate 10
+    # dedups before counting.
+    baskets = {
+        1: [10, 20, 30],
+        2: [30, 10, 20],
+        3: [10, 20, 40],
+        4: [10, 10, 50],
+    }
+    _write_baskets(tmp_path, baskets)
+    got, want = _run_both(spark, "finance_basket_triples", str(tmp_path), ["lineitem"])
+    _assert_equal(got, want)
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["part_a"], r["part_b"], r["part_c"], r["n_all"]) == (10, 20, 30, 2)
+    # (10,20) is in all three first baskets -> n_ab = 3, conf = 2/3
+    assert r["n_ab"] == 3
+    assert r["support"] == 0.5  # 2 of 4 orders
+    assert r["conf_ab_to_c"] == round(2 / 3, 9)
+
+
+def test_basket_triples_empty_when_no_triple_repeats(spark, tmp_path):
+    # every triple unique -> empty result, schema intact (the sf0.1 bench
+    # shape: 0 qualifying triples is a VALID output, not an error)
+    baskets = {1: [1, 2, 3], 2: [4, 5, 6], 3: [1, 2, 7]}
+    _write_baskets(tmp_path, baskets)
+    got, want = _run_both(spark, "finance_basket_triples", str(tmp_path), ["lineitem"])
+    _assert_equal(got, want)
+    assert len(got) == 0
+    assert list(got.columns) == [
+        "part_a", "part_b", "part_c", "n_all", "n_ab", "support", "conf_ab_to_c",
+    ]
+
+
+def test_basket_triples_min_count_implies_subpair_frequent(spark, tmp_path):
+    # a triple at min count must always find its (a,b) pair row: pair
+    # support >= triple support by containment. Crafted so the pair
+    # (1,2) count (4) exceeds the triple (1,2,3) count (2).
+    baskets = {
+        1: [1, 2, 3],
+        2: [1, 2, 3],
+        3: [1, 2],
+        4: [1, 2],
+    }
+    _write_baskets(tmp_path, baskets)
+    got, want = _run_both(spark, "finance_basket_triples", str(tmp_path), ["lineitem"])
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert (r["n_all"], r["n_ab"]) == (2, 4)
+    assert r["conf_ab_to_c"] == 0.5
