@@ -1936,3 +1936,168 @@ def eval_bleu_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("bleu2"),
     )
+
+
+# --------------------------------------------------------------------------
+# chrF (character n-gram F-score) — round 11
+# --------------------------------------------------------------------------
+
+def _sql_chrf() -> str:
+    return r"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(text, '\s+', '', 'g') AS cs FROM documents
+),
+gu AS (
+  SELECT doc_id, nn.n AS n,
+         unnest(list_transform(
+           range(1, greatest(length(cs) - nn.n + 2, 1)),
+           i -> substr(cs, i, nn.n))) AS g
+  FROM d CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) nn
+),
+gc AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS k FROM gu GROUP BY 1, 2, 3),
+cc AS (
+  SELECT doc_id AS pid, n, g, k AS kc FROM gc
+  WHERE doc_id + 1 IN (SELECT doc_id FROM d)
+),
+rc AS (SELECT doc_id - 1 AS pid, n, g, k AS kr FROM gc),
+clip AS (
+  SELECT cc.n, CAST(sum(least(kc, kr)) AS BIGINT) AS m
+  FROM cc JOIN rc ON cc.pid = rc.pid AND cc.n = rc.n AND cc.g = rc.g
+  GROUP BY cc.n
+),
+lens AS (
+  SELECT c.doc_id AS pid, length(c.cs) AS lc, length(r.cs) AS lr
+  FROM d c JOIN d r ON r.doc_id = c.doc_id + 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(greatest(lc - 0, 0)) AS BIGINT) AS tc1,
+         CAST(sum(greatest(lc - 1, 0)) AS BIGINT) AS tc2,
+         CAST(sum(greatest(lc - 2, 0)) AS BIGINT) AS tc3,
+         CAST(sum(greatest(lr - 0, 0)) AS BIGINT) AS tr1,
+         CAST(sum(greatest(lr - 1, 0)) AS BIGINT) AS tr2,
+         CAST(sum(greatest(lr - 2, 0)) AS BIGINT) AS tr3
+  FROM lens
+),
+f AS (
+  SELECT n_pairs,
+         CASE WHEN tc1 = 0 THEN 0.0 ELSE CAST(coalesce((SELECT m FROM clip WHERE n = 1), 0) AS DOUBLE) / tc1 END AS p1,
+         CASE WHEN tc2 = 0 THEN 0.0 ELSE CAST(coalesce((SELECT m FROM clip WHERE n = 2), 0) AS DOUBLE) / tc2 END AS p2,
+         CASE WHEN tc3 = 0 THEN 0.0 ELSE CAST(coalesce((SELECT m FROM clip WHERE n = 3), 0) AS DOUBLE) / tc3 END AS p3,
+         CASE WHEN tr1 = 0 THEN 0.0 ELSE CAST(coalesce((SELECT m FROM clip WHERE n = 1), 0) AS DOUBLE) / tr1 END AS r1,
+         CASE WHEN tr2 = 0 THEN 0.0 ELSE CAST(coalesce((SELECT m FROM clip WHERE n = 2), 0) AS DOUBLE) / tr2 END AS r2,
+         CASE WHEN tr3 = 0 THEN 0.0 ELSE CAST(coalesce((SELECT m FROM clip WHERE n = 3), 0) AS DOUBLE) / tr3 END AS r3
+  FROM tot
+),
+ff AS (
+  SELECT n_pairs,
+         CASE WHEN p1 + r1 = 0 THEN 0.0 ELSE 5.0 * p1 * r1 / (4.0 * p1 + r1) END AS f1,
+         CASE WHEN p2 + r2 = 0 THEN 0.0 ELSE 5.0 * p2 * r2 / (4.0 * p2 + r2) END AS f2,
+         CASE WHEN p3 + r3 = 0 THEN 0.0 ELSE 5.0 * p3 * r3 / (4.0 * p3 + r3) END AS f3
+  FROM f
+)
+SELECT n_pairs,
+       round(f1, 9) AS f1, round(f2, 9) AS f2, round(f3, 9) AS f3,
+       round((f1 + f2 + f3) / 3.0, 9) AS chrf
+FROM ff
+"""
+
+
+@register(
+    "eval_chrf_adjacent_pairs",
+    oracle=_sql_chrf(),
+    tags=("eval", "chrf", "ngram", "generation"),
+)
+def eval_chrf_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level chrF with beta=2 (Popovic 2015: character n-gram
+    precision AND recall, F-beta-combined, here n = 1..3 uniform) over
+    the same deterministic candidate/reference pairing as
+    eval_bleu_adjacent_pairs — the tokenizer-free generation metric
+    (robust to morphology/segmentation where word-BLEU is brittle).
+    Whitespace is stripped before gram extraction (the chrF standard).
+
+    Exactness: clipped matches are sums of exact per-pair BIGINT char-
+    gram counts; corpus precision/recall are exact integer ratios; every
+    F-score composes from identical doubles in the same operation
+    order, so the SQL replay is bit-exact (modulo the shared IEEE ops).
+
+    Scale shape: the BLEU staging discipline — char grams counted ONCE
+    PER DOCUMENT (whitespace-stripped text bound as a real column
+    first, then one explode per n on map-side-combined (doc, n, gram)
+    aggs) and reused for both pair roles via equi-joins on (pid, n,
+    gram); strings never ship through the pair join. Totals come from
+    per-doc LENGTHS (no second gram pass), and the final combine is a
+    broadcast of a 3-row clip pivot into a 1-row total."""
+    from .datapipe.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    d = (
+        docs.select(
+            "doc_id", F.regexp_replace(F.col("text"), r"\s+", "").alias("cs")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def grams(n: int):
+        c = F.col("cs")
+        idx = F.when(
+            F.length(c) >= n,
+            F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return d.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(F.transform(idx, lambda i: c.substr(i, F.lit(n)))).alias("g"),
+        )
+
+    gu = grams(1).unionByName(grams(2)).unionByName(grams(3))
+    gc = gu.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    ids = d.select(F.col("doc_id").alias("succ_id"))
+    cc = gc.join(ids, gc.doc_id + 1 == ids.succ_id, "left_semi").select(
+        F.col("doc_id").alias("pid"), "n", "g", F.col("k").alias("kc")
+    )
+    rc = gc.select((F.col("doc_id") - 1).alias("pid"), "n", "g", F.col("k").alias("kr"))
+    clip = (
+        cc.join(rc, ["pid", "n", "g"])
+        .groupBy("n")
+        .agg(F.sum(F.least("kc", "kr")).cast("bigint").alias("m"))
+    )
+    lens = d.select("doc_id", F.length("cs").alias("L"))
+    pairs = lens.alias("c").join(
+        lens.alias("r"), F.col("c.doc_id") + 1 == F.col("r.doc_id")
+    )
+    def _tot(side: str, minus: int, name: str):
+        return F.sum(
+            F.greatest(F.col(f"{side}.L") - F.lit(minus), F.lit(0))
+        ).cast("bigint").alias(name)
+
+    tot = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        _tot("c", 0, "tc1"), _tot("c", 1, "tc2"), _tot("c", 2, "tc3"),
+        _tot("r", 0, "tr1"), _tot("r", 1, "tr2"), _tot("r", 2, "tr3"),
+    )
+    clip_w = clip.groupBy().pivot("n", [1, 2, 3]).sum("m")
+    j = tot.crossJoin(F.broadcast(clip_w))
+
+    def _ratio(mcol: str, tcol: str):
+        return F.when(F.col(tcol) == 0, F.lit(0.0)).otherwise(
+            F.coalesce(F.col(mcol), F.lit(0)).cast("double") / F.col(tcol)
+        )
+
+    def _fbeta(p, r):
+        return F.when(p + r == 0, F.lit(0.0)).otherwise(
+            F.lit(5.0) * p * r / (F.lit(4.0) * p + r)
+        )
+
+    f1 = _fbeta(_ratio("1", "tc1"), _ratio("1", "tr1"))
+    f2 = _fbeta(_ratio("2", "tc2"), _ratio("2", "tr2"))
+    f3 = _fbeta(_ratio("3", "tc3"), _ratio("3", "tr3"))
+    return j.select(
+        "n_pairs",
+        F.round(f1, 9).alias("f1"),
+        F.round(f2, 9).alias("f2"),
+        F.round(f3, 9).alias("f3"),
+        F.round((f1 + f2 + f3) / 3.0, 9).alias("chrf"),
+    )

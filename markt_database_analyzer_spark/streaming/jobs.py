@@ -128,6 +128,32 @@ def sliding_hourly_avg(
     )
 
 
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming sessionization via the native merging session operator:
+    per-user ``session_window`` (gap-based; windows MERGE as late rows
+    bridge gaps, which is why this needs the dedicated operator rather
+    than a tumbling bucket). Batch twin: the ``session_window_native``
+    catalog entry — same operator, same 30-min gap, shared semantics.
+
+    Output-mode note: session aggregations stream in update/append only
+    (complete would retain every session forever). The differential
+    harness drives this with update mode over a single availableNow
+    micro-batch, where each merged session's final state is emitted
+    exactly once; a multi-batch production run would re-emit a session
+    each time it grows and the sink (Delta/JDBC upsert) keys on
+    (user_id, window) — the run_foreachbatch_upsert pattern."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
 _DELTA_SCHEMA = "user_id long, event_id long, delta_value double, delta_minutes double"
 _STATE_SCHEMA = "last_us long, last_value double"
 

@@ -92,3 +92,41 @@ def test_basket_triples_min_count_implies_subpair_frequent(spark, tmp_path):
     r = got.iloc[0]
     assert (r["n_all"], r["n_ab"]) == (2, 4)
     assert r["conf_ab_to_c"] == 0.5
+
+
+def _write_docs(tmp_path, texts):
+    pd.DataFrame(
+        {"doc_id": range(1, len(texts) + 1), "text": texts,
+         "lang": ["en"] * len(texts), "source": ["s"] * len(texts),
+         "quality": [1.0] * len(texts)}
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+
+def test_chrf_identical_pair_is_one(spark, tmp_path):
+    # one pair of identical docs: every clipped count equals the total,
+    # all precisions/recalls are 1, chrF = 1 exactly
+    _write_docs(tmp_path, ["abcab cd", "ab cabcd"])  # same chars once whitespace drops
+    got, want = _run_both(spark, "eval_chrf_adjacent_pairs", str(tmp_path), ["documents"])
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert r["n_pairs"] == 1
+    assert r["f1"] == 1.0  # unigram multiset identical
+    assert r["chrf"] == round((r["f1"] + r["f2"] + r["f3"]) / 3, 9)
+
+
+def test_chrf_disjoint_pair_is_zero(spark, tmp_path):
+    _write_docs(tmp_path, ["aaaa", "bbbb"])
+    got, want = _run_both(spark, "eval_chrf_adjacent_pairs", str(tmp_path), ["documents"])
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert (r["f1"], r["f2"], r["f3"], r["chrf"]) == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_chrf_short_doc_empty_gram_orders(spark, tmp_path):
+    # a 2-char candidate has no 3-grams: tc3 = 0 must pin f3 to 0.0 on
+    # both engines, not divide by zero
+    _write_docs(tmp_path, ["ab", "ab"])
+    got, want = _run_both(spark, "eval_chrf_adjacent_pairs", str(tmp_path), ["documents"])
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert r["f1"] == 1.0 and r["f2"] == 1.0 and r["f3"] == 0.0

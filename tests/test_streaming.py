@@ -265,3 +265,48 @@ def test_observe_metrics_on_batch_pipeline(spark):
     got = obs.get
     assert got["n_rows"] == n
     assert 0 <= got["n_blank"] <= n
+
+
+def test_session_counts_match_batch_session_window(spark):
+    # the streaming merging-session operator must equal the batch
+    # session_window over the same static input (r11: §2.11 widening)
+    from markt_database_analyzer_spark.streaming import session_counts
+
+    stream = session_counts(read_events_stream(spark, SF_DIR))
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in run_stream_to_memory(stream, output_mode="complete").collect()
+    }
+    batch = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), "n")
+    )
+    want = {(r["user_id"], r["s"], r["n"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_session_counts_merge_bridged_gaps(spark, tmp_path):
+    # three events 20 min apart bridge into ONE session (each adjacent
+    # gap < 30 min though the total span is 40 min); a fourth event 31
+    # min later starts a new session — the merge semantics that make
+    # session_window a dedicated operator rather than a tumbling bucket
+    import pandas as pd
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:20:00",
+         "2024-01-01 00:40:00", "2024-01-01 01:11:00"]
+    )
+    pd.DataFrame(
+        {"user_id": [1, 1, 1, 1], "event_id": [1, 2, 3, 4],
+         "event_type": ["view"] * 4, "value": [1.0] * 4, "ts": ts}
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+    from markt_database_analyzer_spark.streaming import session_counts
+
+    stream = session_counts(read_events_stream(spark, str(tmp_path)))
+    rows = sorted(
+        (r["session_start"], r["n_events"])
+        for r in run_stream_to_memory(stream, output_mode="complete").collect()
+    )
+    assert [n for _, n in rows] == [3, 1]
