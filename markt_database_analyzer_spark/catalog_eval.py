@@ -2101,3 +2101,127 @@ def eval_chrf_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f3, 9).alias("f3"),
         F.round((f1 + f2 + f3) / 3.0, 9).alias("chrf"),
     )
+
+
+# --------------------------------------------------------------------------
+# Krippendorff's alpha (nominal, multi-rater, missing data) — round 11
+# --------------------------------------------------------------------------
+
+def _sql_kripp() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH rated AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r1,
+         CASE WHEN round(len(list_filter({toks}, t -> t IN {_KAPPA_STOPWORDS}))
+                      / CAST(len({toks}) AS DOUBLE), 9) >= {_KAPPA_THRESHOLD}
+              THEN 1 ELSE 0 END AS r2,
+         CASE WHEN doc_id % 5 = 0 THEN NULL
+              WHEN length(text) >= 200 THEN 1 ELSE 0 END AS r3
+  FROM documents
+),
+ratings AS (
+  SELECT doc_id, unnest([r1, r2, r3]) AS v FROM rated
+),
+units AS (
+  SELECT doc_id,
+         CAST(count(v) AS BIGINT) AS m,
+         CAST(count(*) FILTER (WHERE v = 0) AS BIGINT) AS n0,
+         CAST(count(*) FILTER (WHERE v = 1) AS BIGINT) AS n1
+  FROM ratings GROUP BY doc_id HAVING count(v) >= 2
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(m) AS BIGINT) AS n,
+         CAST(sum(n0) AS BIGINT) AS t0,
+         CAST(sum(n1) AS BIGINT) AS t1,
+         sum(2.0 * n0 * n1 / (m - 1)) AS do_num
+  FROM units
+)
+SELECT n_units, n, t0, t1,
+       round(do_num / n, 9) AS d_obs,
+       round(2.0 * t0 * t1 / (CAST(n AS DOUBLE) * (n - 1)), 9) AS d_exp,
+       CASE WHEN t0 = 0 OR t1 = 0 THEN 1.0
+            ELSE round(1.0 - (do_num / n)
+                       / (2.0 * t0 * t1 / (CAST(n AS DOUBLE) * (n - 1))), 9)
+       END AS alpha
+FROM agg
+"""
+
+
+@register(
+    "eval_krippendorff_alpha",
+    oracle=_sql_kripp(),
+    tags=("eval", "stats", "agreement", "missing-data"),
+)
+def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal scale) — the agreement coefficient
+    that generalizes the kappa family to ANY number of raters WITH
+    missing ratings (Krippendorff 2004): alpha = 1 - D_obs/D_exp over
+    three deterministic binary raters (the lang label, the kappa entry's
+    thresholded stopword-ratio classifier, and a length>=200 heuristic
+    that ABSTAINS on every doc_id % 5 == 0 — real missingness, the case
+    Cohen's kappa cannot handle). Units with fewer than two ratings drop
+    out, per the definition.
+
+    Exactness: every per-unit disagreement term 2*n0*n1/(m-1) has m-1 in
+    {1, 2}, so each is an exactly-representable dyadic rational and the
+    sum is order-independent; totals are BIGINTs and both engines
+    compose the same doubles in the same order. Degenerate all-one-value
+    corpora pin alpha to exactly 1.0 on both engines (D_exp = 0 guard).
+
+    Scale shape: one scan -> per-doc rating triple (pure row-local
+    expressions) -> explode of a 3-element array (bounded fan-out, not
+    data-dependent) -> map-side-combined per-doc counts -> one 5-cell
+    combine. No joins, no windows; at 100 TB this is scan-bound."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", F.length("text").alias("tlen"), tx.tokens("text").alias("toks")
+    )
+    stop = F.filter(F.col("toks"), lambda t: t.isin("the", "a", "of", "and", "is"))
+    rated = base.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("r1"),
+        (
+            F.round(F.size(stop) / F.size("toks").cast("double"), 9)
+            >= _KAPPA_THRESHOLD
+        ).cast("int").alias("r2"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("tlen") >= 200).cast("int"))
+        .alias("r3"),
+    )
+    ratings = rated.select(
+        "doc_id", F.explode(F.array("r1", "r2", "r3")).alias("v")
+    )
+    units = (
+        ratings.groupBy("doc_id")
+        .agg(
+            F.count("v").cast("bigint").alias("m"),
+            F.count(F.when(F.col("v") == 0, 1)).cast("bigint").alias("n0"),
+            F.count(F.when(F.col("v") == 1, 1)).cast("bigint").alias("n1"),
+        )
+        .filter(F.col("m") >= 2)
+    )
+    agg = units.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum("n0").cast("bigint").alias("t0"),
+        F.sum("n1").cast("bigint").alias("t1"),
+        F.sum(
+            F.lit(2.0) * F.col("n0") * F.col("n1") / (F.col("m") - 1)
+        ).alias("do_num"),
+    )
+    nd = F.col("n").cast("double")
+    d_obs = F.col("do_num") / F.col("n")
+    d_exp = F.lit(2.0) * F.col("t0") * F.col("t1") / (nd * (F.col("n") - 1))
+    return agg.select(
+        "n_units",
+        "n",
+        "t0",
+        "t1",
+        F.round(d_obs, 9).alias("d_obs"),
+        F.round(d_exp, 9).alias("d_exp"),
+        F.when((F.col("t0") == 0) | (F.col("t1") == 0), F.lit(1.0))
+        .otherwise(F.round(F.lit(1.0) - d_obs / d_exp, 9))
+        .alias("alpha"),
+    )

@@ -130,3 +130,42 @@ def test_chrf_short_doc_empty_gram_orders(spark, tmp_path):
     _assert_equal(got, want)
     r = got.iloc[0]
     assert r["f1"] == 1.0 and r["f2"] == 1.0 and r["f3"] == 0.0
+
+
+def _write_docs_full(tmp_path, rows):
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+
+
+def test_krippendorff_perfect_agreement_is_one(spark, tmp_path):
+    # every rater says 1 on every unit: D_obs = 0 and t0 = 0, so the
+    # degenerate-domain guard pins alpha to exactly 1.0 on both engines
+    text = "the a of and is " * 20  # stopword ratio 1.0, length >= 200
+    _write_docs_full(tmp_path, [
+        {"doc_id": i, "text": text, "lang": "en", "source": "s", "quality": 1.0}
+        for i in (1, 2, 3, 4)
+    ])
+    got, want = _run_both(spark, "eval_krippendorff_alpha", str(tmp_path), ["documents"])
+    _assert_equal(got, want)
+    assert got.iloc[0]["alpha"] == 1.0
+
+
+def test_krippendorff_hand_computed_with_missing(spark, tmp_path):
+    # unit 1 (id=1): r1=1 (en), r2=0 (no stopwords), r3=0 (short) -> (n0,n1,m)=(2,1,3)
+    # unit 2 (id=5): r3 MISSING (id%5==0), r1=1, r2=0          -> (1,1,2)
+    # unit 3 (id=2): r1=0 (de), r2=0, r3=1 (long)               -> (2,1,3)
+    long_plain = "wort " * 50          # 250 chars, no stopwords
+    _write_docs_full(tmp_path, [
+        {"doc_id": 1, "text": "kurz text", "lang": "en", "source": "s", "quality": 1.0},
+        {"doc_id": 5, "text": "kurz text", "lang": "en", "source": "s", "quality": 1.0},
+        {"doc_id": 2, "text": long_plain, "lang": "de", "source": "s", "quality": 1.0},
+    ])
+    got, want = _run_both(spark, "eval_krippendorff_alpha", str(tmp_path), ["documents"])
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    # n = 3 + 2 + 3 = 8, t1 = 1+1+1 = 3, t0 = 5
+    assert (r["n_units"], r["n"], r["t0"], r["t1"]) == (3, 8, 5, 3)
+    do = (2 * 2 * 1 / 2 + 2 * 1 * 1 / 1 + 2 * 2 * 1 / 2) / 8
+    de = 2 * 5 * 3 / (8 * 7)
+    assert r["d_obs"] == round(do, 9)
+    assert r["d_exp"] == round(de, 9)
+    assert r["alpha"] == round(1 - do / de, 9)
