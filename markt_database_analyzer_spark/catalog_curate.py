@@ -656,11 +656,11 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the two names of interest BEFORE joining, so each broadcast carries
     ≤2 rows and the OR collapses to a residual filter on two tiny joined
     columns — never a filter over the full fact×nation² space. The only
-    shuffle join is lineitem⋈orders; supplier and the nation roles ride
-    broadcasts, and the orders⋈customer nation key arrives via the
-    customer broadcast in q5 style (documented trade: at 100 TB customer
-    joins by shuffle on custkey instead — flip the hint, plan unchanged
-    otherwise)."""
+    shuffle join is lineitem⋈orders; the nation roles ride broadcasts,
+    and since the r11 audit the customer/supplier legs carry NO hint
+    (sf-proportional frames): AQE broadcasts them at bench SF and
+    shuffles on custkey/suppkey at 100 TB — the trade the old forced
+    hint documented is now the planner's runtime decision."""
     pair = ("NATION_3", "NATION_7")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
     n1 = nation.select(

@@ -74,9 +74,27 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import ensure_engine_conf
 
     ensure_engine_conf(spark)
+    # layout dispatch — see read_events_stream for why
+    return _stream_table(spark, sf_dir, "documents", DOCUMENTS_SCHEMA)
+
+
+def _stream_table(spark: SparkSession, sf_dir: str, table: str, schema) -> DataFrame:
+    """File-source readStream over ``<sf_dir>/<table>.parquet`` for BOTH
+    on-disk layouts: a single parquet FILE (the driver testdata) streams
+    from the parent dir with a pathGlobFilter on the file name, while a
+    DIRECTORY of part files (what every Spark writer produces) streams
+    from the directory itself — streaming file sources monitor
+    directories, and a glob filter on the parent would match ZERO part
+    files inside the table dir and silently stream nothing (caught by
+    the r11 10x replication run)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
     return (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
         .parquet(sf_dir)
     )
 
@@ -94,11 +112,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     at_rest = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema["ts"]
     ts_is_long = at_rest.dataType.typeName() == "long"
     schema = _events_raw_schema(T.LongType() if ts_is_long else T.TimestampType())
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = _stream_table(spark, sf_dir, "events", schema)
     if ts_is_long:
         return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return raw
