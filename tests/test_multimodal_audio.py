@@ -124,3 +124,39 @@ def test_entry_matches_duckdb_oracle(spark):
         check_dtype=False,
         check_exact=True,
     )
+
+
+# --- property-based codec pins (pure python, no Spark session) ------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64),
+    ch=st.sampled_from([1, 2]),
+    sr=st.integers(min_value=1, max_value=192_000),
+)
+def test_wav_codec_roundtrip_property(samples, ch, sr):
+    # any int16 vector that splits into whole frames must survive
+    # encode -> parse bit-exactly; ragged stereo must be rejected
+    smp = np.array(samples, dtype=np.int16)
+    b = mm.encode_wav(smp, n_channels=ch, sample_rate=sr)
+    got = mm._parse_wav(b)
+    if len(smp) % ch:
+        assert got is None
+    else:
+        n_channels, sample_rate, out = got
+        assert (n_channels, sample_rate) == (ch, sr)
+        np.testing.assert_array_equal(out, smp)
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(max_size=128))
+def test_wav_parser_never_crashes_on_garbage(data):
+    # arbitrary bytes: parse returns a decoded triple or None, never an
+    # exception and never an out-of-bounds read
+    got = mm._parse_wav(data)
+    if got is not None:
+        assert got[2].dtype == np.dtype("<i2")
