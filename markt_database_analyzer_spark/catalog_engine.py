@@ -259,7 +259,7 @@ def filter_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     verdict = hits.join(
-        F.broadcast(build.distinct().withColumn("m", F.lit(1))), "k", "left"
+        build.distinct().withColumn("m", F.lit(1)), "k", "left"
     ).select(
         (F.col("nhit") == F.col("npos")).alias("in_filter"),
         F.col("m").isNotNull().alias("is_member"),
@@ -400,8 +400,8 @@ def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = ic.select(F.col("p").alias("pa"), F.col("c").alias("ca"))
     ib = ic.select(F.col("p").alias("pb"), F.col("c").alias("cb"))
     return (
-        co.join(F.broadcast(ia), "pa")
-        .join(F.broadcast(ib), "pb")
+        co.join(ia, "pa")
+        .join(ib, "pb")
         .crossJoin(F.broadcast(nn))
         .select(
             "pa",

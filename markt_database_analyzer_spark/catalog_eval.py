@@ -289,23 +289,38 @@ def eval_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier ships with (F1 in its 2TP/(2TP+FP+FN) form avoids the
     0/0 of undefined precision x recall). Composes the NB entry's plan
     directly (one classifier run, one 5-class aggregate); counts are
-    exact integers, metrics integer ratios at 9 dp."""
+    exact integers, metrics integer ratios at 9 dp.
+
+    Scale shape (r11 rewrite): the doc-cardinality predictions reduce to
+    the (actual, predicted) CELL GRID first — one map-side-combined agg,
+    |classes|^2 cells — and everything after runs on that bounded frame.
+    The old form cross-joined classes against a BROADCAST of the full
+    prediction frame (sf-proportional — the exact pattern the r11
+    broadcast audit bans) and evaluated the classifier subtree twice;
+    measured 5.4 s -> ~NB cost at sf0.1, and at 100 TB the difference is
+    a driver OOM vs a 25-row grid. The eager localCheckpoint pins the
+    grid so classes and the per-class agg share ONE classifier run."""
     preds = classify_naive_bayes_langid(spark, sf_dir)
+    cells = (
+        preds.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     classes = (
-        preds.select(F.col("actual").alias("cls"))
-        .union(preds.select("predicted"))
+        cells.select(F.col("actual").alias("cls"))
+        .union(cells.select("predicted"))
         .distinct()
     )
-    joined = classes.crossJoin(F.broadcast(preds.select("actual", "predicted")))
+    joined = classes.crossJoin(F.broadcast(cells))  # |classes| x |classes|^2 grid
     per_class = joined.groupBy("cls").agg(
         F.sum(
-            F.when((F.col("actual") == F.col("cls")) & (F.col("predicted") == F.col("cls")), 1).otherwise(0)
+            F.when((F.col("actual") == F.col("cls")) & (F.col("predicted") == F.col("cls")), F.col("n")).otherwise(0)
         ).alias("tp"),
         F.sum(
-            F.when((F.col("predicted") == F.col("cls")) & (F.col("actual") != F.col("cls")), 1).otherwise(0)
+            F.when((F.col("predicted") == F.col("cls")) & (F.col("actual") != F.col("cls")), F.col("n")).otherwise(0)
         ).alias("fp"),
         F.sum(
-            F.when((F.col("actual") == F.col("cls")) & (F.col("predicted") != F.col("cls")), 1).otherwise(0)
+            F.when((F.col("actual") == F.col("cls")) & (F.col("predicted") != F.col("cls")), F.col("n")).otherwise(0)
         ).alias("fn"),
     )
     prec = F.when(F.col("tp") + F.col("fp") == 0, 0.0).otherwise(

@@ -465,8 +465,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     offers = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") > 0)
-        .join(F.broadcast(sized_part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(eu_supp.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(sized_part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(eu_supp.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(unit).alias("supply_cost"))
     )
@@ -476,8 +476,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         offers.join(best, F.col("l_partkey") == F.col("b_partkey"))
         .filter(F.col("supply_cost") == F.col("min_cost"))
-        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(sized_part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sized_part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name",
             F.col("l_partkey").alias("p_partkey"), "p_brand", "supply_cost",
@@ -589,7 +589,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = (
         _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
     )
@@ -697,7 +697,7 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
             & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
         )
-        .join(F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey"))
+        .join(widget, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(dsum(F.col("l_quantity")).alias("supp_qty"))
     )
@@ -722,7 +722,7 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
-        .join(F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_name", "s_suppkey")
     )

@@ -34,6 +34,10 @@ def restrict_to_groups_with_min_count(
 ) -> DataFrame:
     """Keep fact rows whose ``key`` meets the threshold measured on
     ``count_on`` (which may be a different frame than ``fact`` — see module
-    docstring)."""
+    docstring). The qualifying-key frame carries NO broadcast hint (r11
+    audit): its cardinality is the number of groups passing the
+    threshold — data-dependent, potentially millions at 100 TB — so AQE
+    broadcasts it when the runtime size allows and shuffle-semi-joins
+    otherwise."""
     keys = qualifying_keys(count_on, key, min_count, count_distinct)
-    return fact.join(F.broadcast(keys), on=key, how="left_semi")
+    return fact.join(keys, on=key, how="left_semi")
