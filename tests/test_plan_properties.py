@@ -127,6 +127,13 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # 1-row clipped-count pivot + 1-row length totals crossJoined
         # into the single corpus-BLEU output row
         "eval_bleu_adjacent_pairs",
+        # r11: the chrF twin of the BLEU row above — 3-row clip pivot
+        # crossJoined into the 1-row length-total frame
+        "eval_chrf_adjacent_pairs",
+        # r11: the k=3 nest of the basket row above — the same 1-row
+        # n_orders scalar broadcast; the cubic join itself is the
+        # co-partitioned order-key equi-join
+        "finance_basket_triples",
         # ADC scan IS reconstructed-corpus × broadcast(queries) — the
         # all-pairs scoring PQ exists to make cheap; at scale it runs
         # per IVF cell (IVF-PQ), same shape as similarity_ivf_topk
@@ -702,3 +709,15 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     rows = joined.collect()
     assert len(rows) == 1 and rows[0].omonth == "1995-03" and rows[0].n > 0
+
+
+@pytest.mark.parametrize(
+    "name", ["multimodal_decode_real", "multimodal_decode_audio"]
+)
+def test_decode_entries_are_map_only(spark, name):
+    """r11: both real-codec entries are two chained Arrow map stages —
+    a join or aggregate appearing here would mean the fixture builder or
+    featurizer grew a shuffle it does not need."""
+    plan = _plan(spark, name)
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
