@@ -2240,3 +2240,122 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.lit(1.0) - d_obs / d_exp, 9))
         .alias("alpha"),
     )
+
+
+# --------------------------------------------------------------------------
+# Token-level F1 (SQuAD-style) over adjacent pairs — round 11
+# --------------------------------------------------------------------------
+
+def _sql_token_f1() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS t FROM documents),
+gu AS (SELECT doc_id, unnest(t) AS g FROM d),
+gc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS k FROM gu GROUP BY 1, 2),
+cc AS (
+  SELECT doc_id AS pid, g, k AS kc FROM gc
+  WHERE doc_id + 1 IN (SELECT doc_id FROM d)
+),
+rc AS (SELECT doc_id - 1 AS pid, g, k AS kr FROM gc),
+clip AS (
+  SELECT cc.pid, CAST(sum(least(kc, kr)) AS BIGINT) AS m
+  FROM cc JOIN rc ON cc.pid = rc.pid AND cc.g = rc.g
+  GROUP BY cc.pid
+),
+pairs AS (
+  SELECT c.doc_id AS pid, len(c.t) AS lc, len(r.t) AS lr,
+         coalesce(clip.m, 0) AS m
+  FROM d c JOIN d r ON r.doc_id = c.doc_id + 1
+  LEFT JOIN clip ON clip.pid = c.doc_id
+),
+scored AS (
+  SELECT pid,
+         CASE WHEN lc = 0 THEN 0.0 ELSE CAST(m AS DOUBLE) / lc END AS p,
+         CASE WHEN lr = 0 THEN 0.0 ELSE CAST(m AS DOUBLE) / lr END AS r
+  FROM pairs
+),
+f AS (
+  SELECT pid, p, r,
+         CASE WHEN p + r = 0 THEN 0.0 ELSE 2.0 * p * r / (p + r) END AS f1
+  FROM scored
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round({SQL_DAVG.format(x='p')}, 9) AS mean_precision,
+       round({SQL_DAVG.format(x='r')}, 9) AS mean_recall,
+       round({SQL_DAVG.format(x='f1')}, 9) AS mean_f1
+FROM f
+"""
+
+
+@register(
+    "eval_token_f1_adjacent_pairs",
+    oracle=_sql_token_f1(),
+    tags=("eval", "f1", "token", "generation"),
+)
+def eval_token_f1_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQuAD-style token F1 (Rajpurkar et al. 2016: per-pair multiset
+    token overlap -> precision/recall -> harmonic mean, MACRO-averaged
+    over pairs) over the same deterministic candidate/reference pairing
+    as the BLEU and chrF entries — the third member of the generation-
+    eval family (BLEU: order-sensitive n-gram precision; chrF:
+    character-level F; token F1: the extractive-QA standard where each
+    pair's score counts equally regardless of length).
+
+    Exactness: per-pair overlap m is an exact BIGINT clip sum; p/r/f1
+    compose from identical doubles per pair; the MACRO mean goes through
+    davg's micro-unit quantization so the cross-pair sum is order-free
+    on both engines. Zero-token sides pin p/r to 0; p+r=0 pins f1 to 0.
+
+    Scale shape: the BLEU staging once more — token counts computed ONCE
+    PER DOC (map-side-combined (doc, token) agg) and reused for both
+    pair roles via (pid, token) equi-joins; the per-pair clip groups on
+    pid; lengths come via the skinny lens self-join; one 1-row combine.
+    Token arrays never ship through the pair join."""
+    from .datapipe.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", tx.tokens("text").alias("t")).localCheckpoint(eager=True)
+    gc = (
+        d.select("doc_id", F.explode("t").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    ids = d.select(F.col("doc_id").alias("succ_id"))
+    cc = gc.join(ids, gc.doc_id + 1 == ids.succ_id, "left_semi").select(
+        F.col("doc_id").alias("pid"), "g", F.col("k").alias("kc")
+    )
+    rc = gc.select((F.col("doc_id") - 1).alias("pid"), "g", F.col("k").alias("kr"))
+    clip = (
+        cc.join(rc, ["pid", "g"])
+        .groupBy("pid")
+        .agg(F.sum(F.least("kc", "kr")).cast("bigint").alias("m"))
+    )
+    lens = d.select("doc_id", F.size("t").alias("L"))
+    pairs = (
+        lens.alias("c")
+        .join(lens.alias("r"), F.col("c.doc_id") + 1 == F.col("r.doc_id"))
+        .select(
+            F.col("c.doc_id").alias("pid"),
+            F.col("c.L").alias("lc"),
+            F.col("r.L").alias("lr"),
+        )
+        .join(clip, "pid", "left")
+        .withColumn("m", F.coalesce(F.col("m"), F.lit(0)))
+    )
+    p = F.when(F.col("lc") == 0, F.lit(0.0)).otherwise(
+        F.col("m").cast("double") / F.col("lc")
+    )
+    r = F.when(F.col("lr") == 0, F.lit(0.0)).otherwise(
+        F.col("m").cast("double") / F.col("lr")
+    )
+    scored = pairs.select(p.alias("p"), r.alias("r"))
+    f1 = F.when(F.col("p") + F.col("r") == 0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))
+    )
+    f = scored.select("p", "r", f1.alias("f1"))
+    return f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(davg("p"), 9).alias("mean_precision"),
+        F.round(davg("r"), 9).alias("mean_recall"),
+        F.round(davg("f1"), 9).alias("mean_f1"),
+    )

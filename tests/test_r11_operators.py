@@ -169,3 +169,29 @@ def test_krippendorff_hand_computed_with_missing(spark, tmp_path):
     assert r["d_obs"] == round(do, 9)
     assert r["d_exp"] == round(de, 9)
     assert r["alpha"] == round(1 - do / de, 9)
+
+
+def test_token_f1_identical_and_disjoint_pairs(spark, tmp_path):
+    # 3 docs -> 2 pairs: (1,2) identical (f1=1), (2,3) disjoint (f1=0);
+    # macro mean = 0.5 exactly
+    _write_docs(tmp_path, ["alpha beta beta", "beta alpha beta", "gamma delta"])
+    got, want = _run_both(spark, "eval_token_f1_adjacent_pairs", str(tmp_path), ["documents"])
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert r["n_pairs"] == 2
+    assert r["mean_f1"] == 0.5
+    assert r["mean_precision"] == 0.5 and r["mean_recall"] == 0.5
+
+
+def test_token_f1_multiset_clipping(spark, tmp_path):
+    # candidate has 'a' x3, reference 'a' x1 -> clip m=1 (plus no other
+    # overlap): p=1/3, r=1/2, f1=2*(1/3)*(1/2)/(5/6)=0.4
+    _write_docs(tmp_path, ["a a a", "a b"])
+    got, want = _run_both(spark, "eval_token_f1_adjacent_pairs", str(tmp_path), ["documents"])
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    # davg quantizes to the micro-unit grid before averaging, so the
+    # mean of a single 1/3 lands at exactly 0.333333
+    assert r["mean_precision"] == 0.333333
+    assert r["mean_recall"] == 0.5
+    assert r["mean_f1"] == 0.4
