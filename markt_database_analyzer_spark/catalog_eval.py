@@ -776,8 +776,10 @@ def _sql_kappa() -> str:
     return f"""
 WITH scored AS (
   SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
-         CASE WHEN round(len(list_filter({toks}, t -> t IN {_KAPPA_STOPWORDS}))
-                      / CAST(len({toks}) AS DOUBLE), 9) >= {_KAPPA_THRESHOLD}
+         CASE WHEN (CASE WHEN len({toks}) = 0 THEN 0.0
+                         ELSE round(len(list_filter({toks}, t -> t IN {_KAPPA_STOPWORDS}))
+                                    / CAST(len({toks}) AS DOUBLE), 9)
+                    END) >= {_KAPPA_THRESHOLD}
               THEN 1 ELSE 0 END AS pred
   FROM documents
 ),
@@ -825,7 +827,9 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = base.select(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("truth"),
         (
-            F.round(F.size(stop) / F.size("toks").cast("double"), 9)
+            F.when(F.size("toks") == 0, F.lit(0.0)).otherwise(
+                F.round(F.size(stop) / F.size("toks").cast("double"), 9)
+            )
             >= _KAPPA_THRESHOLD
         ).cast("int").alias("pred"),
     )
@@ -2128,8 +2132,10 @@ def _sql_kripp() -> str:
 WITH rated AS (
   SELECT doc_id,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r1,
-         CASE WHEN round(len(list_filter({toks}, t -> t IN {_KAPPA_STOPWORDS}))
-                      / CAST(len({toks}) AS DOUBLE), 9) >= {_KAPPA_THRESHOLD}
+         CASE WHEN (CASE WHEN len({toks}) = 0 THEN 0.0
+                         ELSE round(len(list_filter({toks}, t -> t IN {_KAPPA_STOPWORDS}))
+                                    / CAST(len({toks}) AS DOUBLE), 9)
+                    END) >= {_KAPPA_THRESHOLD}
               THEN 1 ELSE 0 END AS r2,
          CASE WHEN doc_id % 5 = 0 THEN NULL
               WHEN length(text) >= 200 THEN 1 ELSE 0 END AS r3
@@ -2177,7 +2183,10 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholded stopword-ratio classifier, and a length>=200 heuristic
     that ABSTAINS on every doc_id % 5 == 0 — real missingness, the case
     Cohen's kappa cannot handle). Units with fewer than two ratings drop
-    out, per the definition.
+    out, per the definition. The stopword-ratio rater guards zero-token
+    documents to ratio 0 on BOTH engines (unguarded, Spark's ANSI mode
+    throws DIVIDE_BY_ZERO while the oracle's CASE silently maps such
+    docs to r2=0 — a latent differential divergence).
 
     Exactness: every per-unit disagreement term 2*n0*n1/(m-1) has m-1 in
     {1, 2}, so each is an exactly-representable dyadic rational and the
@@ -2198,7 +2207,9 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("r1"),
         (
-            F.round(F.size(stop) / F.size("toks").cast("double"), 9)
+            F.when(F.size("toks") == 0, F.lit(0.0)).otherwise(
+                F.round(F.size(stop) / F.size("toks").cast("double"), 9)
+            )
             >= _KAPPA_THRESHOLD
         ).cast("int").alias("r2"),
         F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("int"))

@@ -151,13 +151,14 @@ def session_counts(
     than a tumbling bucket). Batch twin: the ``session_window_native``
     catalog entry — same operator, same 30-min gap, shared semantics.
 
-    Output-mode note: session aggregations stream in update/append only
-    (complete would retain every session forever). The differential
-    harness drives this with update mode over a single availableNow
-    micro-batch, where each merged session's final state is emitted
-    exactly once; a multi-batch production run would re-emit a session
-    each time it grows and the sink (Delta/JDBC upsert) keys on
-    (user_id, window) — the run_foreachbatch_upsert pattern."""
+    Output-mode note: Spark REJECTS update mode for session-window
+    aggregations (the merging operator supports complete/append only).
+    The differential harness, catalog entry, and tests drive this in
+    complete mode over a single availableNow micro-batch, where each
+    merged session's final state is emitted exactly once; production
+    runs use append mode, where the watermark closes a session before
+    emission so state stays bounded (a multi-batch complete run would
+    retain every session forever)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))
