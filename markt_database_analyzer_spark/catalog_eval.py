@@ -2370,3 +2370,174 @@ def eval_token_f1_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(davg("r"), 9).alias("mean_recall"),
         F.round(davg("f1"), 9).alias("mean_f1"),
     )
+
+
+# --------------------------------------------------------------------------
+# ROUGE-L (LCS F1) over adjacent pairs — round 12
+# --------------------------------------------------------------------------
+
+def _sql_rouge_l() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+pairs AS (
+  SELECT c.doc_id AS pid, c.t AS c, r.t AS r, len(c.t) AS lc, len(r.t) AS lr
+  FROM docs c JOIN docs r ON r.doc_id = c.doc_id + 1
+),
+dp AS (
+  -- Anti-diagonal wavefront LCS: diagonal d of the DP grid depends only on
+  -- diagonals d-1 (up / left) and d-2 (diag), so every cell of a diagonal is
+  -- independently computable — list_transform needs no sequential inner scan.
+  -- Diagonal d is a list of lc+1 cells; position i+1 holds DP[i][d-i]
+  -- (LCS of the first i candidate vs first d-i reference tokens), -1 when
+  -- d-i is out of [0, lr] (never read by valid cells).
+  SELECT pid, c, r, lc, lr, CAST(1 AS BIGINT) AS dg,
+         list_transform(range(0, lc + 1),
+           i -> CASE WHEN i = 0 THEN (CASE WHEN lr >= 1 THEN 0 ELSE -1 END)
+                     WHEN i = 1 THEN 0 ELSE -1 END) AS prev,
+         list_transform(range(0, lc + 1),
+           i -> CASE WHEN i = 0 THEN 0 ELSE -1 END) AS prevprev
+  FROM pairs WHERE lc >= 1 AND lr >= 1
+  UNION ALL
+  SELECT pid, c, r, lc, lr, dg + 1,
+         list_transform(range(0, lc + 1), i ->
+           CASE WHEN dg + 1 - i < 0 OR dg + 1 - i > lr THEN -1
+                WHEN i = 0 OR dg + 1 - i = 0 THEN 0
+                ELSE greatest(prev[i + 1], prev[i],
+                              prevprev[i]
+                              + (CASE WHEN c[i] = r[dg + 1 - i] THEN 1 ELSE 0 END))
+           END),
+         prev
+  FROM dp WHERE dg < lc + lr
+),
+lcs AS (
+  SELECT pid, lc, lr, prev[lc + 1] AS l FROM dp WHERE dg = lc + lr
+  UNION ALL
+  SELECT pid, lc, lr, 0 AS l FROM pairs WHERE lc = 0 OR lr = 0
+),
+scored AS (
+  SELECT l,
+         CASE WHEN lc = 0 THEN 0.0 ELSE CAST(l AS DOUBLE) / lc END AS p,
+         CASE WHEN lr = 0 THEN 0.0 ELSE CAST(l AS DOUBLE) / lr END AS r
+  FROM lcs
+),
+f AS (
+  SELECT l, p, r,
+         CASE WHEN p + r = 0 THEN 0.0 ELSE 2.0 * p * r / (p + r) END AS f1
+  FROM scored
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(l) AS BIGINT) AS lcs_total,
+       round({SQL_DAVG.format(x='p')}, 9) AS mean_precision,
+       round({SQL_DAVG.format(x='r')}, 9) AS mean_recall,
+       round({SQL_DAVG.format(x='f1')}, 9) AS mean_f1
+FROM f
+"""
+
+
+def lcs_length(cand: list, ref: list) -> int:
+    """Exact LCS length via the numpy row DP. Uses the max-of-three LCS
+    recurrence DP[i][j] = max(DP[i-1][j-1]+m, DP[i-1][j], DP[i][j-1]);
+    with tmp[j] = max(old[j], old[j-1]+m) the row update reduces to a
+    prefix max (DP rows are monotone), so the inner loop is a single
+    ``np.maximum.accumulate`` — no per-cell Python."""
+    import numpy as np
+    import pandas as pd
+
+    lc, lr = len(cand), len(ref)
+    if lc == 0 or lr == 0:
+        return 0
+    codes, _ = pd.factorize(np.concatenate([np.asarray(cand, dtype=object),
+                                            np.asarray(ref, dtype=object)]))
+    c_ids, r_ids = codes[:lc], codes[lc:]
+    old = np.zeros(lr + 1, dtype=np.int64)
+    for cid in c_ids:
+        tmp = np.maximum(old[1:], old[:-1] + (r_ids == cid))
+        old[1:] = np.maximum.accumulate(tmp)
+    return int(old[-1])
+
+
+def _rouge_pair_fn(pdf):
+    """Grouped-map kernel: one group per pair id; rows are the candidate
+    (role 0 = doc pid) and reference (role 1 = doc pid+1). Groups missing
+    either role (the corpus edges) emit nothing."""
+    import pandas as pd
+
+    by_role = {int(role): t for role, t in zip(pdf["role"], pdf["t"])}
+    if 0 not in by_role or 1 not in by_role:
+        return pd.DataFrame({"pid": [], "l": [], "lc": [], "lr": []}).astype(
+            {"pid": "int64", "l": "int64", "lc": "int32", "lr": "int32"}
+        )
+    cand, ref = list(by_role[0]), list(by_role[1])
+    return pd.DataFrame(
+        {
+            "pid": [int(pdf["pid"].iloc[0])],
+            "l": [lcs_length(cand, ref)],
+            "lc": [len(cand)],
+            "lr": [len(ref)],
+        }
+    ).astype({"pid": "int64", "l": "int64", "lc": "int32", "lr": "int32"})
+
+
+@register(
+    "eval_rouge_l_adjacent_pairs",
+    oracle=_sql_rouge_l(),
+    tags=("eval", "rouge", "lcs", "generation"),
+)
+def eval_rouge_l_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (Lin 2004): LCS-based precision/recall/F1 per pair,
+    MACRO-averaged — the fourth generation-eval metric next to BLEU-2
+    (order-sensitive n-gram precision), chrF-2 (character F), and token
+    F1 (order-free multiset overlap). LCS rewards in-order coverage
+    without requiring contiguity, the property the other three miss.
+    Whole-doc sentence-level variant, beta=1 (harmonic mean).
+
+    Exactness: the LCS length is an exact integer DP on both engines —
+    Spark runs the numpy prefix-max row DP (``lcs_length``), the oracle
+    replays the SAME grid as an anti-diagonal wavefront recursive CTE
+    (diagonal d depends only on d-1/d-2, so each cell is independent and
+    list_transform needs no sequential scan). p/r/f1 then compose from
+    identical doubles per pair and the macro mean goes through davg's
+    micro-unit quantization. Zero-token sides pin p/r (and f1) to 0.
+
+    Scale shape: UNLIKE the BLEU/chrF/F1 staging, LCS is order-sensitive
+    — the two token SEQUENCES must be co-located, so per-doc gram-count
+    staging cannot apply. Pair formation is therefore a two-role union
+    (each doc ships at most twice: once as candidate pid, once as
+    reference pid-1) into ONE groupBy(pid) shuffle; the O(lc*lr) DP runs
+    Arrow-batched inside applyInPandas with numpy inner rows. Groups are
+    exactly <=2 rows — no skew by construction; at 100 TB the cost is
+    one linear shuffle of the token arrays plus CPU bounded by
+    doc-length^2, the inherent cost of sequence-level DP."""
+    from .datapipe.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    d = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    tx.tokens("text").alias("t"))
+    cand = d.select(F.col("doc_id").alias("pid"), F.lit(0).alias("role"), "t")
+    ref = d.select((F.col("doc_id") - 1).alias("pid"), F.lit(1).alias("role"), "t")
+    pairs = (
+        cand.unionByName(ref)
+        .groupBy("pid")
+        .applyInPandas(_rouge_pair_fn, "pid bigint, l bigint, lc int, lr int")
+    )
+    p = F.when(F.col("lc") == 0, F.lit(0.0)).otherwise(
+        F.col("l").cast("double") / F.col("lc")
+    )
+    r = F.when(F.col("lr") == 0, F.lit(0.0)).otherwise(
+        F.col("l").cast("double") / F.col("lr")
+    )
+    scored = pairs.select("l", p.alias("p"), r.alias("r"))
+    f1 = F.when(F.col("p") + F.col("r") == 0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))
+    )
+    f = scored.select("l", "p", "r", f1.alias("f1"))
+    return f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("l").cast("bigint").alias("lcs_total"),
+        F.round(davg("p"), 9).alias("mean_precision"),
+        F.round(davg("r"), 9).alias("mean_recall"),
+        F.round(davg("f1"), 9).alias("mean_f1"),
+    )

@@ -1,0 +1,138 @@
+"""Round-12 operator pins: crafted-input replays for ROUGE-L (exact LCS
+values a greedy matcher would get wrong) and for the zero-token guard on
+the kappa/alpha stopword-ratio rater (ANSI DIVIDE_BY_ZERO regression).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from markt_database_analyzer_spark.catalog import REGISTRY
+from markt_database_analyzer_spark.catalog_eval import lcs_length
+
+
+def _run_both(spark, name, sf_dir, tables):
+    got = REGISTRY[name].fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = con.execute(REGISTRY[name].oracle).df()
+    con.close()
+    return got, want
+
+
+def _assert_equal(got, want):
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+
+def _write_docs(tmp_path, texts):
+    pd.DataFrame(
+        {"doc_id": range(1, len(texts) + 1), "text": texts,
+         "lang": ["en"] * len(texts), "source": ["s"] * len(texts),
+         "quality": [1.0] * len(texts)}
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+
+def _naive_lcs(a, b):
+    # textbook O(n*m) reference DP, per-cell Python — the ground truth
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            dp[i][j] = (
+                dp[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(dp[i - 1][j], dp[i][j - 1])
+            )
+    return dp[-1][-1]
+
+
+def test_lcs_length_matches_naive_dp():
+    cases = [
+        ("a b c d e".split(), "a x c y e".split()),  # classic interleave: 3
+        ("b a b".split(), "a b a b".split()),  # repeats, greedy fails: 3
+        ("a a a".split(), "a a".split()),  # multiset clip: 2
+        ([], "a b".split()),
+        ("x".split(), []),
+        ("z z y".split(), "y z z".split()),  # order matters: 2, not 3
+    ]
+    # deterministic pseudo-random small sequences (seeded, no wall clock)
+    import random
+
+    rng = random.Random(12)
+    for _ in range(40):
+        a = [rng.choice("abcde") for _ in range(rng.randrange(0, 12))]
+        b = [rng.choice("abcde") for _ in range(rng.randrange(0, 12))]
+        cases.append((a, b))
+    for a, b in cases:
+        assert lcs_length(a, b) == _naive_lcs(a, b), (a, b)
+
+
+def test_rouge_l_known_lcs_values(spark, tmp_path):
+    # pair 1: LCS("a b c d e", "a x c y e") = 3 -> p = r = f1 = 0.6
+    # pair 2: LCS("a x c y e", "e d c b a") = 1 (order-sensitivity: the
+    # token MULTISET overlap is 3, an order-free metric would say 0.6)
+    _write_docs(tmp_path, ["a b c d e", "a x c y e", "e d c b a"])
+    got, want = _run_both(
+        spark, "eval_rouge_l_adjacent_pairs", str(tmp_path), ["documents"]
+    )
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert r["n_pairs"] == 2
+    assert r["lcs_total"] == 4
+    assert r["mean_precision"] == round((0.6 + 0.2) / 2, 9)
+    assert r["mean_f1"] == round((0.6 + 0.2) / 2, 9)  # lc == lr -> f1 == p
+
+
+def test_rouge_l_identical_and_disjoint_pairs(spark, tmp_path):
+    # doc1==doc2 -> pair 1 scores exactly 1; doc3 disjoint -> pair 2 is 0
+    _write_docs(tmp_path, ["a b c", "a b c", "x y z"])
+    got, want = _run_both(
+        spark, "eval_rouge_l_adjacent_pairs", str(tmp_path), ["documents"]
+    )
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert r["n_pairs"] == 2 and r["lcs_total"] == 3
+    assert r["mean_precision"] == 0.5 and r["mean_f1"] == 0.5
+
+
+def test_rouge_l_zero_token_side_pins_zero(spark, tmp_path):
+    # whitespace-only candidate: lc = 0 must pin p/r/f1 to 0 on BOTH
+    # engines (no ANSI divide error, no NULL leak), pair still counted
+    _write_docs(tmp_path, ["   ", "a b c"])
+    got, want = _run_both(
+        spark, "eval_rouge_l_adjacent_pairs", str(tmp_path), ["documents"]
+    )
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert r["n_pairs"] == 1 and r["lcs_total"] == 0
+    assert (r["mean_precision"], r["mean_recall"], r["mean_f1"]) == (0.0, 0.0, 0.0)
+
+
+def test_rouge_l_repeated_tokens_not_greedy(spark, tmp_path):
+    # LCS("b a b", "a b a b") = 3; a greedy left-to-right matcher that
+    # consumes the reference's first 'b' for the candidate's first 'b'
+    # would report 2
+    _write_docs(tmp_path, ["b a b", "a b a b"])
+    got, want = _run_both(
+        spark, "eval_rouge_l_adjacent_pairs", str(tmp_path), ["documents"]
+    )
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert r["lcs_total"] == 3
+    assert r["mean_precision"] == 1.0  # 3/3
+    assert r["mean_recall"] == 0.75  # 3/4
+
+
+def test_kappa_and_alpha_survive_zero_token_docs(spark, tmp_path):
+    # ADVICE r11: a whitespace-only doc used to throw DIVIDE_BY_ZERO in
+    # Spark's ANSI mode while the DuckDB oracle silently mapped it to
+    # r2=0; both engines must now agree on ratio 0 for token-less docs
+    _write_docs(tmp_path, ["the cat sat", "   ", "no stopwords here xyz", "\t"])
+    for entry in ("eval_cohens_kappa", "eval_krippendorff_alpha"):
+        got, want = _run_both(spark, entry, str(tmp_path), ["documents"])
+        _assert_equal(got, want)
