@@ -796,7 +796,11 @@ def kcenter_select(
     rows total, the MLlib/kmeans_cells shape. Assignment reassigns on
     STRICT improvement, so ties keep the earlier center in both
     engines. At scale, persist the base projection once; each step is a
-    single scan."""
+    single scan. The k sequential passes are inherent to Gonzalez (each
+    pick depends on all previous picks); for large k pre-gate with a
+    uniform hash sample or switch to afk-mc²-style seeding — the full
+    cost model and trade-offs live in SCALE.md §"Round-12: k-center
+    pass-count posture at 100 TB"."""
     rows = df.select(
         F.col(id_col).alias("pid"), F.col(vec_col).alias("vec")
     )
