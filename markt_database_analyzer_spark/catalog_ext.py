@@ -669,6 +669,60 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_batch_parity_tumbling",
+    # The oracle independently recomputes the batch window count and
+    # pins n_diff to the LITERAL 0: if the streaming path ever diverged
+    # from the batch path, the entry's exceptAll symmetric difference
+    # would be non-zero and the driver's value compare would go red.
+    oracle="""
+WITH w AS (
+  SELECT (epoch_us(ts) // 600000000) AS b, count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_windows_batch,
+       CAST(count(*) AS BIGINT) AS n_windows_stream,
+       CAST(0 AS BIGINT) AS n_diff,
+       CAST(sum(n_events) AS BIGINT) AS n_events_total
+FROM w
+""",
+    tags=("streaming", "window", "unified", "differential"),
+)
+def streaming_batch_parity_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified batch/streaming differential in ONE self-checking entry
+    (VERDICT r11 item 8): the SAME helper — streaming.jobs.
+    tumbling_counts, verbatim, not a twin — runs once over
+    ``spark.read`` (withWatermark is a no-op in batch) and once over
+    ``readStream`` through the memory-sink harness, and the entry
+    itself asserts set equality via the exceptAll symmetric difference.
+    This closes the §2.11 claim that batch and streaming share helpers
+    BY CONSTRUCTION: the claim is now a value-checked output (n_diff
+    must equal the oracle's literal 0), not two parallel entries the
+    reader has to diff by eye.
+
+    Scale shape: two window aggregations (one shuffle each over the
+    same key), two count-only exceptAll joins on the tiny window-level
+    frames, three 1-row broadcast combines. The window-level frames are
+    time-bounded (one row per 10-minute bucket), so the parity check
+    costs O(windows), not O(events), beyond the two scans."""
+    from .streaming import read_events_stream, run_stream_to_memory, tumbling_counts
+
+    batch = tumbling_counts(_t(spark, sf_dir, "events"))
+    stream = run_stream_to_memory(tumbling_counts(read_events_stream(spark, sf_dir)))
+    diff = batch.exceptAll(stream).unionAll(stream.exceptAll(batch))
+    nb = batch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows_batch"),
+        F.sum("n_events").cast("bigint").alias("n_events_total"),
+    )
+    ns = stream.agg(F.count(F.lit(1)).cast("bigint").alias("n_windows_stream"))
+    nd = diff.agg(F.count(F.lit(1)).cast("bigint").alias("n_diff"))
+    return (
+        nb.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nd))
+        .select("n_windows_batch", "n_windows_stream", "n_diff", "n_events_total")
+    )
+
+
+@register(
     "streaming_session_counts",
     oracle="""
 WITH gaps AS (

@@ -136,3 +136,15 @@ def test_kappa_and_alpha_survive_zero_token_docs(spark, tmp_path):
     for entry in ("eval_cohens_kappa", "eval_krippendorff_alpha"):
         got, want = _run_both(spark, entry, str(tmp_path), ["documents"])
         _assert_equal(got, want)
+
+
+def test_streaming_batch_parity_entry_self_checks(spark):
+    # the unified entry must report zero symmetric difference between
+    # the batch and streaming runs of the SAME helper on sf0.001
+    got = REGISTRY["streaming_batch_parity_tumbling"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    r = got.iloc[0]
+    assert r["n_diff"] == 0
+    assert r["n_windows_batch"] == r["n_windows_stream"] > 0
+    assert r["n_events_total"] > 0
