@@ -2541,3 +2541,176 @@ def eval_rouge_l_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(davg("r"), 9).alias("mean_recall"),
         F.round(davg("f1"), 9).alias("mean_f1"),
     )
+
+
+# --------------------------------------------------------------------------
+# Word error rate (Levenshtein) over adjacent pairs — round 12
+# --------------------------------------------------------------------------
+
+_WER_SENT = 1 << 30  # out-of-range sentinel for the min-based wavefront
+
+
+def _sql_wer() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+pairs AS (
+  SELECT c.doc_id AS pid, c.t AS c, r.t AS r, len(c.t) AS lc, len(r.t) AS lr
+  FROM docs c JOIN docs r ON r.doc_id = c.doc_id + 1
+),
+dp AS (
+  -- The ROUGE-L wavefront (see _sql_rouge_l) with least() in place of
+  -- greatest(): edit distance has the same (i-1,j)/(i,j-1)/(i-1,j-1)
+  -- dependency cone, so diagonal d again needs only diagonals d-1/d-2.
+  -- Boundaries are D[i][0] = i / D[0][j] = j; out-of-range cells carry
+  -- a large sentinel (never read by valid cells).
+  SELECT pid, c, r, lc, lr, CAST(1 AS BIGINT) AS dg,
+         list_transform(range(0, lc + 1),
+           i -> CASE WHEN i = 0 THEN (CASE WHEN lr >= 1 THEN 1 ELSE {_WER_SENT} END)
+                     WHEN i = 1 THEN 1 ELSE {_WER_SENT} END) AS prev,
+         list_transform(range(0, lc + 1),
+           i -> CASE WHEN i = 0 THEN 0 ELSE {_WER_SENT} END) AS prevprev
+  FROM pairs WHERE lc >= 1 AND lr >= 1
+  UNION ALL
+  SELECT pid, c, r, lc, lr, dg + 1,
+         list_transform(range(0, lc + 1), i ->
+           CASE WHEN dg + 1 - i < 0 OR dg + 1 - i > lr THEN {_WER_SENT}
+                WHEN i = 0 THEN dg + 1
+                WHEN dg + 1 - i = 0 THEN i
+                ELSE least(prev[i + 1] + 1, prev[i] + 1,
+                           prevprev[i]
+                           + (CASE WHEN c[i] = r[dg + 1 - i] THEN 0 ELSE 1 END))
+           END),
+         prev
+  FROM dp WHERE dg < lc + lr
+),
+dist AS (
+  SELECT pid, lr, prev[lc + 1] AS d FROM dp WHERE dg = lc + lr
+  UNION ALL
+  SELECT pid, lr, greatest(lc, lr) AS d FROM pairs WHERE lc = 0 OR lr = 0
+),
+scored AS (
+  SELECT d, lr,
+         CASE WHEN lr = 0 THEN NULL
+              ELSE CAST(d AS DOUBLE) / lr END AS wer
+  FROM dist
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) FILTER (WHERE lr = 0) AS BIGINT) AS n_undefined,
+       CAST(sum(d) FILTER (WHERE lr > 0) AS BIGINT) AS edits_total,
+       CAST(sum(lr) AS BIGINT) AS ref_tokens_total,
+       CASE WHEN sum(lr) = 0 THEN NULL
+            ELSE round(CAST(sum(d) FILTER (WHERE lr > 0) AS DOUBLE) / sum(lr), 9)
+       END AS micro_wer,
+       round({SQL_DAVG.format(x='wer')}, 9) AS mean_wer
+FROM scored
+"""
+
+
+def edit_distance(cand: list, ref: list) -> int:
+    """Exact token-level Levenshtein distance via the numpy row DP. The
+    insertion term D[i][j-1]+1 is a prefix dependency; unrolling it gives
+    D[i][j] = j + min_{{k<=j}}(tmp[k] - k) with tmp[0] = i and
+    tmp[j] = min(sub, del), so the inner loop is a single
+    ``np.minimum.accumulate`` over (tmp - index) — no per-cell Python."""
+    import numpy as np
+    import pandas as pd
+
+    lc, lr = len(cand), len(ref)
+    if lc == 0 or lr == 0:
+        return max(lc, lr)
+    codes, _ = pd.factorize(np.concatenate([np.asarray(cand, dtype=object),
+                                            np.asarray(ref, dtype=object)]))
+    c_ids, r_ids = codes[:lc], codes[lc:]
+    idx = np.arange(lr + 1, dtype=np.int64)
+    old = idx.copy()
+    tmp = np.empty(lr + 1, dtype=np.int64)
+    for i, cid in enumerate(c_ids, 1):
+        tmp[0] = i
+        np.minimum(old[:-1] + (r_ids != cid), old[1:] + 1, out=tmp[1:])
+        old = idx + np.minimum.accumulate(tmp - idx)
+    return int(old[-1])
+
+
+def _wer_pair_fn(pdf):
+    """Grouped-map kernel: one group per pair id, candidate role 0 /
+    reference role 1; edge groups missing a role emit nothing."""
+    import pandas as pd
+
+    by_role = {int(role): t for role, t in zip(pdf["role"], pdf["t"])}
+    if 0 not in by_role or 1 not in by_role:
+        return pd.DataFrame({"pid": [], "d": [], "lr": []}).astype(
+            {"pid": "int64", "d": "int64", "lr": "int32"}
+        )
+    cand, ref = list(by_role[0]), list(by_role[1])
+    return pd.DataFrame(
+        {
+            "pid": [int(pdf["pid"].iloc[0])],
+            "d": [edit_distance(cand, ref)],
+            "lr": [len(ref)],
+        }
+    ).astype({"pid": "int64", "d": "int64", "lr": "int32"})
+
+
+@register(
+    "eval_wer_adjacent_pairs",
+    oracle=_sql_wer(),
+    tags=("eval", "wer", "levenshtein", "generation"),
+)
+def eval_wer_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word error rate — token-level Levenshtein distance / reference
+    length, the ASR/translation error standard — over the same adjacent
+    candidate/reference pairing as BLEU/chrF/token-F1/ROUGE-L. Reports
+    both the MICRO rate (total edits / total reference tokens, the
+    corpus WER convention) and the MACRO mean of per-pair rates;
+    zero-reference pairs are undefined (counted in n_undefined, NULL in
+    both rates' inputs — davg excludes them identically on both
+    engines).
+
+    Exactness: the distance is an exact integer DP on both engines —
+    Spark runs the numpy minimum.accumulate row DP (``edit_distance``),
+    the oracle replays the SAME grid as the ROUGE-L anti-diagonal
+    wavefront CTE with least() in place of greatest() (identical
+    dependency cone, D[i][0]=i / D[0][j]=j boundaries, large sentinel
+    for out-of-range). Empty-side pairs pin to max(lc, lr) exactly.
+
+    Scale shape: identical to ROUGE-L — sequences must be co-located
+    (edit distance is order-sensitive), so a two-role union ships each
+    doc at most twice into ONE groupBy(pid) shuffle; the O(lc*lr) DP is
+    Arrow-batched, groups are <=2 rows, CPU bounded by doc-length^2."""
+    from .datapipe.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    d = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    tx.tokens("text").alias("t"))
+    cand = d.select(F.col("doc_id").alias("pid"), F.lit(0).alias("role"), "t")
+    ref = d.select((F.col("doc_id") - 1).alias("pid"), F.lit(1).alias("role"), "t")
+    pairs = (
+        cand.unionByName(ref)
+        .groupBy("pid")
+        .applyInPandas(_wer_pair_fn, "pid bigint, d bigint, lr int")
+    )
+    wer = F.when(F.col("lr") == 0, F.lit(None).cast("double")).otherwise(
+        F.col("d").cast("double") / F.col("lr")
+    )
+    scored = pairs.select("d", "lr", wer.alias("wer"))
+    edits = F.sum(F.when(F.col("lr") > 0, F.col("d"))).cast("bigint")
+    ref_total = F.sum("lr").cast("bigint")
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count(F.when(F.col("lr") == 0, 1)).cast("bigint").alias("n_undefined"),
+        edits.alias("edits_total"),
+        ref_total.alias("ref_tokens_total"),
+        F.when(F.sum("lr") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sum(F.when(F.col("lr") > 0, F.col("d"))).cast("double")
+                / F.sum("lr"),
+                9,
+            )
+        )
+        .alias("micro_wer"),
+        F.round(davg("wer"), 9).alias("mean_wer"),
+    )

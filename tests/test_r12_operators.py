@@ -148,3 +148,69 @@ def test_streaming_batch_parity_entry_self_checks(spark):
     assert r["n_diff"] == 0
     assert r["n_windows_batch"] == r["n_windows_stream"] > 0
     assert r["n_events_total"] > 0
+
+
+def _naive_levenshtein(a, b):
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev_diag, dp[0] = dp[0], i
+        for j in range(1, len(b) + 1):
+            cur = min(
+                dp[j] + 1,
+                dp[j - 1] + 1,
+                prev_diag + (a[i - 1] != b[j - 1]),
+            )
+            prev_diag, dp[j] = dp[j], cur
+    return dp[-1]
+
+
+def test_edit_distance_matches_naive_dp():
+    from markt_database_analyzer_spark.catalog_eval import edit_distance
+
+    cases = [
+        ("a b c d e".split(), "a x c y e".split()),  # 2 substitutions
+        ("a x c y e".split(), "e d c b a".split()),  # 4
+        ("kitten sat".split(), "sitting sat".split()),
+        ([], "a b".split()),
+        ("x y z".split(), []),
+        ("a a a".split(), "a".split()),
+    ]
+    import random
+
+    rng = random.Random(21)
+    for _ in range(40):
+        a = [rng.choice("abcde") for _ in range(rng.randrange(0, 12))]
+        b = [rng.choice("abcde") for _ in range(rng.randrange(0, 12))]
+        cases.append((a, b))
+    for a, b in cases:
+        assert edit_distance(a, b) == _naive_levenshtein(a, b), (a, b)
+
+
+def test_wer_known_values(spark, tmp_path):
+    # pair 1: dist("a b c d e" -> "a x c y e") = 2, lr = 5 -> wer 0.4
+    # pair 2: dist("a x c y e" -> "e d c b a") = 4, lr = 5 -> wer 0.8
+    _write_docs(tmp_path, ["a b c d e", "a x c y e", "e d c b a"])
+    got, want = _run_both(
+        spark, "eval_wer_adjacent_pairs", str(tmp_path), ["documents"]
+    )
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert r["n_pairs"] == 2 and r["n_undefined"] == 0
+    assert r["edits_total"] == 6 and r["ref_tokens_total"] == 10
+    assert r["micro_wer"] == 0.6
+    assert r["mean_wer"] == round((0.4 + 0.8) / 2, 9)
+
+
+def test_wer_empty_reference_is_undefined(spark, tmp_path):
+    # doc2 is whitespace-only: pair 1 has lr = 0 (undefined, excluded
+    # from both rates); pair 2 has an empty CANDIDATE -> dist = lr = 2,
+    # wer exactly 1.0 (pure insertion)
+    _write_docs(tmp_path, ["a b c", "   ", "q w"])
+    got, want = _run_both(
+        spark, "eval_wer_adjacent_pairs", str(tmp_path), ["documents"]
+    )
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert r["n_pairs"] == 2 and r["n_undefined"] == 1
+    assert r["edits_total"] == 2 and r["ref_tokens_total"] == 2
+    assert r["micro_wer"] == 1.0 and r["mean_wer"] == 1.0
