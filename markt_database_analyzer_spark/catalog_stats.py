@@ -16,7 +16,14 @@ from .datapipe import text as tx
 from .functions import davg, dsum
 from .catalog import register, _t
 from .catalog import SQL_DSUM, register, _t
-from .datapipe.sketches import cms_cells, cms_estimate, sql_cms_bucket
+from .datapipe.sketches import (
+    cms_cells,
+    cms_estimate,
+    hll_estimate,
+    hll_registers,
+    sql_cms_bucket,
+    sql_hll,
+)
 from .functions import dsum
 from pyspark.sql import DataFrame, SparkSession
 from .datapipe.hashing import hash60, sql_hash60
@@ -243,6 +250,62 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_n",
         (F.col("est") >= F.col("true_n")).alias("no_underestimate"),
     ).orderBy("user_id")
+
+
+@register(
+    "sketch_hll_cardinality",
+    oracle=f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+{sql_hll("k", "ev")},
+exact AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct
+          FROM ev WHERE k IS NOT NULL)
+SELECT m, n_filled, v_empty, raw_est, est, exact_distinct,
+       round(abs(est - exact_distinct) / exact_distinct, 6) AS abs_rel_err
+FROM hll_out, exact
+""",
+    # NOT tagged "streaming": that tag routes an entry OUT of the
+    # per-entry batch plan pins (test_plan_properties); this is a batch
+    # entry whose registers merge streaming-style, which "mergeable" says
+    tags=("sketch", "cardinality", "hll", "mergeable"),
+)
+def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) over the
+    event user ids, next to the CMS frequency sketch: m=256 registers of
+    max(leading-zero rank), harmonic-mean estimate with the standard
+    small-range linear-counting correction, compared against the exact
+    distinct count in the same row.
+
+    Why it matters at 100 TB: countDistinct shuffles unbounded distinct
+    pre-aggregation state; the HLL build partial-aggregates every
+    partition to <= m register rows before the ONE exchange — constant
+    shuffle volume at any cardinality, and registers from disjoint
+    corpora merge by max() (the streaming/union form). Determinism: the
+    register build is exact integer arithmetic over the portable md5
+    hash60 (bucket = mod, rho = 53 - bin-string length — never floating
+    log2), and the harmonic sum is an exact BIGINT numerator, so the
+    oracle replays the sketch bit-for-bit; the only shared-libm step is
+    the one ln() in the small-range branch (9-dp-rounded like the
+    engine's other transcendental outputs)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    sk = hll_estimate(hll_registers(ev, F.col("k")))
+    exact = ev.where(F.col("k").isNotNull()).agg(
+        F.countDistinct("k").cast("bigint").alias("exact_distinct")
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "n_filled",
+        "v_empty",
+        "raw_est",
+        "est",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("abs_rel_err"),
+    )
 
 
 @register(

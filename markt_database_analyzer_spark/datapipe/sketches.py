@@ -89,3 +89,127 @@ def cms_estimate(
     joined = probes.join(F.broadcast(cells), ["d", "b"])
     group_cols = [c for c in keys.columns]
     return joined.groupBy(*group_cols).agg(F.min("c").alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: fixed-size distinct-count estimation — round 12
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                    # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_MAXRHO = 53              # hash60 gives 60 bits; 60 - p = 52 payload bits,
+                             # so rho in [1, 53] (53 = all-zero payload)
+
+
+def hll_registers(df: DataFrame, key: Column) -> DataFrame:
+    """Build the m-register HLL table (Flajolet et al. 2007) from a
+    string key column: bucket = hash60 mod m, rho = leading-zero count
+    of the remaining 52 payload bits + 1, register = max(rho).
+
+    Like the CMS, partial aggregation collapses every partition to
+    <= m rows before the exchange — shuffle volume is CONSTANT in both
+    row count and key cardinality, which is the whole point vs an exact
+    countDistinct (whose distinct pre-aggregation state is unbounded).
+    The rho extraction stays in exact integer arithmetic (bin() string
+    length, not floating log2), so an external engine replays the
+    registers bit-for-bit. Returns columns (bucket, mr)."""
+    # integer DIV, never float division: hash60 values reach 2^60, past
+    # the double mantissa — (h - h%m)/m through a double would corrupt
+    # the payload bits
+    hashed = df.select(hash60(key).alias("hv")).where(F.col("hv").isNotNull())
+    payload = F.expr(f"hv DIV {HLL_M}")
+    rho = F.when(payload == 0, F.lit(HLL_MAXRHO)).otherwise(
+        F.lit(HLL_MAXRHO) - F.length(F.bin(payload))
+    )
+    return (
+        hashed.select((F.col("hv") % F.lit(HLL_M)).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mr"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Fold the register table (<= m rows) into the HLL estimate.
+
+    The harmonic sum is computed as an exact BIGINT numerator
+    (sum of 2^(MAXRHO - register), empty registers contributing
+    2^MAXRHO each) so the only floating-point steps are one final
+    division and the alpha scaling — identical in any engine. The
+    standard small-range linear-counting correction applies when the
+    raw estimate <= 2.5m and empty registers exist. One row out:
+    (m, n_filled, v_empty, raw_est, est)."""
+    two53 = float(1 << HLL_MAXRHO)
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_filled"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_MAXRHO} - mr AS INT))")
+        ).cast("bigint").alias("num_filled"),
+    )
+    v = F.lit(HLL_M) - F.col("n_filled")
+    num = (
+        F.coalesce(F.col("num_filled"), F.lit(0))
+        + v.cast("bigint") * F.lit(1 << HLL_MAXRHO)
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+    raw = alpha * F.lit(float(HLL_M * HLL_M)) / (num.cast("double") / F.lit(two53))
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(HLL_M).alias("m"),
+        F.col("n_filled"),
+        v.cast("bigint").alias("v_empty"),
+        F.round(raw, 6).alias("raw_est"),
+        F.round(est, 6).alias("est"),
+    )
+
+
+def sql_hll(expr: str, src: str) -> str:
+    """DuckDB replay of hll_registers + hll_estimate over key ``expr``
+    from relation ``src`` — same integer register build, same exact
+    BIGINT numerator, same double composition order. Returns a CTE
+    chain ending in ``hll_out(m, n_filled, v_empty, raw_est, est)``;
+    callers embed it in their own WITH list and select from hll_out."""
+    h = sql_hash60(expr)
+    return f"""
+hll_h AS (
+  SELECT ({h}) AS hv FROM {src} WHERE {expr} IS NOT NULL
+),
+hll_cells AS (
+  SELECT hv % {HLL_M} AS bucket,
+         max(CASE WHEN hv // {HLL_M} = 0 THEN {HLL_MAXRHO}
+                  ELSE {HLL_MAXRHO} - length(bin(hv // {HLL_M})) END) AS mr
+  FROM hll_h GROUP BY 1
+),
+hll_agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_filled,
+         CAST(sum(1::BIGINT << ({HLL_MAXRHO} - mr)) AS BIGINT) AS num_filled
+  FROM hll_cells
+),
+hll_est AS (
+  SELECT n_filled,
+         ({HLL_M} - n_filled) AS v_empty,
+         (coalesce(num_filled, 0)
+          + ({HLL_M} - n_filled)::BIGINT * (1::BIGINT << {HLL_MAXRHO})) AS num
+  FROM hll_agg
+),
+hll_out AS (
+SELECT CAST({HLL_M} AS INT) AS m,
+       n_filled,
+       CAST(v_empty AS BIGINT) AS v_empty,
+       round((0.7213 / (1.0 + 1.079 / {float(HLL_M)}))
+             * {float(HLL_M * HLL_M)}
+             / (CAST(num AS DOUBLE) / {float(1 << HLL_MAXRHO)}), 6) AS raw_est,
+       round(CASE WHEN (0.7213 / (1.0 + 1.079 / {float(HLL_M)}))
+                       * {float(HLL_M * HLL_M)}
+                       / (CAST(num AS DOUBLE) / {float(1 << HLL_MAXRHO)})
+                       <= {2.5 * HLL_M}
+                  AND v_empty > 0
+                  THEN {float(HLL_M)} * ln({float(HLL_M)} / CAST(v_empty AS DOUBLE))
+                  ELSE (0.7213 / (1.0 + 1.079 / {float(HLL_M)}))
+                       * {float(HLL_M * HLL_M)}
+                       / (CAST(num AS DOUBLE) / {float(1 << HLL_MAXRHO)})
+             END, 6) AS est
+FROM hll_est
+)"""

@@ -334,6 +334,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # r7: each ESD round broadcasts its 1-row moments onto the
         # remaining day frame — the scalar idiom, five times
         "stats_esd_outliers",
+        # r12: HLL stitches the 1-row exact-distinct audit aggregate
+        # onto the 1-row sketch estimate — the funnel scalar idiom
+        "sketch_hll_cardinality",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -214,3 +214,50 @@ def test_wer_empty_reference_is_undefined(spark, tmp_path):
     assert r["n_pairs"] == 2 and r["n_undefined"] == 1
     assert r["edits_total"] == 2 and r["ref_tokens_total"] == 2
     assert r["micro_wer"] == 1.0 and r["mean_wer"] == 1.0
+
+
+def _py_hll(keys):
+    # independent pure-python replay of the register build + estimate
+    import hashlib
+    import math
+
+    M, MAXR = 256, 53
+    regs = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        b, w = h % M, h // M
+        rho = MAXR if w == 0 else MAXR - w.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    num = sum(1 << (MAXR - r) for r in regs.values()) + (M - len(regs)) * (1 << MAXR)
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    raw = alpha * 65536.0 / (num / float(1 << MAXR))
+    v = M - len(regs)
+    est = 256.0 * math.log(256.0 / v) if raw <= 640.0 and v > 0 else raw
+    return len(regs), round(raw, 6), round(est, 6)
+
+
+def test_hll_sketch_matches_pure_python_replay(spark, tmp_path):
+    users = [f"{i}" for i in range(120)] * 3  # duplicates must not matter
+    pd.DataFrame({"user_id": [int(u) for u in users]}).to_parquet(
+        tmp_path / "events.parquet", index=False
+    )
+    got, want = _run_both(spark, "sketch_hll_cardinality", str(tmp_path), ["events"])
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    n_filled, raw, est = _py_hll(sorted(set(users)))
+    assert r["n_filled"] == n_filled
+    assert r["raw_est"] == raw and r["est"] == est
+    assert r["exact_distinct"] == 120
+    # HLL with m=256 on 120 keys sits in linear-counting range; the
+    # estimate should land within ~15% of truth for this fixture
+    assert abs(r["est"] - 120) / 120 < 0.15
+
+
+def test_hll_entry_matches_oracle_on_testdata(spark):
+    got, want = _run_both(
+        spark, "sketch_hll_cardinality", "/root/testdata/sf0.001", ["events"]
+    )
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert r["exact_distinct"] == 15
+    assert r["abs_rel_err"] < 0.35  # small-cardinality regime, loose bound
