@@ -644,6 +644,93 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_gif_features(with_payload).orderBy("doc_id")
 
 
+@register(
+    "multimodal_decode_gif_frames",
+    # The decoder is REAL (multi-frame chunk walk: graphics-control
+    # extensions carrying per-frame centisecond delays, one LZW decode
+    # per image block), and the fixture is SQL-replayable by
+    # construction: frame f's pixels are md5(doc_id||'f'||f) bytes mod
+    # 4 (first width*height bytes), delays are (doc_id + f) % 7,
+    # container rotating on doc_id % 3 (3 frames of 4x4 / 5 frames of
+    # 4x2 / JPEG-magic unsupported). The oracle recomputes frame sums,
+    # inter-frame absolute motion, and the delay total from the same
+    # hex pairs — integer sums first, float division last.
+    oracle="""
+WITH s AS (
+  SELECT doc_id, doc_id % 3 AS k FROM documents
+),
+fb AS (
+  SELECT doc_id, k,
+         unnest(range(0, CASE WHEN k = 0 THEN 3 ELSE 5 END)) AS f
+  FROM s WHERE k < 2
+),
+fr AS (
+  SELECT doc_id, k, f,
+         list_transform(range(0, CASE WHEN k = 0 THEN 16 ELSE 8 END),
+           j -> ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'f'
+                                     || CAST(f AS VARCHAR)), 2 * j + 1, 2))::INT
+                % 4) AS idx
+  FROM fb
+),
+sums AS (
+  SELECT doc_id, CAST(sum(list_aggregate(idx, 'sum')) AS BIGINT) AS idx_sum
+  FROM fr GROUP BY 1
+),
+mot AS (
+  SELECT a.doc_id,
+         CAST(sum(list_aggregate(
+           list_transform(range(1, len(a.idx) + 1),
+                          p -> abs(b.idx[p] - a.idx[p])), 'sum')) AS BIGINT) AS msum
+  FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+  GROUP BY 1
+),
+del AS (
+  SELECT doc_id, CAST(sum((doc_id + f) % 7) AS INT) AS total_cs
+  FROM fb GROUP BY 1
+)
+SELECT s.doc_id,
+       CASE WHEN k < 2 THEN 'gif' ELSE 'unsupported' END AS format,
+       CASE k WHEN 0 THEN 3 WHEN 1 THEN 5 END AS n_frames,
+       CASE WHEN k < 2 THEN 4 END AS width,
+       CASE k WHEN 0 THEN 4 WHEN 1 THEN 2 END AS height,
+       CASE k WHEN 0 THEN CAST(48 AS BIGINT)
+              WHEN 1 THEN CAST(40 AS BIGINT) END AS n_pixels_total,
+       del.total_cs,
+       CASE WHEN k < 2
+            THEN round(CAST(sums.idx_sum AS DOUBLE)
+                       / (CASE k WHEN 0 THEN 48 ELSE 40 END), 6)
+       END AS mean_idx,
+       CASE WHEN k < 2
+            THEN round(CAST(mot.msum AS DOUBLE) / 32, 6)
+       END AS motion,
+       'gifanim-v1' AS feature_version
+FROM s
+LEFT JOIN sums USING (doc_id)
+LEFT JOIN mot USING (doc_id)
+LEFT JOIN del USING (doc_id)
+ORDER BY s.doc_id
+""",
+    tags=("multimodal", "mapInPandas", "codec", "lzw", "video"),
+)
+def multimodal_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL temporal (video-like) decode inside the Arrow mapInPandas
+    plumbing — animated GIF89a, the smallest real multi-frame container:
+    crafted animations (see datapipe.multimodal.crafted_gif_anim_payloads)
+    are decoded by the multi-frame chunk walker — graphics-control
+    extensions (per-frame delay accounting), one real LZW decode per
+    image block — into frame count, total duration, overall index mean,
+    and inter-frame MOTION (mean absolute per-pixel index delta between
+    consecutive frames, the temporal statistic single-image decode
+    cannot express); JPEG-magic payloads take the NULL-feature
+    unsupported path. Completes the decode family: raster (BMP/PPM) →
+    audio (WAV) → compressed (GIF/LZW) → temporal (animation). Scale
+    shape: two chained map-only Arrow stages, no shuffle at all; the
+    frame loop is bounded per payload, never across rows."""
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = mm.crafted_gif_anim_payloads(docs, "doc_id")
+    return mm.decode_gif_anim_features(with_payload).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Streaming
 # --------------------------------------------------------------------------

@@ -745,3 +745,215 @@ def crafted_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return fan_out(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} long, payload binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF: the TEMPORAL decode surface — multiple image blocks with
+# graphics-control extensions (per-frame delay), the smallest real
+# video-like container. Reuses the round-12 LZW machinery; a real
+# ffmpeg-style frame featurizer plugs into the identical batch shape.
+# ---------------------------------------------------------------------------
+
+GIF_ANIM_FEATURE_SCHEMA = (
+    "doc_id long, format string, n_frames int, width int, height int, "
+    "n_pixels_total bigint, total_cs int, mean_idx double, motion double, "
+    "feature_version string"
+)
+
+
+def encode_gif_animation(
+    frames: list, delays_cs: list, palette: np.ndarray = GIF_PALETTE
+) -> bytes:
+    """Minimal GIF89a animation encoder: logical screen + global colour
+    table, then per frame a graphics-control extension (0xF9, 4-byte
+    block carrying the centisecond delay) and an image descriptor with a
+    real LZW data stream. All frames share the screen geometry."""
+    h, w = frames[0].shape
+    n_colors = len(palette)
+    gct_bits = max(1, (n_colors - 1).bit_length())
+    min_code_size = max(2, gct_bits)
+    out = bytearray(
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | (gct_bits - 1)]) + b"\x00\x00"
+        + palette.astype(np.uint8).tobytes()
+    )
+    for frame, delay in zip(frames, delays_cs):
+        assert frame.shape == (h, w)
+        out += (
+            b"\x21\xf9\x04\x00"
+            + int(delay).to_bytes(2, "little") + b"\x00\x00"
+        )
+        out += (
+            b"\x2c" + b"\x00\x00\x00\x00"
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + b"\x00" + bytes([min_code_size])
+        )
+        stream = _lzw_encode_gif(frame.reshape(-1), min_code_size)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _parse_gif_frames(
+    b: bytes,
+) -> tuple[int, int, np.ndarray, list, int] | None:
+    """Decode every frame of a GIF87a/89a animation to (width, height,
+    palette, [flat index arrays], total centiseconds). Same restrictions
+    as the single-image parser (global colour table, no interlace/local
+    tables); frames whose geometry diverges from the screen, bad LZW, or
+    a missing trailer return None."""
+    if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+        return None
+    width = int.from_bytes(b[6:8], "little")
+    height = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    if not packed & 0x80:
+        return None
+    n_colors = 2 << (packed & 0x07)
+    pos = 13
+    if pos + 3 * n_colors > len(b):
+        return None
+    palette = np.frombuffer(b[pos : pos + 3 * n_colors], dtype=np.uint8)
+    palette = palette.reshape(n_colors, 3).astype(np.int64)
+    pos += 3 * n_colors
+    frames: list = []
+    total_cs = 0
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:
+            if pos + 2 >= len(b):
+                return None
+            label = b[pos + 1]
+            pos += 2
+            sub_start = pos
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            if pos >= len(b):
+                return None
+            if label == 0xF9 and b[sub_start] == 4 and sub_start + 4 <= len(b):
+                total_cs += int.from_bytes(b[sub_start + 2 : sub_start + 4], "little")
+            pos += 1
+        elif block == 0x2C:
+            if pos + 10 > len(b):
+                return None
+            iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            if (iw, ih) != (width, height) or b[pos + 9] & 0xC0:
+                return None
+            pos += 10
+            if pos >= len(b):
+                return None
+            min_code_size = b[pos]
+            pos += 1
+            stream = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                size = b[pos]
+                if pos + 1 + size > len(b):
+                    return None
+                stream += b[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            if pos >= len(b):
+                return None
+            pos += 1
+            decoded = _lzw_decode_gif(bytes(stream), min_code_size)
+            if decoded is None or len(decoded) != iw * ih:
+                return None
+            idx = np.asarray(decoded, dtype=np.int64)
+            if (idx >= n_colors).any():
+                return None
+            frames.append(idx)
+        elif block == 0x3B:
+            if not frames:
+                return None
+            return width, height, palette, frames, total_cs
+        else:
+            return None
+    return None  # ran off the end without a trailer
+
+
+def _gif_anim_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        parsed = _parse_gif_frames(bytes(payload) if payload is not None else b"")
+        if parsed is None:
+            rows.append(
+                (doc_id, "unsupported", None, None, None, None, None, None, None)
+            )
+            continue
+        width, height, _palette, frames, total_cs = parsed
+        k, px = len(frames), width * height
+        total = k * px
+        # exact integer sums first, float division last — the SQL
+        # oracle's operation order
+        mean_idx = round(float(int(sum(int(f.sum()) for f in frames))) / total, 6)
+        if k > 1:
+            msum = sum(
+                int(np.abs(frames[i] - frames[i - 1]).sum()) for i in range(1, k)
+            )
+            motion = round(float(msum) / ((k - 1) * px), 6)
+        else:
+            motion = None
+        rows.append(
+            (doc_id, "gif", k, width, height, total, total_cs, mean_idx, motion)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "format", "n_frames", "width", "height",
+            "n_pixels_total", "total_cs", "mean_idx", "motion",
+        ],
+    ).assign(feature_version="gifanim-v1")
+
+
+def decode_gif_anim_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched animated-GIF decode over (doc_id, payload): the
+    multi-frame chunk walk (graphics-control delay accounting, one LZW
+    decode per image block) → frame count, duration, overall index mean
+    and inter-frame motion; non-GIF payloads → NULL features. Same
+    map-only mapInPandas envelope as every decode twin."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _gif_anim_decode_batch(pdf)
+
+    return fan_out(df.select("doc_id", "payload")).mapInPandas(
+        run, schema=GIF_ANIM_FEATURE_SCHEMA
+    )
+
+
+def crafted_gif_anim_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic animated-GIF fixture: frame f's pixel indices are
+    the first (width*height) md5(str(id) + 'f' + str(f)) bytes mod 4;
+    per-frame delay is (id + f) % 7 centiseconds — both replayable as
+    hex-pair arithmetic in ANSI SQL. Container rotates on ``id % 3``:
+    3 frames of 4x4, 5 frames of 4x2 (different geometry AND frame
+    count), and a JPEG-magic payload (the NULL-feature path)."""
+    import hashlib
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                k = int(d) % 3
+                if k == 2:
+                    payloads.append(
+                        b"\xff\xd8\xff\xe0"
+                        + hashlib.md5(str(d).encode("ascii")).digest()
+                    )
+                    continue
+                n_frames, (h, w) = ((3, (4, 4)), (5, (2, 4)))[k]
+                frames, delays = [], []
+                for f in range(n_frames):
+                    raw = hashlib.md5(f"{d}f{f}".encode("ascii")).digest()[: h * w]
+                    idx = (np.frombuffer(raw, dtype=np.uint8) % 4).astype(np.int64)
+                    frames.append(idx.reshape(h, w))
+                    delays.append((int(d) + f) % 7)
+                payloads.append(encode_gif_animation(frames, delays))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return fan_out(df.select(id_col)).mapInPandas(
+        build, schema=f"{id_col} long, payload binary"
+    )

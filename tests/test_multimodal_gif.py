@@ -173,3 +173,105 @@ def test_gif_parser_never_crashes_on_garbage(data):
     for prefix in (b"", b"GIF87a", b"GIF89a"):
         got = mm._parse_gif(prefix + data)
         assert got is None or len(got) == 4
+
+
+# --- animated GIF (temporal decode) ----------------------------------------
+
+
+@pytest.mark.parametrize("nf,shape", [(1, (4, 4)), (3, (4, 4)), (5, (2, 4)), (4, (10, 13))])
+def test_gif_animation_round_trip(nf, shape):
+    frames = [
+        _idx(shape[0] * shape[1], seed=nf * 10 + i).reshape(shape) for i in range(nf)
+    ]
+    delays = [(7 * i + 3) % 100 for i in range(nf)]
+    parsed = mm._parse_gif_frames(mm.encode_gif_animation(frames, delays))
+    assert parsed is not None
+    w, h, pal, out, cs = parsed
+    assert (w, h) == (shape[1], shape[0]) and len(out) == nf
+    assert cs == sum(delays)
+    for f, o in zip(frames, out):
+        np.testing.assert_array_equal(o, f.reshape(-1))
+
+
+def test_gif_single_image_parses_as_one_frame():
+    # a plain GIF87a (no graphics-control blocks) is a 1-frame, 0 cs
+    # animation to the multi-frame walker
+    b = mm.encode_gif(_idx(64).reshape(8, 8), comment=b"x")
+    parsed = mm._parse_gif_frames(b)
+    assert parsed is not None and len(parsed[3]) == 1 and parsed[4] == 0
+
+
+def test_gif_animation_rejections():
+    frames = [_idx(16, seed=i).reshape(4, 4) for i in range(2)]
+    good = mm.encode_gif_animation(frames, [1, 2])
+    assert mm._parse_gif_frames(b"\xff\xd8\xff\xe0" + good[4:]) is None  # jpeg magic
+    assert mm._parse_gif_frames(good[:-1]) is None  # missing trailer
+    assert mm._parse_gif_frames(good[:30]) is None  # truncated mid-stream
+    # geometry mismatch: second frame descriptor edited to 2x4
+    pos = good.index(b"\x2c", good.index(b"\x2c") + 1)
+    bad = bytearray(good)
+    bad[pos + 5 : pos + 7] = (2).to_bytes(2, "little")
+    assert mm._parse_gif_frames(bytes(bad)) is None
+
+
+def test_gif_anim_batch_stats_match_hand_computation():
+    # two frames differing in every pixel by exactly 1 -> motion = 1.0
+    f0 = np.zeros((4, 4), dtype=np.int64)
+    f1 = np.ones((4, 4), dtype=np.int64)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "payload": [
+                mm.encode_gif_animation([f0, f1], [5, 6]),
+                b"\xff\xd8\xff\xe0zz",
+            ],
+        }
+    )
+    out = mm._gif_anim_decode_batch(pdf)
+    assert out.loc[0, "format"] == "gif"
+    assert out.loc[0, "n_frames"] == 2 and out.loc[0, "total_cs"] == 11
+    assert out.loc[0, "n_pixels_total"] == 32
+    assert out.loc[0, "mean_idx"] == 0.5  # 16 zeros + 16 ones
+    assert out.loc[0, "motion"] == 1.0
+    assert out.loc[1, "format"] == "unsupported"
+    assert pd.isna(out.loc[1, "motion"])
+
+
+def test_gif_anim_single_frame_motion_is_null():
+    pdf = pd.DataFrame(
+        {"doc_id": [1], "payload": [mm.encode_gif_animation([_idx(16).reshape(4, 4)], [3])]}
+    )
+    out = mm._gif_anim_decode_batch(pdf)
+    assert out.loc[0, "n_frames"] == 1 and pd.isna(out.loc[0, "motion"])
+
+
+def test_anim_entry_matches_duckdb_oracle(spark):
+    sf = "/root/testdata/sf0.001"
+    got = REGISTRY["multimodal_decode_gif_frames"].fn(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(REGISTRY["multimodal_decode_gif_frames"].oracle).df()
+    con.close()
+    assert len(got) == len(want) > 0
+    assert set(got["format"]) == {"gif", "unsupported"}
+    assert set(got["n_frames"].dropna()) == {3, 5}
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True),
+        want[cols].reset_index(drop=True),
+        check_dtype=False,
+        check_exact=True,
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    nf=st.integers(min_value=1, max_value=4),
+    px=st.lists(st.integers(min_value=0, max_value=3), min_size=4, max_size=4),
+    delays=st.lists(st.integers(min_value=0, max_value=65535), min_size=4, max_size=4),
+)
+def test_gif_animation_roundtrip_property(nf, px, delays):
+    frames = [np.array(px, dtype=np.int64).reshape(2, 2) + 0 for _ in range(nf)]
+    parsed = mm._parse_gif_frames(mm.encode_gif_animation(frames, delays[:nf]))
+    assert parsed is not None
+    assert len(parsed[3]) == nf and parsed[4] == sum(delays[:nf])
