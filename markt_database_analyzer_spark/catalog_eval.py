@@ -9,6 +9,8 @@ entry docstrings.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from .catalog import demo_guard, register, _t
@@ -2459,26 +2461,38 @@ def lcs_length(cand: list, ref: list) -> int:
     return int(old[-1])
 
 
-def _rouge_pair_fn(pdf):
-    """Grouped-map kernel: one group per pair id; rows are the candidate
-    (role 0 = doc pid) and reference (role 1 = doc pid+1). Groups missing
-    either role (the corpus edges) emit nothing."""
-    import pandas as pd
-
-    by_role = {int(role): t for role, t in zip(pdf["role"], pdf["t"])}
-    if 0 not in by_role or 1 not in by_role:
-        return pd.DataFrame({"pid": [], "l": [], "lc": [], "lr": []}).astype(
-            {"pid": "int64", "l": "int64", "lc": "int32", "lr": "int32"}
+def _pair_roles(d: DataFrame) -> DataFrame:
+    """Adjacent-pair formation for the sequence-DP metrics: a two-role
+    union (each doc ships at most twice — once as candidate pid, once as
+    reference pid-1) into ONE groupBy(pid) exchange; the conditional max
+    picks each role's single array (Spark arrays are orderable), edge
+    pids missing a role drop out. Returns (pid, c, r)."""
+    cand = d.select(F.col("doc_id").alias("pid"), F.lit(0).alias("role"), "t")
+    ref = d.select((F.col("doc_id") - 1).alias("pid"), F.lit(1).alias("role"), "t")
+    return (
+        cand.unionByName(ref)
+        .groupBy("pid")
+        .agg(
+            F.max(F.when(F.col("role") == 0, F.col("t"))).alias("c"),
+            F.max(F.when(F.col("role") == 1, F.col("t"))).alias("r"),
         )
-    cand, ref = list(by_role[0]), list(by_role[1])
-    return pd.DataFrame(
-        {
-            "pid": [int(pdf["pid"].iloc[0])],
-            "l": [lcs_length(cand, ref)],
-            "lc": [len(cand)],
-            "lr": [len(ref)],
-        }
-    ).astype({"pid": "int64", "l": "int64", "lc": "int32", "lr": "int32"})
+        .where(F.col("c").isNotNull() & F.col("r").isNotNull())
+    )
+
+
+def _batch_dp_udf(dp):
+    """Batch-vectorized scalar pandas_udf wrapping a per-pair integer DP:
+    one Arrow batch per invocation — NOT per-pair applyInPandas, which
+    the r12 bench measured spending ~3x the time building one pandas
+    frame per 2-row group. Created lazily (pandas_udf parses its return
+    type against the active session, so module import must not build
+    it)."""
+    def run(c: pd.Series, r: pd.Series) -> pd.Series:
+        return pd.Series(
+            [dp(list(a), list(b)) for a, b in zip(c, r)], dtype="int64"
+        )
+
+    return F.pandas_udf(run, "long")
 
 
 @register(
@@ -2504,24 +2518,24 @@ def eval_rouge_l_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: UNLIKE the BLEU/chrF/F1 staging, LCS is order-sensitive
     — the two token SEQUENCES must be co-located, so per-doc gram-count
-    staging cannot apply. Pair formation is therefore a two-role union
-    (each doc ships at most twice: once as candidate pid, once as
-    reference pid-1) into ONE groupBy(pid) shuffle; the O(lc*lr) DP runs
-    Arrow-batched inside applyInPandas with numpy inner rows. Groups are
-    exactly <=2 rows — no skew by construction; at 100 TB the cost is
-    one linear shuffle of the token arrays plus CPU bounded by
+    staging cannot apply. Pair formation is ``_pair_roles``: a two-role
+    union (each doc ships at most twice) into ONE groupBy(pid) shuffle
+    whose conditional-max agg is a plain JVM hash aggregate; the
+    O(lc*lr) DP then runs in a batch-vectorized scalar pandas_udf (one
+    Arrow batch per invocation — NOT per-group applyInPandas, which the
+    r12 bench measured spending 3x the time building a pandas frame per
+    2-row group). No skew is possible by construction; at 100 TB the
+    cost is one linear shuffle of the token arrays plus CPU bounded by
     doc-length^2, the inherent cost of sequence-level DP."""
     from .datapipe.util import fan_out
 
     docs = fan_out(_t(spark, sf_dir, "documents"))
     d = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     tx.tokens("text").alias("t"))
-    cand = d.select(F.col("doc_id").alias("pid"), F.lit(0).alias("role"), "t")
-    ref = d.select((F.col("doc_id") - 1).alias("pid"), F.lit(1).alias("role"), "t")
-    pairs = (
-        cand.unionByName(ref)
-        .groupBy("pid")
-        .applyInPandas(_rouge_pair_fn, "pid bigint, l bigint, lc int, lr int")
+    pairs = _pair_roles(d).select(
+        _batch_dp_udf(lcs_length)("c", "r").alias("l"),
+        F.size("c").alias("lc"),
+        F.size("r").alias("lr"),
     )
     p = F.when(F.col("lc") == 0, F.lit(0.0)).otherwise(
         F.col("l").cast("double") / F.col("lc")
@@ -2634,24 +2648,7 @@ def edit_distance(cand: list, ref: list) -> int:
     return int(old[-1])
 
 
-def _wer_pair_fn(pdf):
-    """Grouped-map kernel: one group per pair id, candidate role 0 /
-    reference role 1; edge groups missing a role emit nothing."""
-    import pandas as pd
 
-    by_role = {int(role): t for role, t in zip(pdf["role"], pdf["t"])}
-    if 0 not in by_role or 1 not in by_role:
-        return pd.DataFrame({"pid": [], "d": [], "lr": []}).astype(
-            {"pid": "int64", "d": "int64", "lr": "int32"}
-        )
-    cand, ref = list(by_role[0]), list(by_role[1])
-    return pd.DataFrame(
-        {
-            "pid": [int(pdf["pid"].iloc[0])],
-            "d": [edit_distance(cand, ref)],
-            "lr": [len(ref)],
-        }
-    ).astype({"pid": "int64", "d": "int64", "lr": "int32"})
 
 
 @register(
@@ -2677,20 +2674,18 @@ def eval_wer_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for out-of-range). Empty-side pairs pin to max(lc, lr) exactly.
 
     Scale shape: identical to ROUGE-L — sequences must be co-located
-    (edit distance is order-sensitive), so a two-role union ships each
-    doc at most twice into ONE groupBy(pid) shuffle; the O(lc*lr) DP is
-    Arrow-batched, groups are <=2 rows, CPU bounded by doc-length^2."""
+    (edit distance is order-sensitive), so ``_pair_roles`` ships each
+    doc at most twice into ONE groupBy(pid) JVM hash aggregate; the
+    O(lc*lr) DP runs in the batch-vectorized scalar pandas_udf (one
+    Arrow batch per invocation), CPU bounded by doc-length^2."""
     from .datapipe.util import fan_out
 
     docs = fan_out(_t(spark, sf_dir, "documents"))
     d = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     tx.tokens("text").alias("t"))
-    cand = d.select(F.col("doc_id").alias("pid"), F.lit(0).alias("role"), "t")
-    ref = d.select((F.col("doc_id") - 1).alias("pid"), F.lit(1).alias("role"), "t")
-    pairs = (
-        cand.unionByName(ref)
-        .groupBy("pid")
-        .applyInPandas(_wer_pair_fn, "pid bigint, d bigint, lr int")
+    pairs = _pair_roles(d).select(
+        _batch_dp_udf(edit_distance)("c", "r").alias("d"),
+        F.size("r").alias("lr"),
     )
     wer = F.when(F.col("lr") == 0, F.lit(None).cast("double")).otherwise(
         F.col("d").cast("double") / F.col("lr")
