@@ -17,10 +17,15 @@ from .functions import davg, dsum
 from .catalog import register, _t
 from .catalog import SQL_DSUM, register, _t
 from .datapipe.sketches import (
+    BLOOM_K,
+    BLOOM_M,
+    bloom_bits,
+    bloom_maybe,
     cms_cells,
     cms_estimate,
     hll_estimate,
     hll_registers,
+    sql_bloom,
     sql_cms_bucket,
     sql_hll,
 )
@@ -250,6 +255,93 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_n",
         (F.col("est") >= F.col("true_n")).alias("no_underestimate"),
     ).orderBy("user_id")
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+WITH {sql_bloom("CAST(c_custkey AS VARCHAR)",
+                "(SELECT * FROM customer WHERE c_mktsegment = 'BUILDING')",
+                "customer")},
+bt AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bloom_bits)
+SELECT {BLOOM_M} AS m, {BLOOM_K} AS k_hashes, bt.n_bits_set,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(count(*) FILTER (WHERE is_member) AS BIGINT) AS n_members,
+       CAST(count(*) FILTER (WHERE maybe) AS BIGINT) AS n_maybe,
+       CAST(count(*) FILTER (WHERE maybe AND NOT is_member) AS BIGINT) AS n_false_pos,
+       CAST(count(*) FILTER (WHERE is_member AND NOT maybe) AS BIGINT) AS n_false_neg,
+       CASE WHEN count(*) FILTER (WHERE NOT is_member) = 0 THEN NULL
+            ELSE round(CAST(count(*) FILTER (WHERE maybe AND NOT is_member) AS DOUBLE)
+                       / count(*) FILTER (WHERE NOT is_member), 6)
+       END AS fpr
+FROM bloom_probe, bt
+GROUP BY bt.n_bits_set
+""",
+    tags=("sketch", "membership", "bloom", "mergeable"),
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (Bloom 1970) completing the sketch family
+    (CMS frequency / KMV intersection / HLL cardinality / Bloom
+    membership): the BUILDING-segment customer keys build a m=2048-bit,
+    k=3 filter; EVERY customer key then probes it, and the single output
+    row audits the filter against exact membership — n_false_neg is the
+    one-sided guarantee (must be 0, value-checked by the driver exactly
+    like the CMS no_underestimate column) and fpr is the measured
+    false-positive rate over true non-members.
+
+    Scale shape: the build's distinct-position aggregate partial-aggs to
+    <= m rows per partition (constant exchange at any build
+    cardinality); the <= m-row bit table broadcasts to the probe side,
+    which is one explode(k) + broadcast semi-match + per-key count — no
+    shuffle keyed on the probe stream beyond its distinct. This is the
+    join-pruning structure runtime bloom filters inject automatically
+    (session keeps spark.sql.optimizer.runtime.bloomFilter ON); the
+    entry makes the construction itself differential-testable via the
+    portable seeded hash60 family."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k"), "c_mktsegment"
+    )
+    build = cust.where(F.col("c_mktsegment") == "BUILDING").select("k")
+    bits = bloom_bits(build, F.col("k"))
+    probes = cust.groupBy("k").agg(
+        F.max(F.col("c_mktsegment") == "BUILDING").alias("is_member")
+    )
+    probed = bloom_maybe(probes, F.col("k"), bits)
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    non_members = F.count(F.when(~F.col("is_member"), 1))
+    agg = probed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.count(F.when(F.col("is_member"), 1)).cast("bigint").alias("n_members"),
+        F.count(F.when(F.col("maybe"), 1)).cast("bigint").alias("n_maybe"),
+        F.count(F.when(F.col("maybe") & ~F.col("is_member"), 1))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.count(F.when(F.col("is_member") & ~F.col("maybe"), 1))
+        .cast("bigint")
+        .alias("n_false_neg"),
+        F.when(non_members == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.count(F.when(F.col("maybe") & ~F.col("is_member"), 1)).cast(
+                    "double"
+                )
+                / non_members,
+                6,
+            )
+        )
+        .alias("fpr"),
+    )
+    return agg.crossJoin(F.broadcast(n_bits)).select(
+        F.lit(BLOOM_M).alias("m"),
+        F.lit(BLOOM_K).alias("k_hashes"),
+        "n_bits_set",
+        "n_probes",
+        "n_members",
+        "n_maybe",
+        "n_false_pos",
+        "n_false_neg",
+        "fpr",
+    )
 
 
 @register(

@@ -213,3 +213,92 @@ SELECT CAST({HLL_M} AS INT) AS m,
              END, 6) AS est
 FROM hll_est
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: fixed-size set membership — round 12
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 2048               # bits
+BLOOM_K = 3                  # hash functions (hash60 seeds 0..k-1)
+
+
+def bloom_bits(df: DataFrame, key: Column) -> DataFrame:
+    """Build the set-bit table of a Bloom filter (Bloom 1970) from a
+    string key column: k seeded hashes mod m, distinct positions.
+
+    The CMS/HLL scale argument again: the distinct-aggregate output is
+    <= m rows per partition after partial aggregation, so the exchange
+    is CONSTANT in build-set cardinality; the resulting <= m-row bit
+    table broadcasts to probes. Returns one column (pos)."""
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[hash60(key, seed=s) % F.lit(BLOOM_M) for s in range(BLOOM_K)]
+                )
+            ).alias("pos")
+        )
+        .where(F.col("pos").isNotNull())
+        .distinct()
+    )
+
+
+def bloom_maybe(probes: DataFrame, key: Column, bits: DataFrame) -> DataFrame:
+    """Probe the filter: a key is maybe-present iff ALL k of its
+    positions are set. Implemented as explode(k positions) → broadcast
+    semi-match against the <= m-row bit table → per-key hit count == k.
+    Adds column ``maybe`` to ``probes`` (which must be distinct on the
+    probe key)."""
+    exploded = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[hash60(key, seed=s) % F.lit(BLOOM_M) for s in range(BLOOM_K)]
+            )
+        ).alias("pos"),
+    )
+    hits = exploded.join(F.broadcast(bits), "pos").groupBy(*probes.columns).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        probes.join(hits, probes.columns, "left")
+        .withColumn("maybe", F.coalesce(F.col("n_hit"), F.lit(0)) == F.lit(BLOOM_K))
+        .drop("n_hit")
+    )
+
+
+def sql_bloom(key_expr: str, build_src: str, probe_src: str) -> str:
+    """DuckDB replay of bloom_bits + bloom_maybe: same seeded hash60
+    positions, same all-k-set membership rule. Returns a CTE chain
+    ending in ``bloom_probe(k, is_member, maybe)`` — one row per
+    distinct probe key with its exact membership and the filter's
+    answer."""
+    bits_union = " UNION ALL ".join(
+        f"SELECT DISTINCT {sql_hash60(key_expr, seed=s)} % {BLOOM_M} AS pos FROM {build_src}"
+        for s in range(BLOOM_K)
+    )
+    return f"""
+bloom_bits AS (
+  SELECT DISTINCT pos FROM ({bits_union})
+),
+probe_keys AS (
+  SELECT DISTINCT {key_expr} AS k,
+         {key_expr} IN (SELECT {key_expr} FROM {build_src}) AS is_member
+  FROM {probe_src} WHERE {key_expr} IS NOT NULL
+),
+probe_pos AS (
+  SELECT k,
+         unnest([{", ".join(f"{sql_hash60('k', seed=s)} % {BLOOM_M}" for s in range(BLOOM_K))}]) AS pos
+  FROM probe_keys
+),
+probe_hits AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_hit
+  FROM probe_pos WHERE pos IN (SELECT pos FROM bloom_bits)
+  GROUP BY k
+),
+bloom_probe AS (
+  SELECT p.k, p.is_member,
+         coalesce(h.n_hit, 0) = {BLOOM_K} AS maybe
+  FROM probe_keys p LEFT JOIN probe_hits h USING (k)
+)"""

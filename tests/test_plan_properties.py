@@ -337,6 +337,10 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # r12: HLL stitches the 1-row exact-distinct audit aggregate
         # onto the 1-row sketch estimate — the funnel scalar idiom
         "sketch_hll_cardinality",
+        # r12: Bloom stitches the 1-row bit-count audit onto the 1-row
+        # probe aggregate — the same scalar idiom (the probe join
+        # itself is a broadcast equi-join on pos)
+        "sketch_bloom_membership",
     }
     if name not in allowed_bnlj:
         assert "BroadcastNestedLoopJoin" not in plan, name

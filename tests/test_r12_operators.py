@@ -261,3 +261,31 @@ def test_hll_entry_matches_oracle_on_testdata(spark):
     r = got.iloc[0]
     assert r["exact_distinct"] == 15
     assert r["abs_rel_err"] < 0.35  # small-cardinality regime, loose bound
+
+
+def test_bloom_membership_guarantee_and_fpr(spark, tmp_path):
+    # crafted customers: keys 0..199 in BUILDING (the build set), keys
+    # 200..999 elsewhere; the filter must answer maybe=True for every
+    # member (n_false_neg == 0, the Bloom guarantee) on both engines
+    seg = ["BUILDING" if i < 200 else "MACHINERY" for i in range(1000)]
+    pd.DataFrame(
+        {"c_custkey": range(1000), "c_name": [f"c{i}" for i in range(1000)],
+         "c_nationkey": [i % 25 for i in range(1000)],
+         "c_acctbal": [0.0] * 1000, "c_mktsegment": seg}
+    ).to_parquet(tmp_path / "customer.parquet", index=False)
+    got, want = _run_both(spark, "sketch_bloom_membership", str(tmp_path), ["customer"])
+    _assert_equal(got, want)
+    r = got.iloc[0]
+    assert r["n_false_neg"] == 0
+    assert r["n_members"] == 200 and r["n_probes"] == 1000
+    assert r["n_maybe"] >= 200
+    # 200 keys x 3 hashes in 2048 bits -> fill <= 600/2048; FPR ~ fill^3
+    assert r["fpr"] < 0.1
+
+
+def test_bloom_entry_matches_oracle_on_testdata(spark):
+    got, want = _run_both(
+        spark, "sketch_bloom_membership", "/root/testdata/sf0.001", ["customer"]
+    )
+    _assert_equal(got, want)
+    assert got.iloc[0]["n_false_neg"] == 0
