@@ -8080,3 +8080,58 @@ def stats_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.exp(F.col("mean_ln")) / F.col("mean_x"), 9
         ).alias("atkinson_eps_one"),
     )
+
+
+@register(
+    "streaming_hll_distinct",
+    oracle=f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+{'{}'.format(sql_hll("k", "ev"))},
+exact AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct
+          FROM ev WHERE k IS NOT NULL)
+SELECT m, n_filled, v_empty, raw_est, est, exact_distinct,
+       round(abs(est - exact_distinct) / exact_distinct, 6) AS abs_rel_err
+FROM hll_out, exact
+""",
+    tags=("sketch", "cardinality", "hll", "streaming"),
+)
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch driven through Structured Streaming — the batch
+    twin is ``sketch_hll_cardinality`` (same registers, same estimate,
+    same oracle; streaming and batch must agree on static input). The
+    per-event register contribution maps over readStream and the
+    register table is a streaming groupBy(bucket).max(rho) in complete
+    mode with NO watermark — unlike the windowed aggregations, sketch
+    state is BOUNDED BY CONSTRUCTION (<= m = 256 rows, forever), which
+    is exactly why approximate sketches are the standing answer to
+    unbounded-cardinality streaming distinct counts: the exact
+    streaming distinct would grow state with every new key. The
+    estimate fold and the exact-distinct audit run batch-side on the
+    materialized registers."""
+    from .streaming import read_events_stream, run_stream_to_memory
+
+    stream = read_events_stream(spark, sf_dir)
+    # hll_registers is stream-agnostic: plain select + groupBy/max, so
+    # the SAME helper builds the batch and streaming register tables
+    regs_stream = hll_registers(stream, F.col("user_id").cast("string"))
+    regs = run_stream_to_memory(regs_stream, output_mode="complete")
+    sk = hll_estimate(regs)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    exact = ev.where(F.col("k").isNotNull()).agg(
+        F.countDistinct("k").cast("bigint").alias("exact_distinct")
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "n_filled",
+        "v_empty",
+        "raw_est",
+        "est",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("abs_rel_err"),
+    )

@@ -289,3 +289,15 @@ def test_bloom_entry_matches_oracle_on_testdata(spark):
     )
     _assert_equal(got, want)
     assert got.iloc[0]["n_false_neg"] == 0
+
+
+def test_streaming_hll_equals_batch_twin(spark):
+    # streaming and batch must produce the IDENTICAL sketch row on
+    # static input — same registers, same estimate, same audit
+    sf = "/root/testdata/sf0.001"
+    got_s = REGISTRY["streaming_hll_distinct"].fn(spark, sf).toPandas()
+    got_b = REGISTRY["sketch_hll_cardinality"].fn(spark, sf).toPandas()
+    pd.testing.assert_frame_equal(
+        got_s[sorted(got_s.columns)], got_b[sorted(got_b.columns)],
+        check_dtype=False, check_exact=True,
+    )
