@@ -514,6 +514,17 @@ R11_ENTRIES = [
     "search_bm25_topk",
 ]
 
+R12_ENTRIES = [
+    "eval_rouge_l_adjacent_pairs",
+    "eval_wer_adjacent_pairs",
+    "multimodal_decode_gif",
+    "multimodal_decode_gif_frames",
+    "sketch_hll_cardinality",
+    "sketch_bloom_membership",
+    "streaming_batch_parity_tumbling",
+    "streaming_hll_distinct",
+]
+
 _OFF = 10_000_000  # per-replica key offset (disjoint key spaces)
 
 _R3_TABLES = {
@@ -590,16 +601,17 @@ def main() -> None:
     r9_mode = "--r9" in sys.argv
     r10_mode = "--r10" in sys.argv
     r11_mode = "--r11" in sys.argv
+    r12_mode = "--r12" in sys.argv
     if r11_mode:
         r10_mode = False
 
-    if r3_mode or r4_mode or r5_mode or r6_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode or r7_mode or r9_mode or r10_mode or r11_mode:
+    if r3_mode or r4_mode or r5_mode or r6_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode or r7_mode or r9_mode or r10_mode or r11_mode or r12_mode:
         print("building 10x relational replication ...", file=sys.stderr)
         big_rel = build_10x_rel(spark)
     else:
         print("building 10x replication ...", file=sys.stderr)
         big_dir = build_10x(spark)
-    if r5_mode or r6_mode or not (r3_mode or r4_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode or r7_mode or r9_mode or r10_mode or r11_mode):
+    if r5_mode or r6_mode or not (r3_mode or r4_mode or r6b_mode or r6c_mode or r6d_mode or r6e_mode or r7_mode or r9_mode or r10_mode or r11_mode or r12_mode):
         print("building 10x distinct-content replication ...", file=sys.stderr)
         big_distinct_dir = build_10x(spark, distinct=True)
 
@@ -634,7 +646,9 @@ def main() -> None:
         )
         return rec
 
-    if r11_mode:
+    if r12_mode:
+        rows_r12 = measure(R12_ENTRIES, big_rel)
+    elif r11_mode:
         rows_r11 = measure(R11_ENTRIES, big_rel)
     elif r10_mode:
         rows_r10 = measure(R10_ENTRIES, big_rel)
@@ -680,7 +694,37 @@ def main() -> None:
     md_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_EVIDENCE.md"
     )
-    if r11_mode:
+    if r12_mode:
+        lines = [
+            "",
+            "## Round-12 at sf1 (sequence DP, compressed/temporal decode, sketches, parity)",
+            "",
+            "Same sf1 relational-replication protocol as the tables above. "
+            "The two sequence-DP metrics ship each 10x doc at most twice "
+            "through one groupBy(pid) exchange and run the O(len^2) DP in "
+            "a batch-vectorized pandas_udf — shuffle should scale ~10x "
+            "(token arrays ARE the payload, the floor for order-sensitive "
+            "DP), stages flat. The GIF decoders are two map-only Arrow "
+            "stages — near-zero shuffle at both scales. The HLL/Bloom "
+            "sketches are the constant-exchange story: register/bit "
+            "tables partial-agg to <= m rows per partition, so shuffle "
+            "bytes stay FLAT at 10x while the scan grows. The parity "
+            "entry runs the same tumbling helper twice (batch + stream) "
+            "plus window-level exceptAll — time-bounded, not "
+            "data-bounded, beyond its two scans.",
+            "",
+        ]
+        lines += table(rows_r12)
+        lines += [""]
+        prev = open(md_path).read() if os.path.exists(md_path) else ""
+        marker = "\n## Round-12 at sf1"
+        if marker in prev:
+            prev = prev[: prev.index(marker)]
+        with open(md_path, "w") as f:
+            f.write(prev.rstrip("\n") + "\n" + "\n".join(lines))
+        print("appended round-12 sf1 section to SCALE_EVIDENCE.md", file=sys.stderr)
+        return
+    elif r11_mode:
         lines = [
             "",
             "## Round-11 at sf1 (new entries + the de-broadcast joins)",
