@@ -301,3 +301,21 @@ def test_streaming_hll_equals_batch_twin(spark):
         got_s[sorted(got_s.columns)], got_b[sorted(got_b.columns)],
         check_dtype=False, check_exact=True,
     )
+
+
+def test_lcs_and_edit_distance_inequalities():
+    # cross-operator property: for unit-cost Levenshtein d and LCS l,
+    #   max(lc, lr) - l <= d <= lc + lr - 2*l
+    # (the upper bound is the indel-only distance; substitutions can
+    # only help). A bug in either DP tends to break one side.
+    from markt_database_analyzer_spark.catalog_eval import edit_distance
+
+    import random
+
+    rng = random.Random(33)
+    for _ in range(120):
+        a = [rng.choice("abcd") for _ in range(rng.randrange(0, 15))]
+        b = [rng.choice("abcd") for _ in range(rng.randrange(0, 15))]
+        l, d = lcs_length(a, b), edit_distance(a, b)
+        assert d <= len(a) + len(b) - 2 * l, (a, b, l, d)
+        assert d >= max(len(a), len(b)) - l, (a, b, l, d)
