@@ -376,8 +376,8 @@ def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash60 (bucket = mod, rho = 53 - bin-string length — never floating
     log2), and the harmonic sum is an exact BIGINT numerator, so the
     oracle replays the sketch bit-for-bit; the only shared-libm step is
-    the one ln() in the small-range branch (9-dp-rounded like the
-    engine's other transcendental outputs)."""
+    the one ln() in the small-range branch (6-dp-rounded in both
+    ``hll_estimate`` and the ``sql_hll`` oracle)."""
     ev = _t(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("k")
     )

@@ -485,7 +485,7 @@ def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
     table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
     out_bits: list[tuple[int, int]] = [(clear, size)]
     seq = tuple(int(v) for v in indices)
-    w = (seq[0],)
+    w = (seq[0],) if seq else ()  # zero-pixel raster: clear + EOI only
     for s in seq[1:]:
         ws = w + (s,)
         if ws in table:
@@ -498,7 +498,8 @@ def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
             if next_code == (1 << size) + 1 and size < 12:
                 size += 1
         w = (s,)
-    out_bits.append((table[w], size))
+    if w:
+        out_bits.append((table[w], size))
     out_bits.append((eoi, size))
     acc = n = 0
     data = bytearray()
@@ -650,6 +651,8 @@ def _parse_gif(b: bytes) -> tuple[int, int, np.ndarray, np.ndarray] | None:
                     return None
                 stream += b[pos + 1 : pos + 1 + size]
                 pos += 1 + size
+            if pos >= len(b):
+                return None  # sub-block chain without the 0x00 terminator
             decoded = _lzw_decode_gif(bytes(stream), min_code_size)
             if decoded is None or len(decoded) != iw * ih:
                 return None

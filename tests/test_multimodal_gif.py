@@ -275,3 +275,21 @@ def test_gif_animation_roundtrip_property(nf, px, delays):
     parsed = mm._parse_gif_frames(mm.encode_gif_animation(frames, delays[:nf]))
     assert parsed is not None
     assert len(parsed[3]) == nf and parsed[4] == sum(delays[:nf])
+
+
+def test_lzw_encode_empty_raster_is_clear_eoi_only():
+    # ADVICE r12: encoder used to IndexError on a zero-pixel raster; a
+    # legal stream for it is clear + EOI and decodes to the empty list.
+    stream = mm._lzw_encode_gif(np.array([], dtype=np.int64), 2)
+    assert mm._lzw_decode_gif(stream, 2) == []
+
+
+def test_parse_gif_rejects_missing_subblock_terminator():
+    # ADVICE r12: _parse_gif now matches _parse_gif_frames' strictness —
+    # a data sub-block chain that runs off the buffer without the 0x00
+    # terminator is malformed, not accepted.
+    g = mm.encode_gif(_idx(64).reshape(8, 8))
+    assert mm._parse_gif(g) is not None
+    assert g[-2:] == b"\x00\x3b"
+    assert mm._parse_gif(g[:-2]) is None          # no terminator, no trailer
+    assert mm._parse_gif(g[:-1]) is not None      # terminator present, trailer gone: still one full image
