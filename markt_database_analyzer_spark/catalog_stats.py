@@ -2169,6 +2169,205 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_kmv_set_ops() -> str:
+    h = sql_hash60("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type, {h} AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+  FROM hashes
+),
+kmv AS (SELECT event_type, h FROM ranked WHERE r <= {_KMV_K}),
+types AS (SELECT DISTINCT event_type FROM kmv),
+pr AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+u AS (
+  SELECT p.type_a, p.type_b, k.h, 1 AS ia, 0 AS ib
+  FROM pr p JOIN kmv k ON k.event_type = p.type_a
+  UNION ALL
+  SELECT p.type_a, p.type_b, k.h, 0 AS ia, 1 AS ib
+  FROM pr p JOIN kmv k ON k.event_type = p.type_b
+),
+m AS (
+  SELECT type_a, type_b, h, max(ia) AS in_a, max(ib) AS in_b
+  FROM u GROUP BY 1, 2, 3
+),
+mr AS (
+  SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS r
+  FROM m
+),
+sk AS (
+  SELECT type_a, type_b,
+         CAST(count(*) AS BIGINT) AS k_u,
+         max(h) AS kth_u,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+         CAST(sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only
+  FROM mr WHERE r <= {_KMV_K} GROUP BY 1, 2
+),
+est AS (
+  SELECT *,
+         CASE WHEN k_u < {_KMV_K} THEN CAST(k_u AS DOUBLE)
+              ELSE round((k_u - 1) * {_TWO60} / kth_u, 9) END AS est_union
+  FROM sk
+),
+cnt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM hashes GROUP BY 1
+),
+ex AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS exact_inter
+  FROM hashes x JOIN hashes y ON x.h = y.h AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT e.type_a, e.type_b, e.k_u, e.est_union,
+       round(e.n_both * e.est_union / e.k_u, 9) AS est_inter,
+       round(e.n_a_only * e.est_union / e.k_u, 9) AS est_diff_a,
+       round(e.n_b_only * e.est_union / e.k_u, 9) AS est_diff_b,
+       round(CAST(e.n_both AS DOUBLE) / e.k_u, 9) AS jaccard_est,
+       ca.n + cb.n - COALESCE(x.exact_inter, 0) AS exact_union,
+       COALESCE(x.exact_inter, 0) AS exact_inter
+FROM est e
+JOIN cnt ca ON ca.event_type = e.type_a
+JOIN cnt cb ON cb.event_type = e.type_b
+LEFT JOIN ex x ON x.type_a = e.type_a AND x.type_b = e.type_b
+ORDER BY e.type_a, e.type_b
+"""
+@register(
+    "sketch_kmv_set_ops",
+    oracle=_sql_kmv_set_ops(),
+    tags=("sketch", "approx", "distinct"),
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KMV set-OPERATION estimates via sketch MERGE (Beyer et al.
+    2007, the Apache DataSketches Theta workhorse): the k smallest
+    hashes of L_A∪L_B are themselves a valid KMV sketch of A∪B, so
+    est_union = (k_u−1)·2^60/kth_u from the merged kth minimum, and the
+    inclusion ratios of merged-sketch members that sit in both / only
+    one source sketch scale it into intersection, both difference
+    directions, and a Jaccard estimate — the overlap triage a training
+    pipeline runs across corpora BEFORE paying for exact contamination
+    joins (``pipeline_contamination_check`` is the exact twin). The
+    sibling ``sketch_kmv_intersection`` estimates intersection from the
+    θ* = min(θa, θb) common-hash rule; this entry is the mergeable form
+    (union first, everything else as a ratio of it), which is what
+    composes across >2 corpora and across partitions.
+
+    100 TB shape: per-corpus sketches are ≤ k = 64 rows each, built by
+    ONE partial-aggregating rank pass over the distinct hashes; every
+    pairwise stage runs on ≤ k·|pairs| rows (broadcast territory
+    forever — the corpus count, not the corpus SIZE, is the only scale
+    axis). The exact-audit columns (exact_union / exact_inter from the
+    full hash sets) are the expensive side that the sketch path
+    replaces at scale. Determinism: sketches are k-smallest of the
+    portable md5 hash60, membership flags are exact integers, the only
+    float steps are the final (k_u−1)·2^60/kth_u division and the ratio
+    scalings, composed in the same order and 9-dp-rounded in both
+    engines; when the merged sketch is complete (k_u < k ⟹ both source
+    sets complete) the estimators collapse to the exact counts by
+    construction. kth_u > 0 is structural in the estimate branch
+    (k_u = k ≥ 64 distinct non-negative hashes ⟹ max ≥ 63), so the
+    ANSI division needs no runtime guard. Accuracy stays within the
+    published ~1/sqrt(k) envelope (pinned in the unit test).
+    """
+    ev = _t(spark, sf_dir, "events")
+    hashes = (
+        ev.select("event_type", hash60(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    wr = Window.partitionBy("event_type").orderBy("h")
+    kmv = (
+        hashes.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= _KMV_K)
+        .select("event_type", "h")
+        .localCheckpoint(eager=True)
+    )
+    types = kmv.select("event_type").distinct()
+    pr = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    u = (
+        F.broadcast(pr)
+        .join(kmv, F.col("event_type") == F.col("type_a"))
+        .select("type_a", "type_b", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        .unionAll(
+            F.broadcast(pr)
+            .join(kmv, F.col("event_type") == F.col("type_b"))
+            .select("type_a", "type_b", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+        )
+    )
+    m = u.groupBy("type_a", "type_b", "h").agg(
+        F.max("ia").alias("in_a"), F.max("ib").alias("in_b")
+    )
+    wm = Window.partitionBy("type_a", "type_b").orderBy("h")
+    sk = (
+        m.withColumn("r", F.row_number().over(wm))
+        .filter(F.col("r") <= _KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("k_u"),
+            F.max("h").alias("kth_u"),
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+            ).alias("n_both"),
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1).otherwise(0)
+            ).alias("n_a_only"),
+            F.sum(
+                F.when((F.col("in_a") == 0) & (F.col("in_b") == 1), 1).otherwise(0)
+            ).alias("n_b_only"),
+        )
+    )
+    est = sk.withColumn(
+        "est_union",
+        F.when(
+            F.col("k_u") < _KMV_K, F.col("k_u").cast("double")
+        ).otherwise(F.round((F.col("k_u") - 1) * _TWO60 / F.col("kth_u"), 9)),
+    )
+    cnt = hashes.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ha = hashes.select(F.col("event_type").alias("type_a"), "h")
+    hb = hashes.select(F.col("event_type").alias("type_b"), F.col("h").alias("hb"))
+    exact = (
+        ha.join(hb, (F.col("h") == F.col("hb")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return (
+        est.join(
+            F.broadcast(cnt.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))),
+            "type_b",
+        )
+        .join(F.broadcast(exact), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "k_u",
+            "est_union",
+            F.round(F.col("n_both") * F.col("est_union") / F.col("k_u"), 9).alias("est_inter"),
+            F.round(F.col("n_a_only") * F.col("est_union") / F.col("k_u"), 9).alias("est_diff_a"),
+            F.round(F.col("n_b_only") * F.col("est_union") / F.col("k_u"), 9).alias("est_diff_b"),
+            F.round(F.col("n_both").cast("double") / F.col("k_u"), 9).alias("jaccard_est"),
+            (F.col("na") + F.col("nb") - F.coalesce("exact_inter", F.lit(0))).alias("exact_union"),
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 _SQL_THEILSEN = f"""
 WITH daily AS (
   SELECT event_type, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,

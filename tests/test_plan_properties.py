@@ -205,6 +205,9 @@ def test_no_cartesian_or_nested_loop_join(spark, name):
         # theta-pairing joins the 5-row per-type sketch summaries on an
         # inequality (type_a < type_b) — a bounded broadcast NLJ
         "sketch_kmv_intersection",
+        # same inequality pairing over the ≤5-row type frame; everything
+        # downstream is ≤ k·|pairs| sketch rows
+        "sketch_kmv_set_ops",
         # BFS stitches the 1-row total/reached aggregates into the
         # unreached row — the funnel scalar idiom
         "graph_bfs_distance",

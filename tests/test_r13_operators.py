@@ -1,0 +1,87 @@
+"""Round-13 operator pins: KMV merged-sketch set operations
+(union / intersection / difference / Jaccard estimators with their
+set-algebra identities and the published 1/sqrt(k) accuracy envelope).
+"""
+
+from __future__ import annotations
+
+import collections
+
+import duckdb
+import pandas as pd
+import pytest
+
+from markt_database_analyzer_spark.catalog import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_both(spark, name, sf_dir, tables):
+    got = REGISTRY[name].fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = con.execute(REGISTRY[name].oracle).df()
+    con.close()
+    return got, want
+
+
+def test_kmv_set_ops_matches_oracle(spark):
+    got, want = _run_both(spark, "sketch_kmv_set_ops", SF, ["events"])
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+
+def test_kmv_set_ops_identities_and_accuracy(spark):
+    rows = REGISTRY["sketch_kmv_set_ops"].fn(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    users = collections.defaultdict(set)
+    for e in ev:
+        users[e["event_type"]].add(e["user_id"])
+    types = sorted(users)
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    for r in rows:
+        a, b = users[r["type_a"]], users[r["type_b"]]
+        # exact audit columns really are exact set algebra
+        assert r["exact_inter"] == len(a & b)
+        assert r["exact_union"] == len(a | b)
+        # the three inclusion-ratio estimates partition the union
+        # estimate exactly (n_both + n_a_only + n_b_only == k_u)
+        total = r["est_inter"] + r["est_diff_a"] + r["est_diff_b"]
+        assert total == pytest.approx(r["est_union"], abs=1e-6)
+        # published ~1/sqrt(k) envelope, k=64 -> sigma ~12.5%; allow 4 sigma
+        true_union = len(a | b)
+        if true_union >= 64:
+            assert abs(r["est_union"] - true_union) / true_union < 0.5
+        # Jaccard estimate is a ratio in [0, 1]
+        assert 0.0 <= r["jaccard_est"] <= 1.0
+        # estimator collapses to exact counts when sketches are complete
+        if r["k_u"] < 64:
+            assert r["est_union"] == true_union
+            assert r["est_inter"] == len(a & b)
+
+
+def test_kmv_set_ops_merge_is_valid_kmv_sketch(spark):
+    """The k smallest of L_A ∪ L_B must equal the KMV sketch built
+    directly on A ∪ B — the merge property the estimator rests on."""
+    import hashlib
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    users = collections.defaultdict(set)
+    for e in ev:
+        users[e["event_type"]].add(e["user_id"])
+    types = sorted(users)
+    k = 64
+
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    a, b = types[0], types[1]
+    la = sorted({h60(u) for u in users[a]})[:k]
+    lb = sorted({h60(u) for u in users[b]})[:k]
+    merged = sorted(set(la) | set(lb))[:k]
+    direct = sorted({h60(u) for u in users[a] | users[b]})[:k]
+    assert merged == direct
