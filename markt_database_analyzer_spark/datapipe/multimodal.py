@@ -960,3 +960,585 @@ def crafted_gif_anim_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
     return fan_out(df.select(id_col)).mapInPandas(
         build, schema=f"{id_col} long, payload binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real PNG decode: DEFLATE (stored + fixed-Huffman blocks with LZ77
+# back-references) in pure python/numpy — the second compression CLASS
+# after GIF's LZW (r12 verdict item: Huffman coding + LZ77 sliding-window
+# matches vs LZW's dictionary codes). The chunk walker verifies real
+# CRC-32s, the zlib container a real Adler-32, and the scanline stage
+# inverts all five PNG filter predictors (None/Sub/Up/Average/Paeth).
+# Dynamic-Huffman blocks (BTYPE=10) are out of scope and take the
+# unsupported path — documented, and pinned by a rejection test.
+# ---------------------------------------------------------------------------
+
+_CRC_TABLE = None
+
+
+def _crc32(data: bytes) -> int:
+    """Table-driven CRC-32 (reflected, poly 0xEDB88320) — the PNG chunk
+    checksum, implemented rather than imported so the walk is
+    self-contained and the rejection tests exercise OUR table."""
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC_TABLE = tbl
+    c = 0xFFFFFFFF
+    for byte in data:
+        c = _CRC_TABLE[(c ^ byte) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def _adler32(data: bytes) -> int:
+    a, b = 1, 0
+    for byte in data:
+        a = (a + byte) % 65521
+        b = (b + a) % 65521
+    return (b << 16) | a
+
+
+# RFC 1951 length/distance code tables: (base, extra_bits) per symbol.
+_LEN_BASE = [3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31,
+             35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258]
+_LEN_EXTRA = [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2,
+              3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0]
+_DIST_BASE = [1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193,
+              257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145,
+              8193, 12289, 16385, 24577]
+_DIST_EXTRA = [0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6,
+               7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13]
+
+
+class _BitWriter:
+    """LSB-first deflate bitstream. Huffman codes go MSB-of-code first
+    (RFC 1951 packing rule); extra-bit fields go LSB-first."""
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.n = 0
+        self.out = bytearray()
+
+    def bits(self, value: int, width: int) -> None:
+        self.acc |= value << self.n
+        self.n += width
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def huff(self, code: int, width: int) -> None:
+        rev = 0
+        for _ in range(width):
+            rev = (rev << 1) | (code & 1)
+            code >>= 1
+        self.bits(rev, width)
+
+    def align(self) -> None:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = self.n = 0
+
+    def done(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _fixed_lit_code(sym: int) -> tuple[int, int]:
+    """Canonical fixed-Huffman (code, width) for literal/length symbol."""
+    if sym <= 143:
+        return 0x30 + sym, 8
+    if sym <= 255:
+        return 0x190 + (sym - 144), 9
+    if sym <= 279:
+        return sym - 256, 7
+    return 0xC0 + (sym - 280), 8
+
+
+def _len_to_code(length: int) -> tuple[int, int, int]:
+    """(symbol, extra_bits_value, extra_bits_width) for a match length."""
+    for i in range(len(_LEN_BASE) - 1, -1, -1):
+        if length >= _LEN_BASE[i]:
+            # symbol 285 (i=28) has 0 extra; guard the 258 exact case
+            if i < 28 and length > _LEN_BASE[i] + (1 << _LEN_EXTRA[i]) - 1:
+                continue
+            return 257 + i, length - _LEN_BASE[i], _LEN_EXTRA[i]
+    raise ValueError(length)
+
+
+def _dist_to_code(dist: int) -> tuple[int, int, int]:
+    for i in range(len(_DIST_BASE) - 1, -1, -1):
+        if dist >= _DIST_BASE[i]:
+            return i, dist - _DIST_BASE[i], _DIST_EXTRA[i]
+    raise ValueError(dist)
+
+
+def deflate_stored(data: bytes) -> bytes:
+    """DEFLATE with stored (BTYPE=00) blocks only — byte-aligned
+    LEN/NLEN framing, no compression."""
+    w = _BitWriter()
+    views = [data[i : i + 65535] for i in range(0, len(data), 65535)] or [b""]
+    for i, chunk in enumerate(views):
+        w.bits(1 if i == len(views) - 1 else 0, 1)  # BFINAL
+        w.bits(0, 2)                                # BTYPE=00
+        w.align()
+        ln = len(chunk)
+        w.out += ln.to_bytes(2, "little")
+        w.out += (ln ^ 0xFFFF).to_bytes(2, "little")
+        w.out += chunk
+    return w.done()
+
+
+def deflate_fixed(data: bytes) -> bytes:
+    """DEFLATE with one fixed-Huffman (BTYPE=01) block: greedy LZ77
+    (min match 3, max 258, 32 KiB window, last-occurrence hash chain of
+    depth 1) emitting real length/distance back-references — the
+    compression mechanism LZW does not have."""
+    w = _BitWriter()
+    w.bits(1, 1)  # BFINAL
+    w.bits(1, 2)  # BTYPE=01
+    last: dict[bytes, int] = {}
+    i, n = 0, len(data)
+    while i < n:
+        match_len = 0
+        match_dist = 0
+        if i + 3 <= n:
+            key = data[i : i + 3]
+            j = last.get(key, -1)
+            if j >= 0 and i - j <= 32768:
+                length = 3
+                limit = min(258, n - i)
+                while length < limit and data[j + length] == data[i + length]:
+                    length += 1
+                match_len, match_dist = length, i - j
+            last[key] = i
+        if match_len >= 3:
+            sym, ev, ew = _len_to_code(match_len)
+            code, width = _fixed_lit_code(sym)
+            w.huff(code, width)
+            if ew:
+                w.bits(ev, ew)
+            dsym, dev, dew = _dist_to_code(match_dist)
+            w.huff(dsym, 5)  # fixed distance codes are plain 5-bit
+            if dew:
+                w.bits(dev, dew)
+            # index the skipped positions so later matches can refer back
+            for p in range(i + 1, min(i + match_len, n - 2)):
+                last[data[p : p + 3]] = p
+            i += match_len
+        else:
+            code, width = _fixed_lit_code(data[i])
+            w.huff(code, width)
+            i += 1
+    code, width = _fixed_lit_code(256)  # end of block
+    w.huff(code, width)
+    return w.done()
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int | None:
+        if not self.n:
+            if self.pos >= len(self.data):
+                return None
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        b = self.acc & 1
+        self.acc >>= 1
+        self.n -= 1
+        return b
+
+    def bits(self, width: int) -> int | None:
+        v = 0
+        for i in range(width):
+            b = self.bit()
+            if b is None:
+                return None
+            v |= b << i
+        return v
+
+    def align(self) -> None:
+        self.acc = self.n = 0
+
+
+def _read_fixed_sym(r: _BitReader) -> int | None:
+    """Decode one fixed-Huffman literal/length symbol: accumulate bits
+    MSB-first, resolving at 7, 8, then 9 bits per the canonical table."""
+    c = 0
+    for _ in range(7):
+        b = r.bit()
+        if b is None:
+            return None
+        c = (c << 1) | b
+    if c <= 0x17:
+        return 256 + c
+    b = r.bit()
+    if b is None:
+        return None
+    c = (c << 1) | b
+    if 0x30 <= c <= 0xBF:
+        return c - 0x30
+    if 0xC0 <= c <= 0xC7:
+        return 280 + (c - 0xC0)
+    b = r.bit()
+    if b is None:
+        return None
+    c = (c << 1) | b
+    if 0x190 <= c <= 0x1FF:
+        return 144 + (c - 0x190)
+    return None  # hole in the canonical code space
+
+
+def inflate(data: bytes, max_out: int) -> bytes | None:
+    """RFC 1951 inflate for stored (BTYPE=00) and fixed-Huffman
+    (BTYPE=01) blocks: LEN/NLEN verification, canonical fixed tree,
+    length/distance extra bits, sliding-window back-reference copy.
+    Dynamic-Huffman (BTYPE=10) and reserved (11) return None, as does
+    any truncation, bad framing, or output overrun past ``max_out``."""
+    r = _BitReader(data)
+    out = bytearray()
+    while True:
+        bfinal = r.bit()
+        btype = r.bits(2)
+        if bfinal is None or btype is None:
+            return None
+        if btype == 0:
+            r.align()
+            if r.pos + 4 > len(r.data):
+                return None
+            ln = int.from_bytes(r.data[r.pos : r.pos + 2], "little")
+            nlen = int.from_bytes(r.data[r.pos + 2 : r.pos + 4], "little")
+            if ln ^ 0xFFFF != nlen:
+                return None
+            r.pos += 4
+            if r.pos + ln > len(r.data) or len(out) + ln > max_out:
+                return None
+            out += r.data[r.pos : r.pos + ln]
+            r.pos += ln
+        elif btype == 1:
+            while True:
+                sym = _read_fixed_sym(r)
+                if sym is None:
+                    return None
+                if sym == 256:
+                    break
+                if sym < 256:
+                    if len(out) + 1 > max_out:
+                        return None
+                    out.append(sym)
+                    continue
+                if sym > 285:
+                    return None
+                i = sym - 257
+                ev = r.bits(_LEN_EXTRA[i])
+                if ev is None:
+                    return None
+                length = _LEN_BASE[i] + ev
+                dsym = 0
+                for _ in range(5):
+                    b = r.bit()
+                    if b is None:
+                        return None
+                    dsym = (dsym << 1) | b
+                if dsym > 29:
+                    return None
+                dev = r.bits(_DIST_EXTRA[dsym])
+                if dev is None:
+                    return None
+                dist = _DIST_BASE[dsym] + dev
+                if dist > len(out) or len(out) + length > max_out:
+                    return None
+                for _ in range(length):  # byte-at-a-time: overlap semantics
+                    out.append(out[-dist])
+        else:
+            return None  # dynamic-Huffman / reserved: out of scope
+        if bfinal:
+            return bytes(out)
+
+
+def zlib_wrap(raw: bytes, *, method: str = "fixed") -> bytes:
+    """RFC 1950 container around our own deflate: CMF/FLG 0x78 0x01
+    (CM=8, no preset dict, fcheck-valid) + deflate stream + Adler-32."""
+    body = deflate_fixed(raw) if method == "fixed" else deflate_stored(raw)
+    return b"\x78\x01" + body + _adler32(raw).to_bytes(4, "big")
+
+
+def zlib_unwrap(b: bytes, max_out: int) -> bytes | None:
+    if len(b) < 6 or b[0] & 0x0F != 8 or b[1] & 0x20:
+        return None  # not deflate / preset dictionary
+    if (b[0] * 256 + b[1]) % 31:
+        return None  # FCHECK failure
+    raw = inflate(b[2:-4], max_out)
+    if raw is None or _adler32(raw) != int.from_bytes(b[-4:], "big"):
+        return None
+    return raw
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_scanlines(idx: np.ndarray, filters: list[int]) -> bytes:
+    """Apply per-row PNG filters (bpp=1, 8-bit palette indices):
+    filter byte + filtered bytes per scanline."""
+    h, w = idx.shape
+    out = bytearray()
+    prior = [0] * w
+    for y in range(h):
+        row = [int(v) for v in idx[y]]
+        f = filters[y % len(filters)]
+        out.append(f)
+        for x in range(w):
+            left = row[x - 1] if x else 0
+            up = prior[x]
+            upleft = prior[x - 1] if x else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - left
+            elif f == 2:
+                v = row[x] - up
+            elif f == 3:
+                v = row[x] - (left + up) // 2
+            else:
+                v = row[x] - _paeth(left, up, upleft)
+            out.append(v & 0xFF)
+        prior = row
+    return bytes(out)
+
+
+def _unfilter_scanlines(raw: bytes, w: int, h: int) -> np.ndarray | None:
+    if len(raw) != h * (w + 1):
+        return None
+    out = np.zeros((h, w), dtype=np.int64)
+    prior = [0] * w
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        if f > 4:
+            return None
+        row = [0] * w
+        for x in range(w):
+            v = raw[pos + x]
+            left = row[x - 1] if x else 0
+            up = prior[x]
+            upleft = prior[x - 1] if x else 0
+            if f == 1:
+                v += left
+            elif f == 2:
+                v += up
+            elif f == 3:
+                v += (left + up) // 2
+            elif f == 4:
+                v += _paeth(left, up, upleft)
+            row[x] = v & 0xFF
+        pos += w
+        out[y] = row
+        prior = row
+    return out
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big") + ctype + data
+        + _crc32(ctype + data).to_bytes(4, "big")
+    )
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(
+    indices: np.ndarray, palette: np.ndarray = GIF_PALETTE, *,
+    method: str = "fixed", filters: list[int] | None = None,
+    split_idat: bool = False,
+) -> bytes:
+    """Minimal real PNG encoder for an HxW palette-index raster: IHDR
+    (bit depth 8, colour type 3) + PLTE + IDAT (our own zlib/DEFLATE,
+    stored or fixed-Huffman-with-LZ77) + IEND, every chunk carrying a
+    real CRC-32. ``filters`` rotates per-row predictors to exercise
+    None/Sub/Up/Average/Paeth; ``split_idat`` splits the stream across
+    two IDAT chunks to exercise reassembly. The decoder below must
+    invert all of it bit-exactly."""
+    h, w = indices.shape
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 3, 0, 0, 0])  # depth 8, palette, deflate, adaptive, no interlace
+    )
+    raw = _filter_scanlines(indices, filters or [0])
+    z = zlib_wrap(raw, method=method)
+    out = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    if split_idat and len(z) > 8:
+        mid = len(z) // 2
+        out += _png_chunk(b"IDAT", z[:mid]) + _png_chunk(b"IDAT", z[mid:])
+    else:
+        out += _png_chunk(b"IDAT", z)
+    return out + _png_chunk(b"IEND", b"")
+
+
+def _parse_png(b: bytes) -> tuple[int, int, np.ndarray, np.ndarray] | None:
+    """Decode an 8-bit palette (colour type 3), non-interlaced PNG to
+    (width, height, palette Nx3, indices flat): CRC-verified chunk walk
+    → IHDR validation → PLTE → IDAT reassembly → zlib container
+    (FCHECK + Adler-32) → inflate (stored + fixed-Huffman) → per-row
+    unfilter. None for anything else: foreign magic, CRC/Adler
+    mismatch, truncation, dynamic-Huffman data, grayscale/RGB colour
+    types, interlace, bad filter bytes, out-of-palette indices."""
+    if len(b) < 8 or b[:8] != PNG_SIG:
+        return None
+    pos = 8
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    seen_end = False
+    while pos < len(b):
+        if pos + 8 > len(b):
+            return None
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(b):
+            return None
+        data = b[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(b[pos + 8 + ln : pos + 12 + ln], "big")
+        if _crc32(ctype + data) != crc:
+            return None
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            if ihdr is not None or ln != 13:
+                return None
+            ihdr = data
+        elif ctype == b"PLTE":
+            if palette is not None or ln % 3 or not ln:
+                return None
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        # ancillary chunks: skipped (CRC still verified above)
+    if not seen_end or ihdr is None or palette is None or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype_v, comp, filt, inter = ihdr[8:13]
+    if (depth, ctype_v, comp, filt, inter) != (8, 3, 0, 0, 0):
+        return None  # only 8-bit palette, deflate, adaptive, progressive-off
+    if not (0 < w and 0 < h):
+        return None
+    raw = zlib_unwrap(bytes(idat), max_out=h * (w + 1))
+    if raw is None:
+        return None
+    idx2 = _unfilter_scanlines(raw, w, h)
+    if idx2 is None:
+        return None
+    idx = idx2.reshape(-1)
+    if (idx >= len(palette)).any():
+        return None
+    return w, h, palette.astype(np.int64), idx
+
+
+def _png_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        parsed = _parse_png(bytes(payload) if payload is not None else b"")
+        if parsed is None:
+            rows.append((doc_id, "unsupported", None, None, None, None, None, None, None))
+            continue
+        width, height, palette, idx = parsed
+        n = len(idx)
+        rgb = palette[idx]
+        means = [
+            round(float(int(rgb[:, c].sum())) / n, 6) if n else None
+            for c in range(3)
+        ]
+        rows.append((doc_id, "png", width, height, n, len(palette), *means))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "format", "width", "height", "n_pixels",
+            "n_colors", "mean_r", "mean_g", "mean_b",
+        ],
+    ).assign(feature_version="png-v1")
+
+
+def decode_png_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched PNG decode over (doc_id, payload): CRC-verified
+    chunk walk → IDAT reassembly → zlib/DEFLATE inflate (stored +
+    fixed-Huffman with LZ77 back-references) → five-predictor unfilter
+    → per-channel palette-weighted pixel means; non-PNG payloads →
+    NULL features with ``format='unsupported'``. Same mapInPandas
+    iterator shape as the raster/audio/GIF twins — map-only,
+    partition-preserving, bounded batch memory."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _png_decode_batch(pdf)
+
+    return fan_out(df.select("doc_id", "payload")).mapInPandas(
+        run, schema=GIF_FEATURE_SCHEMA
+    )
+
+
+def crafted_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG fixture builder: the SAME 64 md5-derived 2-bit
+    pixel indices as the GIF fixture (md5(str(id)), +'a', +'b', +'c'
+    bytes mod 4 over the fixed 4-colour palette), so the oracle replays
+    the features as hex-pair arithmetic. Container rotates on
+    ``id % 3``: 8x8 stored-block PNG with all five filter predictors
+    rotating across rows; 4x16 fixed-Huffman PNG (real LZ77
+    back-references) with the predictor rotation reversed AND the
+    stream split across two IDAT chunks; and a GIF-magic payload (the
+    NULL-feature unsupported path). Pure map work inside the same
+    Arrow plumbing."""
+    import hashlib
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                raw = b"".join(
+                    hashlib.md5((str(d) + sfx).encode("ascii")).digest()
+                    for sfx in ("", "a", "b", "c")
+                )
+                idx = (np.frombuffer(raw, dtype=np.uint8) % 4).astype(np.int64)
+                k = int(d) % 3
+                if k == 0:
+                    payloads.append(
+                        encode_png(
+                            idx.reshape(8, 8), method="stored",
+                            filters=[0, 1, 2, 3, 4],
+                        )
+                    )
+                elif k == 1:
+                    payloads.append(
+                        encode_png(
+                            idx.reshape(4, 16), method="fixed",
+                            filters=[4, 3, 2, 1, 0], split_idat=True,
+                        )
+                    )
+                else:
+                    payloads.append(b"GIF87a" + raw)
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return fan_out(df.select(id_col)).mapInPandas(
+        build, schema=f"{id_col} long, payload binary"
+    )
