@@ -20,12 +20,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# The ``df.rdd.getNumPartitions()`` probe forces a full physical-planning
+# pass (logical plan -> executed plan -> RDD DAG) on every call, which is
+# pure driver overhead in hot catalog paths that fan_out the same scan
+# shape repeatedly. The count is a function of the analyzed plan within a
+# session (file listing is session-cached), so memoize it by the plan's
+# semantic hash. Bounded: cleared wholesale past _NPART_CACHE_MAX.
+_NPART_CACHE: dict[tuple[int, int], int] = {}
+_NPART_CACHE_MAX = 1024
+
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Widen ``df`` to at least the session's default parallelism (or
     ``min_partitions``) ahead of CPU-bound per-row operators. No-op when
-    the input is already at least that wide."""
+    the input is already at least that wide. The partition-count probe
+    is memoized per (session, semantic plan hash) — one physical
+    planning pass per distinct plan shape, not per call."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    key = (id(df.sparkSession), df.semanticHash())
+    n = _NPART_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if len(_NPART_CACHE) >= _NPART_CACHE_MAX:
+            _NPART_CACHE.clear()
+        _NPART_CACHE[key] = n
+    if n >= target:
         return df
     return df.repartition(target)

@@ -85,3 +85,25 @@ def test_kmv_set_ops_merge_is_valid_kmv_sketch(spark):
     merged = sorted(set(la) | set(lb))[:k]
     direct = sorted({h60(u) for u in users[a] | users[b]})[:k]
     assert merged == direct
+
+
+def test_fan_out_memoizes_partition_probe(spark):
+    """r12 verdict item 7: fan_out's getNumPartitions probe forces a
+    physical-planning pass; it is now memoized per (session, semantic
+    plan hash) with no behavior change."""
+    from markt_database_analyzer_spark.datapipe import util as u
+
+    u._NPART_CACHE.clear()
+    df = spark.range(100).selectExpr("id AS doc_id")
+    target = spark.sparkContext.defaultParallelism
+    out1 = u.fan_out(df)
+    assert len(u._NPART_CACHE) == 1
+    assert out1.rdd.getNumPartitions() >= min(target, 100) or target <= 2
+    # a semantically identical frame hits the cache (no new entry)
+    out2 = u.fan_out(spark.range(100).selectExpr("id AS doc_id"))
+    assert len(u._NPART_CACHE) == 1
+    assert sorted(r.doc_id for r in out2.collect()) == list(range(100))
+    # an already-wide frame passes through unrepartitioned
+    wide = df.repartition(target + 4)
+    assert u.fan_out(wide) is wide
+    assert len(u._NPART_CACHE) == 2
