@@ -8334,3 +8334,71 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("abs_rel_err"),
     )
+
+
+@register(
+    "streaming_cms_heavy_hitters",
+    oracle=f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+pairs AS ({_cms_union("1 AS one", "ev")}),
+cells AS (SELECT d, b, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY d, b),
+truth AS (SELECT k, CAST(count(*) AS BIGINT) AS true_n FROM ev GROUP BY k),
+probes AS ({_cms_union("k, true_n", "truth")}),
+est AS (
+  SELECT p.k, min(p.true_n) AS true_n, min(c.c) AS est
+  FROM probes p JOIN cells c USING (d, b) GROUP BY p.k
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ev)
+SELECT CAST(k AS BIGINT) AS user_id, est, true_n, n_total,
+       est >= true_n AS no_underestimate,
+       true_n * 64 >= n_total AS true_heavy
+FROM est, tot
+WHERE est * 64 >= n_total
+ORDER BY user_id
+""",
+    tags=("sketch", "frequency", "streaming", "heavy-hitters"),
+)
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters driven through Structured Streaming — the
+    CMS completion of the streaming-sketch pattern streaming_hll_distinct
+    established (r12 verdict item 8): cms_cells is stream-agnostic
+    (explode + groupBy(d, b).count), so the SAME helper builds the batch
+    (``sketch_countmin_freq``) and streaming counter tables, and the
+    stream's state is BOUNDED BY CONSTRUCTION at d*w = 4x64 = 256
+    counter rows forever — the standing answer to heavy-hitter
+    monitoring over unbounded-cardinality streams, where the exact
+    per-key count grows reducer state with every new key. Batch-side,
+    every distinct user probes the streamed sketch and the phi = 1/64
+    heavy-hitter gate keeps keys with est >= N/64 — as an integer
+    comparison (est * 64 >= n_total), so no division enters the
+    differential. Audit columns ride along: the CMS one-sided guarantee
+    (no_underestimate, must be all-true) and exact-count heaviness
+    (true_heavy; false rows are the sketch's documented phi-fringe
+    false positives — over-counts can promote a near-threshold key,
+    never demote a true heavy hitter)."""
+    from .streaming import read_events_stream, run_stream_to_memory
+
+    stream = read_events_stream(spark, sf_dir)
+    cells_stream = cms_cells(
+        stream, F.col("user_id").cast("string"), depth=_CMS_D, width=_CMS_W
+    )
+    cells = run_stream_to_memory(cells_stream, output_mode="complete")
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    truth = ev.groupBy("k").agg(F.count(F.lit(1)).alias("true_n"))
+    est = cms_estimate(truth, F.col("k"), cells, depth=_CMS_D, width=_CMS_W)
+    total = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est") * 64 >= F.col("n_total"))
+        .select(
+            F.col("k").cast("bigint").alias("user_id"),
+            "est",
+            "true_n",
+            "n_total",
+            (F.col("est") >= F.col("true_n")).alias("no_underestimate"),
+            (F.col("true_n") * 64 >= F.col("n_total")).alias("true_heavy"),
+        )
+        .orderBy("user_id")
+    )

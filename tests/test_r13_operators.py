@@ -107,3 +107,54 @@ def test_fan_out_memoizes_partition_probe(spark):
     wide = df.repartition(target + 4)
     assert u.fan_out(wide) is wide
     assert len(u._NPART_CACHE) == 2
+
+
+def test_streaming_cms_heavy_hitters_matches_oracle(spark):
+    got, want = _run_both(spark, "streaming_cms_heavy_hitters", SF, ["events"])
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    assert len(g) > 0
+    # CMS one-sided guarantee holds on every emitted heavy hitter
+    assert g["no_underestimate"].all()
+    # every emitted row clears the integer phi-gate
+    assert (g["est"] * 64 >= g["n_total"]).all()
+
+
+def test_streaming_cms_state_is_bounded(spark):
+    """The streamed counter table is <= d*w rows — the bounded-state
+    claim the entry exists to demonstrate."""
+    from pyspark.sql import functions as F
+
+    from markt_database_analyzer_spark.datapipe.sketches import cms_cells
+    from markt_database_analyzer_spark.streaming import (
+        read_events_stream, run_stream_to_memory)
+
+    stream = read_events_stream(spark, SF)
+    cells = run_stream_to_memory(
+        cms_cells(stream, F.col("user_id").cast("string"), depth=4, width=64),
+        output_mode="complete",
+    )
+    assert cells.count() <= 4 * 64
+
+
+def test_streaming_cms_cells_equal_batch_cells(spark):
+    """Batch and streaming must build the IDENTICAL counter table from
+    the same static input — the same-helper-by-construction claim."""
+    from pyspark.sql import functions as F
+
+    from markt_database_analyzer_spark.catalog import _t
+    from markt_database_analyzer_spark.datapipe.sketches import cms_cells
+    from markt_database_analyzer_spark.streaming import (
+        read_events_stream, run_stream_to_memory)
+
+    k = F.col("user_id").cast("string")
+    batch = cms_cells(_t(spark, SF, "events"), k, depth=4, width=64)
+    streamed = run_stream_to_memory(
+        cms_cells(read_events_stream(spark, SF), k, depth=4, width=64),
+        output_mode="complete",
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
