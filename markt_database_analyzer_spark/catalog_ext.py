@@ -647,20 +647,22 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_png",
     # The decoder is REAL (CRC-verified chunk walk → IDAT reassembly →
-    # zlib container with Adler-32 → our own RFC 1951 inflate for
-    # stored + fixed-Huffman blocks with LZ77 back-references → all
-    # five PNG filter predictors unapplied), and the fixture is
-    # SQL-replayable by construction: the SAME 64 2-bit pixel indices
-    # as the GIF fixture (md5(doc_id)/'a'/'b'/'c' bytes mod 4),
-    # container rotating on doc_id % 3 (8x8 stored-block PNG with the
-    # filter rotation 0..4 / 16x4 fixed-Huffman+LZ77 PNG with the
-    # rotation reversed and the stream split across two IDAT chunks /
-    # GIF-magic unsupported). Over the fixed 4-colour palette each
-    # channel mean reduces to 255 * count(idx == channel) / 64 — the
-    # decoder's exact operation order.
+    # zlib container with Adler-32 → our own COMPLETE RFC 1951 inflate:
+    # stored, fixed-Huffman, and dynamic-Huffman blocks with LZ77
+    # back-references → all five PNG filter predictors unapplied), and
+    # the fixture is SQL-replayable by construction: the SAME 64 2-bit
+    # pixel indices as the GIF fixture (md5(doc_id)/'a'/'b'/'c' bytes
+    # mod 4), container rotating on doc_id % 4 — one variant per block
+    # type (8x8 stored with the filter rotation 0..4 / 16x4
+    # fixed-Huffman+LZ77 with the rotation reversed and the stream
+    # split across two IDAT chunks / 8x8 dynamic-Huffman with
+    # frequency-derived trees and the RLE-coded header / GIF-magic
+    # unsupported). Over the fixed 4-colour palette each channel mean
+    # reduces to 255 * count(idx == channel) / 64 — the decoder's
+    # exact operation order.
     oracle="""
 WITH s AS (
-  SELECT doc_id, doc_id % 3 AS k,
+  SELECT doc_id, doc_id % 4 AS k,
          flatten(list_transform(['', 'a', 'b', 'c'], sfx ->
            list_transform(range(0, 16), j ->
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || sfx),
@@ -668,18 +670,18 @@ WITH s AS (
   FROM documents
 )
 SELECT doc_id,
-       CASE WHEN k < 2 THEN 'png' ELSE 'unsupported' END AS format,
-       CASE k WHEN 0 THEN 8 WHEN 1 THEN 16 END AS width,
-       CASE k WHEN 0 THEN 8 WHEN 1 THEN 4 END AS height,
-       CASE WHEN k < 2 THEN CAST(64 AS BIGINT) END AS n_pixels,
-       CASE WHEN k < 2 THEN 4 END AS n_colors,
-       CASE WHEN k < 2
+       CASE WHEN k < 3 THEN 'png' ELSE 'unsupported' END AS format,
+       CASE k WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 8 END AS width,
+       CASE k WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 8 END AS height,
+       CASE WHEN k < 3 THEN CAST(64 AS BIGINT) END AS n_pixels,
+       CASE WHEN k < 3 THEN 4 END AS n_colors,
+       CASE WHEN k < 3
             THEN round(255.0 * len(list_filter(idx, v -> v = 1)) / 64, 6)
        END AS mean_r,
-       CASE WHEN k < 2
+       CASE WHEN k < 3
             THEN round(255.0 * len(list_filter(idx, v -> v = 2)) / 64, 6)
        END AS mean_g,
-       CASE WHEN k < 2
+       CASE WHEN k < 3
             THEN round(255.0 * len(list_filter(idx, v -> v = 3)) / 64, 6)
        END AS mean_b,
        'png-v1' AS feature_version
@@ -695,14 +697,19 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     PNGs (pixel indices = md5(doc_id..) bytes mod 4, see
     datapipe.multimodal.crafted_png_payloads) are decoded by the
     pure-python/numpy parser — CRC-32-verified chunk walk, two-chunk
-    IDAT reassembly, zlib FCHECK + Adler-32, stored AND
-    fixed-Huffman-with-LZ77 inflate, and all five scanline predictors
-    (None/Sub/Up/Average/Paeth) unapplied — into per-channel
-    palette-weighted pixel means; GIF-magic payloads take the
-    NULL-feature unsupported path (as do dynamic-Huffman streams,
-    pinned by test). Scale shape: two chained map-only Arrow stages,
-    no shuffle at all — the same envelope as the raster/audio/GIF
-    twins."""
+    IDAT reassembly, zlib FCHECK + Adler-32, a COMPLETE RFC 1951
+    inflate (stored, fixed-Huffman, and dynamic-Huffman blocks: full
+    header parse with the permuted code-length code and 16/17/18
+    run-length symbols, LZ77 back-references with overlap-copy), and
+    all five scanline predictors (None/Sub/Up/Average/Paeth)
+    unapplied — into per-channel palette-weighted pixel means;
+    GIF-magic payloads take the NULL-feature unsupported path. The
+    encoder side is equally real (frequency-derived canonical trees,
+    RLE header) and cross-checked against stdlib zlib as ground truth
+    in BOTH directions (our streams decompress under zlib; zlib
+    level-1..9 streams decode under our inflate). Scale shape: two
+    chained map-only Arrow stages, no shuffle at all — the same
+    envelope as the raster/audio/GIF twins."""
     docs = _t(spark, sf_dir, "documents")
     with_payload = mm.crafted_png_payloads(docs, "doc_id")
     return mm.decode_png_features(with_payload).orderBy("doc_id")

@@ -1096,45 +1096,24 @@ def deflate_stored(data: bytes) -> bytes:
 
 def deflate_fixed(data: bytes) -> bytes:
     """DEFLATE with one fixed-Huffman (BTYPE=01) block: greedy LZ77
-    (min match 3, max 258, 32 KiB window, last-occurrence hash chain of
-    depth 1) emitting real length/distance back-references — the
-    compression mechanism LZW does not have."""
+    (see ``_lz77_tokens``) emitting real length/distance
+    back-references — the compression mechanism LZW does not have."""
     w = _BitWriter()
     w.bits(1, 1)  # BFINAL
     w.bits(1, 2)  # BTYPE=01
-    last: dict[bytes, int] = {}
-    i, n = 0, len(data)
-    while i < n:
-        match_len = 0
-        match_dist = 0
-        if i + 3 <= n:
-            key = data[i : i + 3]
-            j = last.get(key, -1)
-            if j >= 0 and i - j <= 32768:
-                length = 3
-                limit = min(258, n - i)
-                while length < limit and data[j + length] == data[i + length]:
-                    length += 1
-                match_len, match_dist = length, i - j
-            last[key] = i
-        if match_len >= 3:
-            sym, ev, ew = _len_to_code(match_len)
+    for t in _lz77_tokens(data):
+        if t[0] == "lit":
+            code, width = _fixed_lit_code(t[1])
+            w.huff(code, width)
+        else:
+            _, sym, ev, ew, dsym, dev, dew = t
             code, width = _fixed_lit_code(sym)
             w.huff(code, width)
             if ew:
                 w.bits(ev, ew)
-            dsym, dev, dew = _dist_to_code(match_dist)
             w.huff(dsym, 5)  # fixed distance codes are plain 5-bit
             if dew:
                 w.bits(dev, dew)
-            # index the skipped positions so later matches can refer back
-            for p in range(i + 1, min(i + match_len, n - 2)):
-                last[data[p : p + 3]] = p
-            i += match_len
-        else:
-            code, width = _fixed_lit_code(data[i])
-            w.huff(code, width)
-            i += 1
     code, width = _fixed_lit_code(256)  # end of block
     w.huff(code, width)
     return w.done()
@@ -1172,40 +1151,142 @@ class _BitReader:
         self.acc = self.n = 0
 
 
-def _read_fixed_sym(r: _BitReader) -> int | None:
-    """Decode one fixed-Huffman literal/length symbol: accumulate bits
-    MSB-first, resolving at 7, 8, then 9 bits per the canonical table."""
-    c = 0
-    for _ in range(7):
-        b = r.bit()
-        if b is None:
+class _HuffDecoder:
+    """Canonical Huffman decoder per RFC 1951 §3.2.2: codes of each
+    length are consecutive integers starting where the previous length
+    left off (shifted). Lookup is bit-serial MSB-first — fine at header
+    scale and fixture scale; a table-driven fast path plugs in without
+    changing callers."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        max_len = max(lengths, default=0)
+        bl_count = [0] * (max_len + 1)
+        for ln in lengths:
+            if ln:
+                bl_count[ln] += 1
+        code = 0
+        next_code = [0] * (max_len + 1)
+        for bits in range(1, max_len + 1):
+            code = (code + bl_count[bits - 1]) << 1
+            next_code[bits] = code
+        self.table: dict[tuple[int, int], int] = {}
+        for sym, ln in enumerate(lengths):
+            if ln:
+                self.table[(ln, next_code[ln])] = sym
+                next_code[ln] += 1
+        self.max_len = max_len
+
+    def read(self, r: _BitReader) -> int | None:
+        code = 0
+        for length in range(1, self.max_len + 1):
+            b = r.bit()
+            if b is None:
+                return None
+            code = (code << 1) | b
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+        return None  # not a code in this tree
+
+
+def _fixed_decoders() -> tuple[_HuffDecoder, _HuffDecoder]:
+    lit = [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
+    return _HuffDecoder(lit), _HuffDecoder([5] * 30)
+
+
+_FIXED_LIT_DEC, _FIXED_DIST_DEC = _fixed_decoders()
+
+# code-length-code transmission order (RFC 1951 §3.2.7)
+_CLC_ORDER = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15]
+
+
+def _read_dynamic_tables(r: _BitReader) -> tuple[_HuffDecoder, _HuffDecoder] | None:
+    """Parse a BTYPE=10 header: HLIT/HDIST/HCLEN, the 3-bit code-length
+    code lengths in permuted order, then the RLE-coded (16/17/18)
+    literal+distance code lengths."""
+    hlit, hdist, hclen = r.bits(5), r.bits(5), r.bits(4)
+    if hlit is None or hdist is None or hclen is None:
+        return None
+    n_lit, n_dist = hlit + 257, hdist + 1
+    cl_lengths = [0] * 19
+    for i in range(hclen + 4):
+        v = r.bits(3)
+        if v is None:
             return None
-        c = (c << 1) | b
-    if c <= 0x17:
-        return 256 + c
-    b = r.bit()
-    if b is None:
-        return None
-    c = (c << 1) | b
-    if 0x30 <= c <= 0xBF:
-        return c - 0x30
-    if 0xC0 <= c <= 0xC7:
-        return 280 + (c - 0xC0)
-    b = r.bit()
-    if b is None:
-        return None
-    c = (c << 1) | b
-    if 0x190 <= c <= 0x1FF:
-        return 144 + (c - 0x190)
-    return None  # hole in the canonical code space
+        cl_lengths[_CLC_ORDER[i]] = v
+    cl_dec = _HuffDecoder(cl_lengths)
+    lengths: list[int] = []
+    while len(lengths) < n_lit + n_dist:
+        sym = cl_dec.read(r)
+        if sym is None:
+            return None
+        if sym < 16:
+            lengths.append(sym)
+        elif sym == 16:
+            ev = r.bits(2)
+            if ev is None or not lengths:
+                return None
+            lengths += [lengths[-1]] * (3 + ev)
+        elif sym == 17:
+            ev = r.bits(3)
+            if ev is None:
+                return None
+            lengths += [0] * (3 + ev)
+        else:
+            ev = r.bits(7)
+            if ev is None:
+                return None
+            lengths += [0] * (11 + ev)
+    if len(lengths) != n_lit + n_dist:
+        return None  # a repeat ran past the table boundary
+    return _HuffDecoder(lengths[:n_lit]), _HuffDecoder(lengths[n_lit:])
+
+
+def _inflate_compressed_block(
+    r: _BitReader, out: bytearray, lit_dec: _HuffDecoder,
+    dist_dec: _HuffDecoder, max_out: int,
+) -> bool:
+    """Shared symbol loop for fixed AND dynamic blocks: literals,
+    end-of-block, length/distance back-references with extra bits and
+    byte-at-a-time overlap-copy semantics."""
+    while True:
+        sym = lit_dec.read(r)
+        if sym is None:
+            return False
+        if sym == 256:
+            return True
+        if sym < 256:
+            if len(out) + 1 > max_out:
+                return False
+            out.append(sym)
+            continue
+        if sym > 285:
+            return False
+        i = sym - 257
+        ev = r.bits(_LEN_EXTRA[i])
+        if ev is None:
+            return False
+        length = _LEN_BASE[i] + ev
+        dsym = dist_dec.read(r)
+        if dsym is None or dsym > 29:
+            return False
+        dev = r.bits(_DIST_EXTRA[dsym])
+        if dev is None:
+            return False
+        dist = _DIST_BASE[dsym] + dev
+        if dist > len(out) or len(out) + length > max_out:
+            return False
+        for _ in range(length):  # byte-at-a-time: overlap semantics
+            out.append(out[-dist])
 
 
 def inflate(data: bytes, max_out: int) -> bytes | None:
-    """RFC 1951 inflate for stored (BTYPE=00) and fixed-Huffman
-    (BTYPE=01) blocks: LEN/NLEN verification, canonical fixed tree,
-    length/distance extra bits, sliding-window back-reference copy.
-    Dynamic-Huffman (BTYPE=10) and reserved (11) return None, as does
-    any truncation, bad framing, or output overrun past ``max_out``."""
+    """Complete RFC 1951 inflate: stored (BTYPE=00, LEN/NLEN verified),
+    fixed-Huffman (01, canonical fixed trees), and dynamic-Huffman (10,
+    full header parse — code-length code in permuted order, 16/17/18
+    run-length symbols — then the same symbol loop). Returns None on
+    reserved block type 11, truncation, bad framing, codes outside the
+    transmitted trees, or output overrun past ``max_out``."""
     r = _BitReader(data)
     out = bytearray()
     while True:
@@ -1226,52 +1307,220 @@ def inflate(data: bytes, max_out: int) -> bytes | None:
                 return None
             out += r.data[r.pos : r.pos + ln]
             r.pos += ln
-        elif btype == 1:
-            while True:
-                sym = _read_fixed_sym(r)
-                if sym is None:
+        elif btype in (1, 2):
+            if btype == 1:
+                lit_dec, dist_dec = _FIXED_LIT_DEC, _FIXED_DIST_DEC
+            else:
+                tables = _read_dynamic_tables(r)
+                if tables is None:
                     return None
-                if sym == 256:
-                    break
-                if sym < 256:
-                    if len(out) + 1 > max_out:
-                        return None
-                    out.append(sym)
-                    continue
-                if sym > 285:
-                    return None
-                i = sym - 257
-                ev = r.bits(_LEN_EXTRA[i])
-                if ev is None:
-                    return None
-                length = _LEN_BASE[i] + ev
-                dsym = 0
-                for _ in range(5):
-                    b = r.bit()
-                    if b is None:
-                        return None
-                    dsym = (dsym << 1) | b
-                if dsym > 29:
-                    return None
-                dev = r.bits(_DIST_EXTRA[dsym])
-                if dev is None:
-                    return None
-                dist = _DIST_BASE[dsym] + dev
-                if dist > len(out) or len(out) + length > max_out:
-                    return None
-                for _ in range(length):  # byte-at-a-time: overlap semantics
-                    out.append(out[-dist])
+                lit_dec, dist_dec = tables
+            if not _inflate_compressed_block(r, out, lit_dec, dist_dec, max_out):
+                return None
         else:
-            return None  # dynamic-Huffman / reserved: out of scope
+            return None  # reserved block type 11
         if bfinal:
             return bytes(out)
 
 
+# --------------------------------------------------------------- dynamic
+# Dynamic-Huffman ENCODER: real frequency-derived canonical trees, RLE
+# header transmission — the full RFC 1951 §3.2.7 surface, so the decoder
+# above is exercised end-to-end without leaning on stdlib zlib's choice
+# of block type (which falls back to fixed/stored on tiny inputs).
+
+
+def _huffman_lengths(freqs: dict[int, int], limit: int) -> dict[int, int]:
+    """Code lengths from symbol frequencies (package-style: plain
+    Huffman, halving frequencies and rebuilding if a length exceeds
+    ``limit`` — converges because all-equal frequencies give the
+    balanced tree). Single-symbol alphabets get length 1."""
+    import heapq
+
+    syms = [s for s, f in freqs.items() if f > 0]
+    if not syms:
+        return {}
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    f = {s: freqs[s] for s in syms}
+    while True:
+        heap = [(f[s], s, (s,)) for s in syms]
+        heapq.heapify(heap)
+        depth: dict[int, int] = {s: 0 for s in syms}
+        while len(heap) > 1:
+            fa, _, ga = heapq.heappop(heap)
+            fb, tb, gb = heapq.heappop(heap)
+            for s in ga + gb:
+                depth[s] += 1
+            heapq.heappush(heap, (fa + fb, tb, ga + gb))
+        if max(depth.values()) <= limit:
+            return depth
+        f = {s: (v + 1) // 2 for s, v in f.items()}
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """(code, width) per symbol for the canonical code of ``lengths`` —
+    the same assignment rule _HuffDecoder inverts."""
+    max_len = max(lengths.values(), default=0)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths.values():
+        bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for bits in range(1, max_len + 1):
+        code = (code + bl_count[bits - 1]) << 1
+        next_code[bits] = code
+    out: dict[int, tuple[int, int]] = {}
+    for sym in sorted(lengths):
+        ln = lengths[sym]
+        out[sym] = (next_code[ln], ln)
+        next_code[ln] += 1
+    return out
+
+
+def _lz77_tokens(data: bytes) -> list[tuple]:
+    """Greedy LZ77 tokenization shared by the fixed and dynamic
+    encoders: ('lit', byte) and ('match', len_sym, len_ev, len_ew,
+    dist_sym, dist_ev, dist_ew) tuples; the end-of-block symbol is
+    appended by the caller. Min match 3, max 258, 32 KiB window,
+    last-occurrence hash chain of depth 1."""
+    tokens: list[tuple] = []
+    last: dict[bytes, int] = {}
+    i, n = 0, len(data)
+    while i < n:
+        match_len = 0
+        match_dist = 0
+        if i + 3 <= n:
+            key = data[i : i + 3]
+            j = last.get(key, -1)
+            if j >= 0 and i - j <= 32768:
+                length = 3
+                limit = min(258, n - i)
+                while length < limit and data[j + length] == data[i + length]:
+                    length += 1
+                match_len, match_dist = length, i - j
+            last[key] = i
+        if match_len >= 3:
+            sym, ev, ew = _len_to_code(match_len)
+            dsym, dev, dew = _dist_to_code(match_dist)
+            tokens.append(("match", sym, ev, ew, dsym, dev, dew))
+            for p in range(i + 1, min(i + match_len, n - 2)):
+                last[data[p : p + 3]] = p
+            i += match_len
+        else:
+            tokens.append(("lit", data[i]))
+            i += 1
+    return tokens
+
+
+def _rle_code_lengths(lengths: list[int]) -> list[tuple[int, int, int]]:
+    """RLE-encode a code-length vector with symbols 16 (copy prev 3-6),
+    17 (zeros 3-10), 18 (zeros 11-138): (symbol, extra_val, extra_width)
+    triples. The whole equal-valued run starting at each position is
+    consumed before advancing."""
+    out: list[tuple[int, int, int]] = []
+    i, n = 0, len(lengths)
+    while i < n:
+        v = lengths[i]
+        j = i + 1
+        while j < n and lengths[j] == v:
+            j += 1
+        run = j - i
+        if v == 0:
+            while run >= 11:
+                take = min(run, 138)
+                out.append((18, take - 11, 7))
+                run -= take
+            while run >= 3:
+                take = min(run, 10)
+                out.append((17, take - 3, 3))
+                run -= take
+            out += [(0, 0, 0)] * run
+        else:
+            out.append((v, 0, 0))
+            run -= 1
+            while run >= 3:
+                take = min(run, 6)
+                out.append((16, take - 3, 2))
+                run -= take
+            out += [(v, 0, 0)] * run
+        i = j
+    return out
+
+
+def deflate_dynamic(data: bytes) -> bytes:
+    """DEFLATE with one dynamic-Huffman (BTYPE=10) block: the same
+    greedy LZ77 tokenization as ``deflate_fixed``, but literal/length
+    and distance trees are built from the ACTUAL symbol frequencies,
+    canonicalized, and transmitted via the RLE-coded (16/17/18) header
+    with its own code-length code — the full RFC 1951 §3.2.7 surface."""
+    tokens = _lz77_tokens(data)
+    lit_freq: dict[int, int] = {256: 1}
+    dist_freq: dict[int, int] = {}
+    for t in tokens:
+        if t[0] == "lit":
+            lit_freq[t[1]] = lit_freq.get(t[1], 0) + 1
+        else:
+            _, sym, _, _, dsym, _, _ = t
+            lit_freq[sym] = lit_freq.get(sym, 0) + 1
+            dist_freq[dsym] = dist_freq.get(dsym, 0) + 1
+    lit_lengths = _huffman_lengths(lit_freq, 15)
+    dist_lengths = _huffman_lengths(dist_freq, 15) if dist_freq else {0: 1}
+    n_lit = max(257, max(lit_lengths) + 1)
+    n_dist = max(1, max(dist_lengths) + 1)
+    lit_vec = [lit_lengths.get(s, 0) for s in range(n_lit)]
+    dist_vec = [dist_lengths.get(s, 0) for s in range(n_dist)]
+    rle = _rle_code_lengths(lit_vec + dist_vec)
+    cl_freq: dict[int, int] = {}
+    for s, _, _ in rle:
+        cl_freq[s] = cl_freq.get(s, 0) + 1
+    cl_lengths = _huffman_lengths(cl_freq, 7)
+    cl_vec = [cl_lengths.get(s, 0) for s in range(19)]
+    hclen = len(_CLC_ORDER)
+    while hclen > 4 and cl_vec[_CLC_ORDER[hclen - 1]] == 0:
+        hclen -= 1
+    lit_codes = _canonical_codes(lit_lengths)
+    dist_codes = _canonical_codes(dist_lengths)
+    cl_codes = _canonical_codes(cl_lengths)
+    w = _BitWriter()
+    w.bits(1, 1)  # BFINAL
+    w.bits(2, 2)  # BTYPE=10
+    w.bits(n_lit - 257, 5)
+    w.bits(n_dist - 1, 5)
+    w.bits(hclen - 4, 4)
+    for i in range(hclen):
+        w.bits(cl_vec[_CLC_ORDER[i]], 3)
+    for s, ev, ew in rle:
+        code, width = cl_codes[s]
+        w.huff(code, width)
+        if ew:
+            w.bits(ev, ew)
+    for t in tokens:
+        if t[0] == "lit":
+            code, width = lit_codes[t[1]]
+            w.huff(code, width)
+        else:
+            _, sym, ev, ew, dsym, dev, dew = t
+            code, width = lit_codes[sym]
+            w.huff(code, width)
+            if ew:
+                w.bits(ev, ew)
+            code, width = dist_codes[dsym]
+            w.huff(code, width)
+            if dew:
+                w.bits(dev, dew)
+    code, width = lit_codes[256]
+    w.huff(code, width)
+    return w.done()
+
+
 def zlib_wrap(raw: bytes, *, method: str = "fixed") -> bytes:
     """RFC 1950 container around our own deflate: CMF/FLG 0x78 0x01
-    (CM=8, no preset dict, fcheck-valid) + deflate stream + Adler-32."""
-    body = deflate_fixed(raw) if method == "fixed" else deflate_stored(raw)
-    return b"\x78\x01" + body + _adler32(raw).to_bytes(4, "big")
+    (CM=8, no preset dict, fcheck-valid) + deflate stream + Adler-32.
+    ``method``: 'stored' | 'fixed' | 'dynamic'."""
+    enc = {"stored": deflate_stored, "fixed": deflate_fixed,
+           "dynamic": deflate_dynamic}[method]
+    return b"\x78\x01" + enc(raw) + _adler32(raw).to_bytes(4, "big")
 
 
 def zlib_unwrap(b: bytes, max_out: int) -> bytes | None:
@@ -1399,10 +1648,11 @@ def _parse_png(b: bytes) -> tuple[int, int, np.ndarray, np.ndarray] | None:
     """Decode an 8-bit palette (colour type 3), non-interlaced PNG to
     (width, height, palette Nx3, indices flat): CRC-verified chunk walk
     → IHDR validation → PLTE → IDAT reassembly → zlib container
-    (FCHECK + Adler-32) → inflate (stored + fixed-Huffman) → per-row
-    unfilter. None for anything else: foreign magic, CRC/Adler
-    mismatch, truncation, dynamic-Huffman data, grayscale/RGB colour
-    types, interlace, bad filter bytes, out-of-palette indices."""
+    (FCHECK + Adler-32) → complete RFC 1951 inflate (stored +
+    fixed-Huffman + dynamic-Huffman) → per-row unfilter. None for
+    anything else: foreign magic, CRC/Adler mismatch, truncation,
+    grayscale/RGB colour types, interlace, bad filter bytes,
+    out-of-palette indices."""
     if len(b) < 8 or b[:8] != PNG_SIG:
         return None
     pos = 8
@@ -1503,12 +1753,14 @@ def crafted_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     pixel indices as the GIF fixture (md5(str(id)), +'a', +'b', +'c'
     bytes mod 4 over the fixed 4-colour palette), so the oracle replays
     the features as hex-pair arithmetic. Container rotates on
-    ``id % 3``: 8x8 stored-block PNG with all five filter predictors
-    rotating across rows; 4x16 fixed-Huffman PNG (real LZ77
-    back-references) with the predictor rotation reversed AND the
-    stream split across two IDAT chunks; and a GIF-magic payload (the
-    NULL-feature unsupported path). Pure map work inside the same
-    Arrow plumbing."""
+    ``id % 4`` — one variant per DEFLATE block type plus the rejection
+    path: 8x8 stored-block PNG with all five filter predictors rotating
+    across rows; 4x16 fixed-Huffman PNG (real LZ77 back-references)
+    with the predictor rotation reversed AND the stream split across
+    two IDAT chunks; 8x8 dynamic-Huffman PNG (frequency-derived trees,
+    RLE-coded header) with a third predictor rotation; and a GIF-magic
+    payload (the NULL-feature unsupported path). Pure map work inside
+    the same Arrow plumbing."""
     import hashlib
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1520,7 +1772,7 @@ def crafted_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     for sfx in ("", "a", "b", "c")
                 )
                 idx = (np.frombuffer(raw, dtype=np.uint8) % 4).astype(np.int64)
-                k = int(d) % 3
+                k = int(d) % 4
                 if k == 0:
                     payloads.append(
                         encode_png(
@@ -1533,6 +1785,13 @@ def crafted_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         encode_png(
                             idx.reshape(4, 16), method="fixed",
                             filters=[4, 3, 2, 1, 0], split_idat=True,
+                        )
+                    )
+                elif k == 2:
+                    payloads.append(
+                        encode_png(
+                            idx.reshape(8, 8), method="dynamic",
+                            filters=[2, 0, 4, 1, 3],
                         )
                     )
                 else:

@@ -43,7 +43,7 @@ def test_crc32_and_adler32_match_stdlib():
     assert mm._adler32(b"") == 1
 
 
-@pytest.mark.parametrize("method", ["stored", "fixed"])
+@pytest.mark.parametrize("method", ["stored", "fixed", "dynamic"])
 @pytest.mark.parametrize("n", [0, 1, 5, 64, 300, 5000])
 def test_our_deflate_is_decodable_by_stdlib_zlib(method, n):
     """Ground truth: whatever our encoder emits must be a legal RFC
@@ -59,11 +59,69 @@ def test_our_inflate_decodes_stdlib_stored_blocks():
     assert mm.zlib_unwrap(zlib.compress(data, level=0), max_out=1000) == data
 
 
-def test_inflate_rejects_dynamic_huffman():
-    """BTYPE=10 is documented out of scope -> None, not garbage."""
-    data = bytes(np.random.default_rng(2).integers(0, 4, 2000, dtype=np.uint8))
-    z = zlib.compress(data, level=6)
-    assert mm.zlib_unwrap(z, max_out=2000) is None
+@pytest.mark.parametrize("level", [1, 6, 9])
+def test_our_inflate_decodes_stdlib_dynamic_blocks(level):
+    """The other ground-truth direction: stdlib zlib emits dynamic
+    (BTYPE=10) blocks at normal levels on compressible input — our
+    inflate must decode them (complete RFC 1951)."""
+    data = bytes(np.random.default_rng(2).integers(0, 4, 5000, dtype=np.uint8))
+    z = zlib.compress(data, level=level)
+    assert mm.zlib_unwrap(z, max_out=5000) == data
+    text = b"the quick brown fox jumps over the lazy dog " * 200
+    assert mm.zlib_unwrap(zlib.compress(text, level), max_out=len(text)) == text
+
+
+def test_inflate_rejects_reserved_block_type():
+    """BTYPE=11 is reserved -> None, not garbage."""
+    w = mm._BitWriter()
+    w.bits(1, 1)  # BFINAL
+    w.bits(3, 2)  # BTYPE=11
+    body = w.done() + b"\x00" * 8
+    assert mm.inflate(body, max_out=100) is None
+
+
+def test_dynamic_trees_beat_fixed_on_skewed_data():
+    """Frequency-derived trees must out-compress the fixed table when
+    the symbol distribution is skewed — the reason BTYPE=10 exists."""
+    rng = np.random.default_rng(3)
+    skew = bytes(rng.choice([65] * 90 + list(range(66, 76)), 4000).astype(np.uint8))
+    assert len(mm.deflate_dynamic(skew)) < len(mm.deflate_fixed(skew))
+
+
+def test_fixed_decoders_match_rfc_fixed_table():
+    """The canonical _HuffDecoder built from the RFC fixed lengths must
+    agree with the fixed-code EMITTER on every literal/length symbol."""
+    for sym in range(288):
+        code, width = mm._fixed_lit_code(sym)
+        r = mm._BitReader(b"")
+        w = mm._BitWriter()
+        w.huff(code, width)
+        r = mm._BitReader(w.done())
+        assert mm._FIXED_LIT_DEC.read(r) == sym
+
+
+def test_rle_code_lengths_roundtrip():
+    """The 16/17/18 RLE header coding must reproduce the exact length
+    vector when replayed by the decoder's expansion rules."""
+    vecs = [
+        [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8 + [5] * 30,
+        [0] * 150 + [3, 3, 3] + [0] * 20 + [7],
+        [1],
+        [0] * 138 + [0] * 11,
+        [4, 4, 0, 0, 5],
+    ]
+    for vec in vecs:
+        out = []
+        for s, ev, _ in mm._rle_code_lengths(vec):
+            if s < 16:
+                out.append(s)
+            elif s == 16:
+                out += [out[-1]] * (3 + ev)
+            elif s == 17:
+                out += [0] * (3 + ev)
+            else:
+                out += [0] * (11 + ev)
+        assert out == vec
 
 
 def test_deflate_fixed_emits_real_backreferences():
@@ -96,10 +154,10 @@ def test_zlib_unwrap_rejections():
     assert mm.zlib_unwrap(b"\x78", max_out=10) is None  # truncated
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=90, deadline=None)
 @given(
     data=st.binary(min_size=0, max_size=600),
-    method=st.sampled_from(["stored", "fixed"]),
+    method=st.sampled_from(["stored", "fixed", "dynamic"]),
 )
 def test_deflate_roundtrip_property(data, method):
     z = mm.zlib_wrap(data, method=method)
@@ -176,7 +234,8 @@ def test_png_rejections_return_none():
         png[:8] + mm._png_chunk(b"IHDR", bytes(ihdr)) + png[33:]
     )
     assert mm._parse_png(rebuilt) is None
-    # dynamic-Huffman IDAT: stdlib-compressed stream, real CRCs
+    # a stdlib-zlib-compressed IDAT (dynamic/fixed blocks at zlib's
+    # discretion) decodes under our complete RFC 1951 inflate
     raw = mm._filter_scanlines(idx.reshape(8, 8), [0])
     dyn = (
         png[:8]
@@ -185,7 +244,8 @@ def test_png_rejections_return_none():
         + mm._png_chunk(b"IDAT", zlib.compress(raw, level=9))
         + mm._png_chunk(b"IEND", b"")
     )
-    assert mm._parse_png(dyn) is None
+    parsed = mm._parse_png(dyn)
+    assert parsed is not None and (parsed[3] == idx).all()
     # missing IEND
     assert mm._parse_png(png[: len(png) - 12]) is None
 
@@ -204,20 +264,24 @@ def test_png_ancillary_chunk_skipped_but_crc_checked():
 
 
 def test_crafted_payload_variants():
-    """doc_id % 3 rotation: stored / fixed+split-IDAT / unsupported."""
-    for d, expect in ((3, "png"), (4, "png"), (5, "unsupported")):
+    """doc_id % 4 rotation: stored / fixed+split-IDAT / dynamic /
+    unsupported — one fixture variant per DEFLATE block type."""
+    for d, expect in ((4, "png"), (5, "png"), (6, "png"), (7, "unsupported")):
         raw = b"".join(
             hashlib.md5((str(d) + sfx).encode()).digest()
             for sfx in ("", "a", "b", "c")
         )
         idx = (np.frombuffer(raw, dtype=np.uint8) % 4).astype(np.int64)
-        k = d % 3
+        k = d % 4
         if k == 0:
             payload = mm.encode_png(idx.reshape(8, 8), method="stored",
                                     filters=[0, 1, 2, 3, 4])
         elif k == 1:
             payload = mm.encode_png(idx.reshape(4, 16), method="fixed",
                                     filters=[4, 3, 2, 1, 0], split_idat=True)
+        elif k == 2:
+            payload = mm.encode_png(idx.reshape(8, 8), method="dynamic",
+                                    filters=[2, 0, 4, 1, 3])
         else:
             payload = b"GIF87a" + raw
         got = mm._png_decode_batch(
