@@ -722,6 +722,15 @@ def main() -> None:
         for name, fn in FLOWS:
             rows_r13.append(run_flow(name, fn))
             print(json.dumps(rows_r13[-1]))
+        # the three new r13 catalog entries, same protocol as prior rounds
+        rows_r13_new = measure(
+            [
+                "sketch_kmv_set_ops",
+                "multimodal_decode_png",
+                "streaming_cms_heavy_hitters",
+            ],
+            big_rel,
+        )
     elif r12_mode:
         rows_r12 = measure(R12_ENTRIES, big_rel)
     elif r11_mode:
@@ -797,6 +806,18 @@ def main() -> None:
             "",
         ]
         lines += table(rows_r13)
+        lines += [
+            "",
+            "The three new r13 catalog entries, same protocol: the KMV "
+            "set-op entry's growth is its exact-audit self-join (the "
+            "sketch stages are <= k x |pairs| rows); the PNG decode is "
+            "two map-only Arrow stages (shuffle is the deterministic "
+            "orderBy only); the streaming CMS probe side scales with "
+            "DISTINCT users (the truth/probe frame), its sketch state "
+            "fixed at 256 rows.",
+            "",
+        ]
+        lines += table(rows_r13_new)
         lines += [""]
         prev = open(md_path).read() if os.path.exists(md_path) else ""
         marker = "\n## Round-13 at sf1"
