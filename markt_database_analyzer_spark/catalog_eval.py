@@ -2709,3 +2709,151 @@ def eval_wer_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("micro_wer"),
         F.round(davg("wer"), 9).alias("mean_wer"),
     )
+
+
+def _sql_smith_waterman() -> str:
+    toks = tx.sql_tokens("text")
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+pairs AS (
+  SELECT c.doc_id AS pid, c.t AS c, r.t AS r, len(c.t) AS lc, len(r.t) AS lr
+  FROM docs c JOIN docs r ON r.doc_id = c.doc_id + 1
+),
+dp AS (
+  -- Same anti-diagonal wavefront as the ROUGE-L/WER oracles, with the
+  -- Smith-Waterman LOCAL recurrence: H = greatest(0, diag + s, up - 1,
+  -- left - 1), s = +2 match / -1 mismatch. Position i+1 of diagonal dg
+  -- holds H[i][dg-i]; -1 marks out-of-range (every valid cell's cone is
+  -- in-range, so sentinels are never read through the +s path either:
+  -- H[i-1][j-1] exists whenever H[i][j] does).
+  SELECT pid, c, r, lc, lr, CAST(1 AS BIGINT) AS dg,
+         list_transform(range(0, lc + 1),
+           i -> CASE WHEN i = 0 THEN (CASE WHEN lr >= 1 THEN 0 ELSE -1 END)
+                     WHEN i = 1 THEN 0 ELSE -1 END) AS prev,
+         list_transform(range(0, lc + 1),
+           i -> CASE WHEN i = 0 THEN 0 ELSE -1 END) AS prevprev
+  FROM pairs WHERE lc >= 1 AND lr >= 1
+  UNION ALL
+  SELECT pid, c, r, lc, lr, dg + 1,
+         list_transform(range(0, lc + 1), i ->
+           CASE WHEN dg + 1 - i < 0 OR dg + 1 - i > lr THEN -1
+                WHEN i = 0 OR dg + 1 - i = 0 THEN 0
+                ELSE greatest(0,
+                              prev[i + 1] - 1, prev[i] - 1,
+                              prevprev[i]
+                              + (CASE WHEN c[i] = r[dg + 1 - i] THEN 2 ELSE -1 END))
+           END),
+         prev
+  FROM dp WHERE dg < lc + lr
+),
+-- every recursion row carries its diagonal in `prev`: the LOCAL optimum
+-- is the max cell over ALL diagonals, no best-carrying needed
+sw AS (
+  SELECT pid, lc, lr, max(list_aggregate(prev, 'max')) AS s
+  FROM dp GROUP BY pid, lc, lr
+  UNION ALL
+  SELECT pid, lc, lr, 0 AS s FROM pairs WHERE lc = 0 OR lr = 0
+),
+scored AS (
+  SELECT s, lc, lr,
+         CASE WHEN lc = 0 OR lr = 0 THEN NULL
+              ELSE CAST(s AS DOUBLE) / (2 * least(lc, lr)) END AS norm
+  FROM sw
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) FILTER (WHERE lc = 0 OR lr = 0) AS BIGINT) AS n_undefined,
+       CAST(sum(s) FILTER (WHERE lc > 0 AND lr > 0) AS BIGINT) AS sw_total,
+       round({SQL_DAVG.format(x='norm')}, 9) AS mean_norm,
+       round(max(norm), 9) AS max_norm
+FROM scored
+"""
+
+
+def smith_waterman_score(cand: list, ref: list) -> int:
+    """Exact Smith-Waterman local-alignment score (match +2, mismatch
+    -1, gap -1) via the numpy row DP. The left-gap chain H[i][j-1]-1 is
+    the same prefix dependency the WER kernel unrolls: with tmp[j] =
+    max(0, diag + s, up - 1), H[i][j] = max_(k<=j) (tmp[k] - (j-k)) =
+    ``np.maximum.accumulate(tmp + idx) - idx`` — every term includes
+    tmp[j] >= 0, so the local clamp needs no second pass. The score is
+    the max cell over the whole grid."""
+    import numpy as np
+    import pandas as pd
+
+    lc, lr = len(cand), len(ref)
+    if lc == 0 or lr == 0:
+        return 0
+    codes, _ = pd.factorize(np.concatenate([np.asarray(cand, dtype=object),
+                                            np.asarray(ref, dtype=object)]))
+    c_ids, r_ids = codes[:lc], codes[lc:]
+    old = np.zeros(lr + 1, dtype=np.int64)
+    idx1 = np.arange(1, lr + 1, dtype=np.int64)
+    best = 0
+    for cid in c_ids:
+        s = np.where(r_ids == cid, 2, -1)
+        tmp = np.maximum(0, np.maximum(old[:-1] + s, old[1:] - 1))
+        row = np.maximum.accumulate(tmp + idx1) - idx1
+        best = max(best, int(row.max()))
+        old = np.concatenate(([0], row))
+    return best
+
+
+@register(
+    "eval_smith_waterman_pairs",
+    oracle=_sql_smith_waterman(),
+    tags=("eval", "alignment", "smith-waterman", "generation"),
+)
+def eval_smith_waterman_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smith-Waterman LOCAL alignment (Smith & Waterman 1981; match +2,
+    mismatch -1, gap -1) over the adjacent candidate/reference pairing —
+    completes the sequence-DP family's coverage of the alignment
+    taxonomy: ROUGE-L's LCS is global-subsequence, WER's Levenshtein is
+    global-distance, and this is the LOCAL member (the best-scoring
+    aligned REGION, zero-clamped so unrelated flanks cost nothing) —
+    the right shape for detecting a contaminated or quoted span buried
+    inside otherwise-unrelated documents, where the global metrics
+    drown the signal in the flanks. Normalized per pair by the maximum
+    attainable score 2*min(lc, lr); zero-token sides undefined (NULL
+    norm, counted in n_undefined, WER's convention).
+
+    Exactness: an exact integer DP on both engines — Spark runs the
+    numpy prefix-max row kernel (``smith_waterman_score``: the left-gap
+    chain unrolls into one np.maximum.accumulate exactly like the WER
+    insertion chain, and the 0-clamp lives inside tmp so no second
+    pass), the oracle replays the SAME grid as the anti-diagonal
+    wavefront recursive CTE with the zero-clamped local recurrence; the
+    local optimum is the max cell over ALL diagonals, which the oracle
+    reads directly off the recursion rows (each carries its diagonal) —
+    no best-carrying state. Ratios are single exact divisions composed
+    identically; the macro mean goes through davg's quantization.
+
+    Scale shape: identical to ROUGE-L/WER — sequences co-located via
+    ``_pair_roles`` (each doc ships <= 2x into ONE groupBy(pid) JVM
+    conditional-max agg), the O(lc*lr) kernel runs in the
+    batch-vectorized scalar pandas_udf, CPU bounded by doc-length^2."""
+    from .datapipe.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    d = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    tx.tokens("text").alias("t"))
+    pairs = _pair_roles(d).select(
+        _batch_dp_udf(smith_waterman_score)("c", "r").alias("s"),
+        F.size("c").alias("lc"),
+        F.size("r").alias("lr"),
+    )
+    norm = F.when(
+        (F.col("lc") == 0) | (F.col("lr") == 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.col("s").cast("double") / (2 * F.least("lc", "lr"))
+    )
+    scored = pairs.select("s", "lc", "lr", norm.alias("norm"))
+    defined = (F.col("lc") > 0) & (F.col("lr") > 0)
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count(F.when(~defined, 1)).cast("bigint").alias("n_undefined"),
+        F.sum(F.when(defined, F.col("s"))).cast("bigint").alias("sw_total"),
+        F.round(davg("norm"), 9).alias("mean_norm"),
+        F.round(F.max("norm"), 9).alias("max_norm"),
+    )

@@ -158,3 +158,54 @@ def test_streaming_cms_cells_equal_batch_cells(spark):
     )
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def _naive_sw(c, r):
+    lc, lr = len(c), len(r)
+    H = [[0] * (lr + 1) for _ in range(lc + 1)]
+    best = 0
+    for i in range(1, lc + 1):
+        for j in range(1, lr + 1):
+            s = 2 if c[i - 1] == r[j - 1] else -1
+            H[i][j] = max(0, H[i - 1][j - 1] + s, H[i - 1][j] - 1, H[i][j - 1] - 1)
+            best = max(best, H[i][j])
+    return best
+
+
+def test_smith_waterman_kernel_equals_naive_dp():
+    import random
+
+    from markt_database_analyzer_spark.catalog_eval import smith_waterman_score
+
+    # crafted pins
+    assert smith_waterman_score([], ["a"]) == 0
+    assert smith_waterman_score(["a", "b", "c"], ["a", "b", "c"]) == 6
+    assert smith_waterman_score(["a", "b"], ["x", "y"]) == 0
+    # a common span buried in unrelated flanks: LOCAL finds it whole
+    c = ["u1", "u2", "A", "B", "C", "u3"]
+    r = ["v1", "A", "B", "C", "v2", "v3", "v4"]
+    assert smith_waterman_score(c, r) == 6
+    # gap inside the aligned region: 2*4 matches - 1 gap = 7
+    assert smith_waterman_score(
+        ["A", "B", "C", "D"], ["A", "B", "x", "C", "D"]
+    ) == 7
+    # seeded random equivalence against the O(n^2) textbook DP
+    rng = random.Random(13)
+    for _ in range(60):
+        n1, n2 = rng.randint(0, 14), rng.randint(0, 14)
+        c = [rng.choice("abcde") for _ in range(n1)]
+        r = [rng.choice("abcde") for _ in range(n2)]
+        assert smith_waterman_score(c, r) == _naive_sw(c, r), (c, r)
+
+
+def test_smith_waterman_entry_matches_oracle(spark):
+    got, want = _run_both(spark, "eval_smith_waterman_pairs", SF, ["documents"])
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True),
+        want[cols].reset_index(drop=True),
+        check_dtype=False,
+        check_exact=True,
+    )
+    assert got["n_pairs"][0] > 0
