@@ -2113,9 +2113,15 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free compare). The audited accuracy stays within the
     published ~1/sqrt(k) envelope (pinned in the unit test)."""
     ev = _t(spark, sf_dir, "events")
+    # one scan + one distinct for the WHOLE entry: the (type, hash) frame
+    # is tiny (<= types x users) and feeds the sketch build, both exact
+    # audit legs, and the per-type counts — checkpoint it so the events
+    # scan and the distinct exchange run exactly once (bench: the
+    # un-checkpointed form re-ran them per audit leg)
     hashes = (
         ev.select("event_type", hash60(F.col("user_id").cast("string")).alias("h"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     wr = Window.partitionBy("event_type").orderBy("h")
     kmv = (
@@ -2277,9 +2283,13 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     published ~1/sqrt(k) envelope (pinned in the unit test).
     """
     ev = _t(spark, sf_dir, "events")
+    # one scan + one distinct for the WHOLE entry (see the sibling
+    # sketch_kmv_intersection note): the tiny (type, hash) frame feeds
+    # the sketch build, both exact audit legs, and the per-type counts
     hashes = (
         ev.select("event_type", hash60(F.col("user_id").cast("string")).alias("h"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     wr = Window.partitionBy("event_type").orderBy("h")
     kmv = (
