@@ -19,12 +19,17 @@ from .catalog import SQL_DSUM, register, _t
 from .datapipe.sketches import (
     BLOOM_K,
     BLOOM_M,
+    QD_K,
+    QD_SIGMA,
+    QD_U,
     bloom_bits,
     bloom_maybe,
     cms_cells,
     cms_estimate,
     hll_estimate,
     hll_registers,
+    qdigest_build,
+    qdigest_quantile,
     sql_bloom,
     sql_cms_bucket,
     sql_hll,
@@ -8412,3 +8417,128 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_SQL_QDIGEST = r"""
+WITH RECURSIVE
+b AS (SELECT CAST(least(floor(value), 1023) AS BIGINT) AS u FROM events WHERE value IS NOT NULL),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS BIGINT) // 64 AS thr FROM b),
+leaves AS (SELECT u, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY u),
+dense AS (
+  SELECT list(coalesce(l.c, 0) ORDER BY t.i) AS cl
+  FROM range(0, 1024) t(i) LEFT JOIN leaves l ON l.u = t.i
+),
+dig AS (
+  SELECT 0 AS it, cl, []::STRUCT(level BIGINT, idx BIGINT, cnt BIGINT)[] AS frozen
+  FROM dense
+  UNION ALL
+  SELECT it + 1,
+         list_transform(range(0, len(cl) // 2), p ->
+           CASE WHEN cl[2*p+1] + cl[2*p+2] <= thr
+                THEN cl[2*p+1] + cl[2*p+2] ELSE CAST(0 AS BIGINT) END),
+         frozen || list_filter(
+           list_transform(range(0, len(cl)), j ->
+             {'level': CAST(it AS BIGINT), 'idx': CAST(j AS BIGINT), 'cnt': cl[j+1]}),
+           s -> s.cnt > 0 AND cl[(s.idx // 2) * 2 + 1] + cl[(s.idx // 2) * 2 + 2] > thr)
+  FROM dig, tot WHERE it < 10
+),
+fin AS (
+  SELECT frozen ||
+         (CASE WHEN cl[1] > 0
+               THEN [{'level': CAST(10 AS BIGINT), 'idx': CAST(0 AS BIGINT), 'cnt': cl[1]}]
+               ELSE []::STRUCT(level BIGINT, idx BIGINT, cnt BIGINT)[] END) AS nodes
+  FROM dig WHERE it = 10
+),
+nd AS (SELECT unnest(nodes) AS s FROM fin),
+cum AS (
+  SELECT (s.idx + 1) * (CAST(1 AS BIGINT) << s.level) - 1 AS upper,
+         sum(s.cnt) OVER (ORDER BY (s.idx + 1) * (CAST(1 AS BIGINT) << s.level) - 1, s.level
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM nd
+),
+excum AS (SELECT u, sum(c) OVER (ORDER BY u ROWS UNBOUNDED PRECEDING) AS cum FROM leaves),
+qs(q, qnum, qden) AS (VALUES (0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4), (0.9, 9, 10), (0.99, 99, 100)),
+est AS (
+  SELECT q.q, (q.qnum * t.n + q.qden - 1) // q.qden AS rank_target, t.n, t.thr
+  FROM qs q, tot t
+)
+SELECT e.q, e.rank_target,
+       (SELECT min(upper) FROM cum WHERE cum >= e.rank_target) AS est_u,
+       (SELECT min(u) FROM excum WHERE cum >= e.rank_target) AS exact_u,
+       CAST((SELECT coalesce(max(cum), 0) FROM excum
+             WHERE u <= (SELECT min(upper) FROM cum WHERE cum >= e.rank_target))
+            AS BIGINT) AS true_cum_le_est,
+       (SELECT CAST(count(*) AS BIGINT) FROM nd) AS n_nodes,
+       e.thr, e.n
+FROM est e ORDER BY e.q
+"""
+
+
+@register(
+    "sketch_qdigest_quantiles",
+    oracle=_SQL_QDIGEST,
+    tags=("sketch", "quantile", "mergeable"),
+)
+def sketch_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-digest quantile sketch (Shrivastava et al. 2004) — the QUANTILE
+    member completing the mergeable-sketch family (CMS frequency / HLL
+    cardinality / Bloom membership / KMV set operations): event values
+    quantize onto the dyadic universe [0, 1024), the exact leaf
+    histogram compresses bottom-up (each parent absorbs its children
+    iff their combined count <= n//sigma, sigma = 64), and quantile
+    queries walk the <= ~3*sigma surviving nodes in (upper bound,
+    level) order. Estimates NEVER undershoot the target rank (every
+    counted node's range lies wholly at-or-below its upper bound), and
+    overshoot is bounded by levels * thr + the leaf mass at the
+    estimate — both audited here against the exact quantile of the
+    same quantized domain, for the canonical q in (.25, .5, .75, .9,
+    .99). Rank targets are exact integers ((num*n + den - 1) // den),
+    so no float enters the differential anywhere.
+
+    100 TB shape: ONE hash aggregate bounded by the 1024-value domain
+    (partial agg collapses every partition to <= U rows — the
+    CMS/HLL/Bloom constant-exchange story), then pure integer digest
+    math on the <= 1024-row summary (bounded driver state, the IVF
+    centroid idiom); digests from disjoint corpora merge by adding
+    node counts and re-compressing, which is what Spark's own
+    approx_percentile cannot give you deterministically. Unlike
+    GK/KLL/t-digest, the q-digest build is order-independent and fully
+    deterministic, so the DuckDB oracle replays it node-for-node (a
+    recursive CTE carrying the (dense-level counts, frozen nodes)
+    state one compression level per iteration)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    leaves = (
+        ev.select(
+            F.least(F.floor("value"), F.lit(1023)).cast("bigint").alias("u")
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    # bounded driver state: the histogram is <= QD_U = 1024 rows by
+    # construction (domain-bounded), the k-centroid/offsets idiom
+    leaf = {int(r["u"]): int(r["c"]) for r in leaves.collect()}
+    n = sum(leaf.values())
+    nodes, thr = qdigest_build(leaf)
+    sorted_u = sorted(leaf)
+    out = []
+    for q, num, den in (
+        (0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4), (0.9, 9, 10), (0.99, 99, 100)
+    ):
+        rank = (num * n + den - 1) // den
+        est = qdigest_quantile(nodes, rank)
+        cum = 0
+        exact = QD_U - 1
+        for u in sorted_u:
+            cum += leaf[u]
+            if cum >= rank:
+                exact = u
+                break
+        true_cum = sum(c for u, c in leaf.items() if u <= est)
+        out.append((q, rank, est, exact, true_cum, len(nodes), thr, n))
+    return spark.createDataFrame(
+        out,
+        schema=(
+            "q double, rank_target bigint, est_u bigint, exact_u bigint, "
+            "true_cum_le_est bigint, n_nodes bigint, thr bigint, n bigint"
+        ),
+    ).orderBy("q")

@@ -302,3 +302,64 @@ bloom_probe AS (
          coalesce(h.n_hit, 0) = {BLOOM_K} AS maybe
   FROM probe_keys p LEFT JOIN probe_hits h USING (k)
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Q-digest: deterministic mergeable QUANTILE sketch — round 13
+# ---------------------------------------------------------------------------
+
+QD_K = 10                    # dyadic levels; universe U = 2^k = 1024
+QD_U = 1 << QD_K
+QD_SIGMA = 64                # compression factor; thr = n // sigma
+
+
+def qdigest_build(leaf_counts: dict[int, int]) -> tuple[list[tuple[int, int, int]], int]:
+    """Bottom-up batch q-digest construction (Shrivastava et al. 2004)
+    from an exact leaf histogram over the dyadic universe [0, 2^k):
+    ascending level L, each parent absorbs its two children iff their
+    combined count <= thr = n // sigma (children removed, frozen
+    otherwise). Mass keeps climbing while sparse — dense leaves stay
+    exact, which is why a leaf with cnt > thr contributes ZERO rank
+    uncertainty (its range is one value). Returns (nodes, thr) with
+    nodes = [(level, idx, cnt), ...], cnt > 0, at most ~3*sigma of them.
+
+    Deterministic by construction — pure integer arithmetic over an
+    exact histogram — so the DuckDB oracle replays it node-for-node."""
+    n = sum(leaf_counts.values())
+    thr = n // QD_SIGMA
+    cl = [0] * QD_U
+    for u, c in leaf_counts.items():
+        cl[u] = c
+    frozen: list[tuple[int, int, int]] = []
+    for level in range(QD_K):
+        half = len(cl) // 2
+        nxt = [0] * half
+        for p in range(half):
+            s = cl[2 * p] + cl[2 * p + 1]
+            if s and s <= thr:
+                nxt[p] = s
+            else:
+                if cl[2 * p]:
+                    frozen.append((level, 2 * p, cl[2 * p]))
+                if cl[2 * p + 1]:
+                    frozen.append((level, 2 * p + 1, cl[2 * p + 1]))
+        cl = nxt
+    if cl[0]:
+        frozen.append((QD_K, 0, cl[0]))
+    return frozen, thr
+
+
+def qdigest_quantile(nodes: list[tuple[int, int, int]], rank: int) -> int:
+    """Quantile query: nodes ordered by (upper bound asc, level asc —
+    smaller ranges first on ties), cumulative count; the estimate is
+    the upper bound of the first node where the running sum reaches
+    ``rank``. Integer-only, the same total order the oracle uses."""
+    ordered = sorted(
+        ((idx + 1) * (1 << level) - 1, level, cnt) for level, idx, cnt in nodes
+    )
+    cum = 0
+    for upper, _, cnt in ordered:
+        cum += cnt
+        if cum >= rank:
+            return upper
+    return QD_U - 1

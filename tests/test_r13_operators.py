@@ -209,3 +209,85 @@ def test_smith_waterman_entry_matches_oracle(spark):
         check_exact=True,
     )
     assert got["n_pairs"][0] > 0
+
+
+def test_qdigest_kernel_properties():
+    """Fuzz the q-digest build/query against the exact histogram: mass
+    conservation, the never-undershoot guarantee, the levels*thr
+    overshoot bound, and the digest-size bound."""
+    import random
+
+    from markt_database_analyzer_spark.datapipe.sketches import (
+        QD_K, QD_SIGMA, QD_U, qdigest_build, qdigest_quantile)
+
+    rng = random.Random(29)
+    for trial in range(60):
+        n = rng.randint(1, 4000)
+        mode = rng.choice(["uniform", "skew", "cluster"])
+        leaf = {}
+        for _ in range(n):
+            if mode == "uniform":
+                u = rng.randrange(QD_U)
+            elif mode == "skew":
+                u = min(QD_U - 1, int(rng.expovariate(0.02)))
+            else:
+                u = rng.choice([5, 6, 7, 512, 900])
+            leaf[u] = leaf.get(u, 0) + 1
+        nodes, thr = qdigest_build(leaf)
+        assert sum(c for _, _, c in nodes) == n
+        if thr >= 1:
+            assert len(nodes) <= 2 * QD_SIGMA + 1
+        else:
+            assert len(nodes) <= n  # no compression below sigma rows
+        for num, den in ((1, 4), (1, 2), (3, 4), (9, 10), (99, 100)):
+            rank = (num * n + den - 1) // den
+            est = qdigest_quantile(nodes, rank)
+            true_cum = sum(c for u, c in leaf.items() if u <= est)
+            assert true_cum >= rank, (trial, rank, est)
+            assert true_cum - rank <= QD_K * thr + leaf.get(est, 0), (
+                trial, mode, rank, est)
+
+
+def test_qdigest_merged_nodes_never_undershoot():
+    """Digests merge by concatenating node multisets (then optionally
+    re-compressing); the never-undershoot guarantee survives the merge
+    because every node's mass still lies at-or-below its upper bound."""
+    import random
+
+    from markt_database_analyzer_spark.datapipe.sketches import (
+        QD_U, qdigest_build, qdigest_quantile)
+
+    rng = random.Random(31)
+    la, lb = {}, {}
+    for _ in range(2000):
+        la[rng.randrange(QD_U)] = la.get(rng.randrange(QD_U), 0) + 1
+        lb[min(QD_U - 1, int(rng.expovariate(0.01)))] = (
+            lb.get(min(QD_U - 1, int(rng.expovariate(0.01))), 0) + 1
+        )
+    na, _ = qdigest_build(la)
+    nb, _ = qdigest_build(lb)
+    merged = na + nb
+    n = sum(la.values()) + sum(lb.values())
+    union = dict(la)
+    for u, c in lb.items():
+        union[u] = union.get(u, 0) + c
+    for num, den in ((1, 2), (9, 10)):
+        rank = (num * n + den - 1) // den
+        est = qdigest_quantile(merged, rank)
+        assert sum(c for u, c in union.items() if u <= est) >= rank
+
+
+def test_qdigest_entry_matches_oracle(spark):
+    got, want = _run_both(spark, "sketch_qdigest_quantiles", SF, ["events"])
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True),
+        want[cols].reset_index(drop=True),
+        check_dtype=False,
+        check_exact=True,
+    )
+    assert len(got) == 5
+    # the audited guarantees hold on the fixture too
+    assert (got["true_cum_le_est"] >= got["rank_target"]).all()
+    assert (got["est_u"] >= got["exact_u"]).all()
