@@ -8474,6 +8474,40 @@ FROM est e ORDER BY e.q
 """
 
 
+
+def _qdigest_result(spark: SparkSession, leaves: DataFrame) -> DataFrame:
+    """Shared digest build + quantile/audit rows for the batch and
+    streaming q-digest entries: collect the domain-bounded histogram
+    (<= QD_U = 1024 rows, the k-centroid bounded-driver-state idiom),
+    run the integer digest math, return the 5-quantile audit frame."""
+    leaf = {int(r["u"]): int(r["c"]) for r in leaves.collect()}
+    n = sum(leaf.values())
+    nodes, thr = qdigest_build(leaf)
+    sorted_u = sorted(leaf)
+    out = []
+    for q, num, den in (
+        (0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4), (0.9, 9, 10), (0.99, 99, 100)
+    ):
+        rank = (num * n + den - 1) // den
+        est = qdigest_quantile(nodes, rank)
+        cum = 0
+        exact = QD_U - 1
+        for u in sorted_u:
+            cum += leaf[u]
+            if cum >= rank:
+                exact = u
+                break
+        true_cum = sum(c for u, c in leaf.items() if u <= est)
+        out.append((q, rank, est, exact, true_cum, len(nodes), thr, n))
+    return spark.createDataFrame(
+        out,
+        schema=(
+            "q double, rank_target bigint, est_u bigint, exact_u bigint, "
+            "true_cum_le_est bigint, n_nodes bigint, thr bigint, n bigint"
+        ),
+    ).orderBy("q")
+
+
 @register(
     "sketch_qdigest_quantiles",
     oracle=_SQL_QDIGEST,
@@ -8514,31 +8548,37 @@ def sketch_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    # bounded driver state: the histogram is <= QD_U = 1024 rows by
-    # construction (domain-bounded), the k-centroid/offsets idiom
-    leaf = {int(r["u"]): int(r["c"]) for r in leaves.collect()}
-    n = sum(leaf.values())
-    nodes, thr = qdigest_build(leaf)
-    sorted_u = sorted(leaf)
-    out = []
-    for q, num, den in (
-        (0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4), (0.9, 9, 10), (0.99, 99, 100)
-    ):
-        rank = (num * n + den - 1) // den
-        est = qdigest_quantile(nodes, rank)
-        cum = 0
-        exact = QD_U - 1
-        for u in sorted_u:
-            cum += leaf[u]
-            if cum >= rank:
-                exact = u
-                break
-        true_cum = sum(c for u, c in leaf.items() if u <= est)
-        out.append((q, rank, est, exact, true_cum, len(nodes), thr, n))
-    return spark.createDataFrame(
-        out,
-        schema=(
-            "q double, rank_target bigint, est_u bigint, exact_u bigint, "
-            "true_cum_le_est bigint, n_nodes bigint, thr bigint, n bigint"
-        ),
-    ).orderBy("q")
+    return _qdigest_result(spark, leaves)
+
+
+@register(
+    "streaming_qdigest_quantiles",
+    oracle=_SQL_QDIGEST,
+    tags=("sketch", "quantile", "mergeable", "streaming"),
+)
+def streaming_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q-digest driven through Structured Streaming — third member
+    of the streaming-sketch pattern (streaming_hll_distinct,
+    streaming_cms_heavy_hitters): the domain-bounded leaf histogram is
+    a stream-agnostic groupBy(u).count in complete mode, so the SAME
+    quantization feeds batch and stream and the stream's state is
+    BOUNDED BY CONSTRUCTION at <= 1024 histogram rows forever — running
+    quantiles over an unbounded stream without unbounded sort state
+    (the exact streaming quantile would need every value retained).
+    Digest build and quantile queries run batch-side on the
+    materialized histogram, identical to ``sketch_qdigest_quantiles``
+    (same oracle — streaming and batch must agree on static input,
+    which IS the differential)."""
+    from .streaming import read_events_stream, run_stream_to_memory
+
+    stream = read_events_stream(spark, sf_dir)
+    hist_stream = (
+        stream.where(F.col("value").isNotNull())
+        .select(
+            F.least(F.floor("value"), F.lit(1023)).cast("bigint").alias("u")
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    leaves = run_stream_to_memory(hist_stream, output_mode="complete")
+    return _qdigest_result(spark, leaves)

@@ -291,3 +291,19 @@ def test_qdigest_entry_matches_oracle(spark):
     # the audited guarantees hold on the fixture too
     assert (got["true_cum_le_est"] >= got["rank_target"]).all()
     assert (got["est_u"] >= got["exact_u"]).all()
+
+
+def test_streaming_qdigest_matches_batch_and_oracle(spark):
+    gb, _ = _run_both(spark, "sketch_qdigest_quantiles", SF, ["events"])
+    gs, want = _run_both(spark, "streaming_qdigest_quantiles", SF, ["events"])
+    cols = sorted(gs.columns)
+    # stream == batch == oracle on static input
+    pd.testing.assert_frame_equal(
+        gs[cols].reset_index(drop=True), gb[cols].reset_index(drop=True),
+        check_dtype=False, check_exact=True,
+    )
+    pd.testing.assert_frame_equal(
+        gs[cols].reset_index(drop=True),
+        want[cols].reset_index(drop=True),
+        check_dtype=False, check_exact=True,
+    )
