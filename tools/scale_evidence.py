@@ -722,12 +722,15 @@ def main() -> None:
         for name, fn in FLOWS:
             rows_r13.append(run_flow(name, fn))
             print(json.dumps(rows_r13[-1]))
-        # the three new r13 catalog entries, same protocol as prior rounds
+        # the new r13 catalog entries, same protocol as prior rounds
         rows_r13_new = measure(
             [
                 "sketch_kmv_set_ops",
                 "multimodal_decode_png",
                 "streaming_cms_heavy_hitters",
+                "eval_smith_waterman_pairs",
+                "sketch_qdigest_quantiles",
+                "streaming_qdigest_quantiles",
             ],
             big_rel,
         )
@@ -808,13 +811,17 @@ def main() -> None:
         lines += table(rows_r13)
         lines += [
             "",
-            "The three new r13 catalog entries, same protocol: the KMV "
+            "The new r13 catalog entries, same protocol: the KMV "
             "set-op entry's growth is its exact-audit self-join (the "
             "sketch stages are <= k x |pairs| rows); the PNG decode is "
             "two map-only Arrow stages (shuffle is the deterministic "
             "orderBy only); the streaming CMS probe side scales with "
             "DISTINCT users (the truth/probe frame), its sketch state "
-            "fixed at 256 rows.",
+            "fixed at 256 rows; Smith-Waterman ships each 10x doc <= 2x "
+            "through the one groupBy(pid) exchange (the ROUGE-L/WER "
+            "envelope — token arrays ARE the payload); both q-digest "
+            "entries' only distributed step is the domain-bounded "
+            "histogram agg (<= 1024-row exchange at ANY volume).",
             "",
         ]
         lines += table(rows_r13_new)
