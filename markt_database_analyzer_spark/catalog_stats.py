@@ -8520,7 +8520,8 @@ def sketch_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize onto the dyadic universe [0, 1024), the exact leaf
     histogram compresses bottom-up (each parent absorbs its children
     iff their combined count <= n//sigma, sigma = 64), and quantile
-    queries walk the <= ~3*sigma surviving nodes in (upper bound,
+    queries walk the surviving nodes (<= 2*sigma + 1 once
+    compression engages — pinned in the fuzz test) in (upper bound,
     level) order. Estimates NEVER undershoot the target rank (every
     counted node's range lies wholly at-or-below its upper bound), and
     overshoot is bounded by levels * thr + the leaf mass at the

@@ -321,7 +321,10 @@ def qdigest_build(leaf_counts: dict[int, int]) -> tuple[list[tuple[int, int, int
     otherwise). Mass keeps climbing while sparse — dense leaves stay
     exact, which is why a leaf with cnt > thr contributes ZERO rank
     uncertainty (its range is one value). Returns (nodes, thr) with
-    nodes = [(level, idx, cnt), ...], cnt > 0, at most ~3*sigma of them.
+    nodes = [(level, idx, cnt), ...], cnt > 0 — at most 2*sigma + 1 of
+    them once compression engages (each freeze event needs a pair-sum
+    > thr, and there are < n/thr = sigma such pairs; below sigma rows
+    nothing compresses and the digest IS the exact histogram).
 
     Deterministic by construction — pure integer arithmetic over an
     exact histogram — so the DuckDB oracle replays it node-for-node."""
