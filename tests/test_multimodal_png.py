@@ -312,3 +312,29 @@ def test_entry_matches_duckdb_oracle(spark):
         check_dtype=False,
         check_exact=True,
     )
+
+
+def test_parser_never_crashes_on_mutated_or_garbage_input():
+    """Robustness pin: corrupt/truncated/extended PNGs and pure garbage
+    must decode to None (or a parse), never raise — the decoder guards
+    every length/index before reading."""
+    rng = np.random.default_rng(99)
+    base = mm.encode_png(
+        rng.integers(0, 4, 64).astype(np.int64).reshape(8, 8), method="dynamic"
+    )
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            op = rng.integers(0, 3)
+            if op == 0 and len(b):
+                b[rng.integers(0, len(b))] ^= int(rng.integers(1, 256))
+            elif op == 1 and len(b) > 4:
+                b = b[: rng.integers(1, len(b))]
+            else:
+                b += bytes(rng.integers(0, 256, rng.integers(1, 16), dtype=np.uint8))
+        mm._parse_png(bytes(b))
+    for _ in range(300):
+        b = bytes(rng.integers(0, 256, rng.integers(0, 200), dtype=np.uint8))
+        mm._parse_png(b)
+        mm.inflate(b, max_out=10000)
+        mm.zlib_unwrap(b, max_out=10000)
