@@ -8421,7 +8421,7 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_QDIGEST = r"""
 WITH RECURSIVE
-b AS (SELECT CAST(least(floor(value), 1023) AS BIGINT) AS u FROM events WHERE value IS NOT NULL),
+b AS (SELECT CAST(greatest(least(floor(value), 1023), 0) AS BIGINT) AS u FROM events WHERE value IS NOT NULL),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS BIGINT) // 64 AS thr FROM b),
 leaves AS (SELECT u, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY u),
 dense AS (
@@ -8482,6 +8482,19 @@ def _qdigest_result(spark: SparkSession, leaves: DataFrame) -> DataFrame:
     run the integer digest math, return the 5-quantile audit frame."""
     leaf = {int(r["u"]): int(r["c"]) for r in leaves.collect()}
     n = sum(leaf.values())
+    if n == 0:
+        # all-NULL value column: mirror the oracle exactly (empty CTEs
+        # make its est_u/exact_u scalar subqueries NULL, true_cum
+        # coalesces to 0, every other column is 0)
+        out = [(q, 0, None, None, 0, 0, 0, 0)
+               for q in (0.25, 0.5, 0.75, 0.9, 0.99)]
+        return spark.createDataFrame(
+            out,
+            schema=(
+                "q double, rank_target bigint, est_u bigint, exact_u bigint, "
+                "true_cum_le_est bigint, n_nodes bigint, thr bigint, n bigint"
+            ),
+        ).orderBy("q")
     nodes, thr = qdigest_build(leaf)
     sorted_u = sorted(leaf)
     out = []
@@ -8544,7 +8557,8 @@ def sketch_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     leaves = (
         ev.select(
-            F.least(F.floor("value"), F.lit(1023)).cast("bigint").alias("u")
+            F.greatest(F.least(F.floor("value"), F.lit(1023)), F.lit(0))
+            .cast("bigint").alias("u")
         )
         .groupBy("u")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
@@ -8576,7 +8590,8 @@ def streaming_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist_stream = (
         stream.where(F.col("value").isNotNull())
         .select(
-            F.least(F.floor("value"), F.lit(1023)).cast("bigint").alias("u")
+            F.greatest(F.least(F.floor("value"), F.lit(1023)), F.lit(0))
+            .cast("bigint").alias("u")
         )
         .groupBy("u")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))

@@ -1613,6 +1613,7 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_MAX_RAW = 1 << 24  # 16 MiB decoded-scanline cap (DoS guard)
 
 
 def encode_png(
@@ -1694,6 +1695,11 @@ def _parse_png(b: bytes) -> tuple[int, int, np.ndarray, np.ndarray] | None:
     if (depth, ctype_v, comp, filt, inter) != (8, 3, 0, 0, 0):
         return None  # only 8-bit palette, deflate, adaptive, progressive-off
     if not (0 < w and 0 < h):
+        return None
+    if h * (w + 1) > PNG_MAX_RAW:
+        # IHDR dimensions are attacker-controlled: without this cap a
+        # KB-sized IDAT of maximal back-references could inflate to
+        # h*(w+1) bytes (GBs) before the length check fires
         return None
     raw = zlib_unwrap(bytes(idat), max_out=h * (w + 1))
     if raw is None:

@@ -332,6 +332,8 @@ def qdigest_build(leaf_counts: dict[int, int]) -> tuple[list[tuple[int, int, int
     thr = n // QD_SIGMA
     cl = [0] * QD_U
     for u, c in leaf_counts.items():
+        if not 0 <= u < QD_U:
+            raise ValueError(f"leaf key {u} outside the dyadic universe [0, {QD_U})")
         cl[u] = c
     frozen: list[tuple[int, int, int]] = []
     for level in range(QD_K):

@@ -24,9 +24,15 @@ from pyspark.sql import DataFrame
 # pass (logical plan -> executed plan -> RDD DAG) on every call, which is
 # pure driver overhead in hot catalog paths that fan_out the same scan
 # shape repeatedly. The count is a function of the analyzed plan within a
-# session (file listing is session-cached), so memoize it by the plan's
-# semantic hash. Bounded: cleared wholesale past _NPART_CACHE_MAX.
-_NPART_CACHE: dict[tuple[int, int], int] = {}
+# session (file listing is session-cached), so memoize it per
+# (application id, schema, semantic plan hash). applicationId — not
+# id(session) — keys the session, so a recycled Python object id can
+# never serve another app's counts; the schema string widens the 32-bit
+# semanticHash against collisions. Residual staleness (files appended to
+# a path mid-session, conf changes) can at worst serve an outdated
+# count, whose failure mode is one missed or one redundant widening —
+# perf-only and bounded. Cleared wholesale past _NPART_CACHE_MAX.
+_NPART_CACHE: dict[tuple[str, str, int], int] = {}
 _NPART_CACHE_MAX = 1024
 
 
@@ -34,10 +40,11 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Widen ``df`` to at least the session's default parallelism (or
     ``min_partitions``) ahead of CPU-bound per-row operators. No-op when
     the input is already at least that wide. The partition-count probe
-    is memoized per (session, semantic plan hash) — one physical
-    planning pass per distinct plan shape, not per call."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    key = (id(df.sparkSession), df.semanticHash())
+    is memoized per (application, schema, semantic plan hash) — one
+    physical planning pass per distinct plan shape, not per call."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    key = (sc.applicationId, df.schema.json(), df.semanticHash())
     n = _NPART_CACHE.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()

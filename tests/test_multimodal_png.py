@@ -338,3 +338,17 @@ def test_parser_never_crashes_on_mutated_or_garbage_input():
         mm._parse_png(b)
         mm.inflate(b, max_out=10000)
         mm.zlib_unwrap(b, max_out=10000)
+
+
+def test_png_dimension_bomb_rejected_before_allocation():
+    """Review finding: IHDR dimensions are attacker-controlled; a tiny
+    payload declaring w=h=2^20 must be rejected by the PNG_MAX_RAW cap
+    before inflate can amplify into it."""
+    idx = _idx(64, seed=8)
+    png = mm.encode_png(idx.reshape(8, 8))
+    big = (1 << 20).to_bytes(4, "big")
+    ihdr = big + big + png[24:29]  # keep depth/type/interlace bytes
+    bomb = (
+        png[:8] + mm._png_chunk(b"IHDR", ihdr) + png[33:]
+    )
+    assert mm._parse_png(bomb) is None

@@ -260,10 +260,11 @@ def test_qdigest_merged_nodes_never_undershoot():
     rng = random.Random(31)
     la, lb = {}, {}
     for _ in range(2000):
-        la[rng.randrange(QD_U)] = la.get(rng.randrange(QD_U), 0) + 1
-        lb[min(QD_U - 1, int(rng.expovariate(0.01)))] = (
-            lb.get(min(QD_U - 1, int(rng.expovariate(0.01))), 0) + 1
-        )
+        ua = rng.randrange(QD_U)
+        la[ua] = la.get(ua, 0) + 1
+        ub = min(QD_U - 1, int(rng.expovariate(0.01)))
+        lb[ub] = lb.get(ub, 0) + 1
+    assert sum(la.values()) == sum(lb.values()) == 2000
     na, _ = qdigest_build(la)
     nb, _ = qdigest_build(lb)
     merged = na + nb
@@ -307,3 +308,60 @@ def test_streaming_qdigest_matches_batch_and_oracle(spark):
         want[cols].reset_index(drop=True),
         check_dtype=False, check_exact=True,
     )
+
+
+def test_qdigest_build_rejects_out_of_range_keys():
+    from markt_database_analyzer_spark.datapipe.sketches import qdigest_build
+
+    with pytest.raises(ValueError):
+        qdigest_build({-4: 1})
+    with pytest.raises(ValueError):
+        qdigest_build({1024: 1})
+
+
+def test_qdigest_result_all_null_values_matches_oracle(spark, tmp_path):
+    """All-NULL value column: both engines must emit the same NULL-est
+    degenerate rows (review finding: the python path used to return
+    est_u = 1023 where the oracle's empty CTEs give NULL)."""
+    import pandas as pdd
+
+    pdd.DataFrame(
+        {"event_id": [1, 2], "user_id": [1, 2],
+         "event_type": ["a", "b"],
+         "ts": pdd.to_datetime(["2024-01-01", "2024-01-02"]),
+         "value": [None, None]}
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+    got, want = _run_both(
+        spark, "sketch_qdigest_quantiles", str(tmp_path), ["events"]
+    )
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True),
+        want[cols].reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert got["est_u"].isna().all() and (got["n"] == 0).all()
+
+
+def test_qdigest_negative_values_clamp_identically(spark, tmp_path):
+    """Negative values clamp to leaf 0 in BOTH engines (review finding:
+    unclamped negatives python-indexed from the array tail)."""
+    import pandas as pdd
+
+    pdd.DataFrame(
+        {"event_id": range(6), "user_id": range(6),
+         "event_type": ["a"] * 6,
+         "ts": pdd.to_datetime(["2024-01-01"] * 6),
+         "value": [-5000.0, -3.5, -0.2, 0.4, 700.0, 2000.0]}
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+    got, want = _run_both(
+        spark, "sketch_qdigest_quantiles", str(tmp_path), ["events"]
+    )
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True),
+        want[cols].reset_index(drop=True),
+        check_dtype=False, check_exact=True,
+    )
+    # 3 clamped-to-0 rows out of 6 -> the exact 0.25 and 0.5 quantiles are 0
+    assert got.loc[got["q"] == 0.5, "exact_u"].iloc[0] == 0
