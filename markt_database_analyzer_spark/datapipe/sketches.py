@@ -368,3 +368,46 @@ def qdigest_quantile(nodes: list[tuple[int, int, int]], rank: int) -> int:
         if cum >= rank:
             return upper
     return QD_U - 1
+
+
+def qdigest_merge(
+    a: list[tuple[int, int, int]], b: list[tuple[int, int, int]]
+) -> tuple[list[tuple[int, int, int]], int]:
+    """Merge two q-digests (the cross-partition / cross-corpus
+    combiner): node counts add per (level, idx), then the standard
+    re-compression runs bottom-up with the COMBINED threshold
+    thr = (n_a + n_b) // sigma. Unlike the leaf build, nodes now exist
+    at every level, so a parent's own pre-existing mass joins the
+    merge test: at level L, total = parent + left + right merges iff
+    0 < total <= thr (children dropped), else the children freeze with
+    their counts and the parent keeps its own. Same guarantees as the
+    build — never-undershoot survives because every counted node's
+    range still lies wholly at-or-below its upper bound, and the
+    per-level uncertainty stays <= thr (merged nodes are <= thr;
+    frozen leaves are exact single values). Returns (nodes, thr)."""
+    n = sum(c for _, _, c in a) + sum(c for _, _, c in b)
+    thr = n // QD_SIGMA
+    per_level: list[dict[int, int]] = [dict() for _ in range(QD_K + 1)]
+    for nodes in (a, b):
+        for level, idx, cnt in nodes:
+            if not 0 <= level <= QD_K:
+                raise ValueError(f"node level {level} outside [0, {QD_K}]")
+            per_level[level][idx] = per_level[level].get(idx, 0) + cnt
+    frozen: list[tuple[int, int, int]] = []
+    for level in range(QD_K):
+        cur, nxt = per_level[level], per_level[level + 1]
+        for p in sorted({i // 2 for i in cur}):
+            left = cur.get(2 * p, 0)
+            right = cur.get(2 * p + 1, 0)
+            total = nxt.get(p, 0) + left + right
+            if 0 < total <= thr:
+                nxt[p] = total
+            else:
+                if left:
+                    frozen.append((level, 2 * p, left))
+                if right:
+                    frozen.append((level, 2 * p + 1, right))
+    root = per_level[QD_K].get(0, 0)
+    if root:
+        frozen.append((QD_K, 0, root))
+    return frozen, thr

@@ -365,3 +365,47 @@ def test_qdigest_negative_values_clamp_identically(spark, tmp_path):
     )
     # 3 clamped-to-0 rows out of 6 -> the exact 0.25 and 0.5 quantiles are 0
     assert got.loc[got["q"] == 0.5, "exact_u"].iloc[0] == 0
+
+
+def test_qdigest_merge_recompression_guarantees():
+    """qdigest_merge (add node counts per (level, idx), re-compress
+    bottom-up with the combined threshold) preserves mass, the digest
+    size bound, never-undershoot, and the levels*thr error bound
+    against the union histogram — the cross-partition combiner the
+    docstrings promise."""
+    import random
+
+    from markt_database_analyzer_spark.datapipe.sketches import (
+        QD_K, QD_SIGMA, QD_U, qdigest_build, qdigest_merge, qdigest_quantile)
+
+    rng = random.Random(43)
+    for trial in range(40):
+        las, lbs = {}, {}
+        na, nb = rng.randint(1, 2500), rng.randint(1, 2500)
+        for _ in range(na):
+            u = (rng.randrange(QD_U) if rng.random() < 0.5
+                 else min(QD_U - 1, int(rng.expovariate(0.02))))
+            las[u] = las.get(u, 0) + 1
+        for _ in range(nb):
+            u = (rng.choice([3, 4, 700, 701]) if rng.random() < 0.5
+                 else rng.randrange(QD_U))
+            lbs[u] = lbs.get(u, 0) + 1
+        da, _ = qdigest_build(las)
+        db, _ = qdigest_build(lbs)
+        merged, thr = qdigest_merge(da, db)
+        n = na + nb
+        assert sum(c for _, _, c in merged) == n
+        if thr >= 1:
+            assert len(merged) <= 3 * QD_SIGMA  # the paper's |Q| bound
+        union = dict(las)
+        for u, c in lbs.items():
+            union[u] = union.get(u, 0) + c
+        for num, den in ((1, 2), (9, 10), (99, 100)):
+            rank = (num * n + den - 1) // den
+            est = qdigest_quantile(merged, rank)
+            true_cum = sum(c for u, c in union.items() if u <= est)
+            assert true_cum >= rank
+            assert true_cum - rank <= QD_K * thr + union.get(est, 0)
+    # level-range validation
+    with pytest.raises(ValueError):
+        qdigest_merge([(99, 0, 1)], [])
