@@ -1448,11 +1448,21 @@ def pipeline_quality_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors, dedup shuffles 8-byte hashes of the doubly-gated corpus,
     and the mix gate is map-only. Every stage is the operator its own
     catalog entry differential-tests in isolation."""
+    from pyspark.storagelevel import StorageLevel
+
     from .datapipe import lm
     from .datapipe.hashing import hash60
 
     docs = fan_out(_t(spark, sf_dir, "documents"))
     base_cols = ["doc_id", "lang", "source", "text"]
+    # Every funnel stage feeds (a) the next stage and (b) its own
+    # per-language count — and the LM stage references g1 several more
+    # times internally (train counts + score pass + threshold). Without
+    # persistence Catalyst re-expands each stage per consumer (the
+    # 238-Exchange r13 before-plan re-ran the Gopher rules ~4x and the
+    # LM build twice). One MEMORY_AND_DISK pin per stage evaluates each
+    # exactly once — the minhash_neardup_pairs shingle-projection
+    # discipline; at 100 TB the same barrier is a parquet checkpoint.
     g1 = (
         docs.select(*base_cols, *tx.gopher_rules("text", min_words=20, max_words=100_000))
         .filter(
@@ -1463,8 +1473,11 @@ def pipeline_quality_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("rule_stopwords")
         )
         .select(*base_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    scores = lm.bigram_logprob_scores(g1, "text", "doc_id", alpha=0.5)
+    scores = lm.bigram_logprob_scores(g1, "text", "doc_id", alpha=0.5).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     thr = scores.agg(F.percentile("avg_neg_logp", F.lit(0.9)).alias("thr"))
     g2 = (
         g1.join(
@@ -1474,6 +1487,7 @@ def pipeline_quality_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(thr))
         .filter(F.col("avg_neg_logp") <= F.col("thr"))
         .select(*base_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     w = Window.partitionBy("h")
     g3 = (
@@ -1481,6 +1495,7 @@ def pipeline_quality_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("minid", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("minid"))
         .select("doc_id", "lang", "source")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     g4 = smp.temperature_mix(g3, "doc_id", "source", alpha=0.5, seed=11)
 

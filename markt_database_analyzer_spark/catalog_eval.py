@@ -1862,61 +1862,54 @@ def eval_bleu_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero matches in either order pins BLEU to exactly 0.0 on both
     engines.
 
-    Scale shape: n-grams are counted ONCE PER DOCUMENT (tokenize on a
-    fanned-out scan, explode, map-side-combined (doc, n, gram) agg) and
-    the per-doc count frame is then reused for both roles — the pairing
-    and the clip are equi-joins on (doc-derived pair id, n, gram), so
-    token arrays never ship through a join and no text is exploded
-    twice. One 1-row combine at the end."""
+    Scale shape: pair-LOCAL clip counting (the ROUGE-L discipline, r13):
+    one tokenize pass, then the ``_pair_roles`` two-role union — each
+    token array ships at most twice through ONE groupBy(pid) exchange —
+    and the per-pair clipped 1/2-gram matches come from two multiset
+    Counters intersected inside a batch-vectorized scalar pandas_udf
+    (exact integers; bigrams derived in-batch with the same
+    space-joined spelling concat_ws produced). The old gram staging
+    exploded every token and bigram into a (doc, n, gram) groupBy
+    exchange plus a (pid, n, gram) sort-merge join — more shuffled
+    bytes than the two-role union, and 20 Exchanges against 5 after.
+    One 1-row combine at the end."""
+    from collections import Counter
+
     from .datapipe.util import fan_out
 
     docs = fan_out(_t(spark, sf_dir, "documents"))
-    # STAGED projection (the winnow_fp_frame discipline): bind tokens as
-    # a real column first, so the bigram lambda references a bound
-    # attribute — embedding the tokenize subtree inside the transform
-    # re-evaluates the regex split once PER BIGRAM POSITION (lambda
-    # bodies are interpreted with no subexpression reuse; measured
-    # 27 s -> 1.4 s for the same staging in datapipe/text.py)
-    bt = F.col("_bt")
-    t2 = F.when(
-        F.size(bt) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(bt) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(bt, i), F.element_at(bt, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    d = (
-        docs.select("doc_id", tx.tokens("text").alias("_bt"))
-        .select("doc_id", F.col("_bt").alias("t1"), t2.alias("t2"))
-        .localCheckpoint(eager=True)
+    d = docs.select(
+        "doc_id", tx.tokens("text").alias("t1")
+    ).localCheckpoint(eager=True)
+
+    def bleu_clips(c: list, r: list) -> list:
+        # Sigma_g min(count_c[g], count_r[g]) for 1- and 2-grams — the
+        # same exact integers the (pid, n, gram) join summed with
+        # least(kc, kr); bigram spelling matches concat_ws(" ", a, b).
+        c1, r1 = Counter(c), Counter(r)
+        m1 = sum(min(k, r1[g]) for g, k in c1.items() if g in r1)
+        c2 = Counter(f"{a} {b}" for a, b in zip(c, c[1:]))
+        r2 = Counter(f"{a} {b}" for a, b in zip(r, r[1:]))
+        m2 = sum(min(k, r2[g]) for g, k in c2.items() if g in r2)
+        return [m1, m2]
+
+    def _clips_batch(cs: pd.Series, rs: pd.Series) -> pd.Series:
+        return pd.Series([bleu_clips(list(a), list(b)) for a, b in zip(cs, rs)])
+
+    clips_udf = F.pandas_udf(_clips_batch, "array<long>")
+    pair_clips = _pair_roles(
+        d.select("doc_id", F.col("t1").alias("t"))
+    ).select(clips_udf("c", "r").alias("m"))
+    clip_w = pair_clips.agg(
+        F.sum(F.element_at("m", 1)).cast("bigint").alias("1"),
+        F.sum(F.element_at("m", 2)).cast("bigint").alias("2"),
     )
-    # per-doc gram counts, computed once and reused for both pair roles
-    gu = d.select("doc_id", F.lit(1).alias("n"), F.explode("t1").alias("g")).unionByName(
-        d.select("doc_id", F.lit(2).alias("n"), F.explode("t2").alias("g"))
-    )
-    gc = gu.groupBy("doc_id", "n", "g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("k")
-    )
-    ids = d.select(F.col("doc_id").alias("succ_id"))
-    # candidate side = docs that HAVE a successor (doc-cardinality
-    # semi-join on the id key; Catalyst picks broadcast vs shuffled)
-    cc = gc.join(
-        ids, gc.doc_id + 1 == ids.succ_id, "left_semi"
-    ).select(
-        F.col("doc_id").alias("pid"), "n", "g", F.col("k").alias("kc")
-    )
-    rc = gc.select(
-        (F.col("doc_id") - 1).alias("pid"), "n", "g", F.col("k").alias("kr")
-    )
-    clip = (
-        cc.join(rc, ["pid", "n", "g"])
-        .groupBy("n")
-        .agg(F.sum(F.least("kc", "kr")).cast("bigint").alias("clipped"))
-    )
+    # l2 = bigram count = max(|t1| - 1, 0): identical to the old
+    # materialized-t2 size (empty array below 2 tokens).
     lens = d.select(
-        "doc_id", F.size("t1").alias("l1"), F.size("t2").alias("l2")
+        "doc_id",
+        F.size("t1").alias("l1"),
+        F.greatest(F.size("t1") - 1, F.lit(0)).alias("l2"),
     )
     pairs = lens.alias("c").join(
         lens.alias("r"), F.col("c.doc_id") + 1 == F.col("r.doc_id")
@@ -1927,7 +1920,6 @@ def eval_bleu_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c.l2").cast("bigint").alias("cand2"),
         F.sum("r.l1").cast("bigint").alias("ref_len"),
     )
-    clip_w = clip.groupBy().pivot("n", [1, 2]).sum("clipped")
     p = tot.crossJoin(F.broadcast(clip_w)).select(
         "n_pairs",
         F.col("cand1").alias("cand_len"),
@@ -2042,13 +2034,19 @@ def eval_chrf_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     F-score composes from identical doubles in the same operation
     order, so the SQL replay is bit-exact (modulo the shared IEEE ops).
 
-    Scale shape: the BLEU staging discipline — char grams counted ONCE
-    PER DOCUMENT (whitespace-stripped text bound as a real column
-    first, then one explode per n on map-side-combined (doc, n, gram)
-    aggs) and reused for both pair roles via equi-joins on (pid, n,
-    gram); strings never ship through the pair join. Totals come from
-    per-doc LENGTHS (no second gram pass), and the final combine is a
-    broadcast of a 3-row clip pivot into a 1-row total."""
+    Scale shape: pair-LOCAL clip counting (the ROUGE-L discipline, r13):
+    pair formation is the ``_pair_roles`` two-role union — each
+    stripped string ships at most twice through ONE groupBy(pid)
+    exchange — and the per-pair clipped matches for n = 1..3 come from
+    two multiset Counters intersected inside a batch-vectorized scalar
+    pandas_udf (exact integers, one Arrow batch per invocation). The
+    r13 before-plan's gram staging exploded ~3x the corpus characters
+    into a (doc, n, gram) groupBy exchange plus a (pid, n, gram)
+    sort-merge join — strictly more shuffled bytes than the two-role
+    string union, and 22 Exchanges against 5 after. Totals still come
+    from per-doc LENGTHS (no second gram pass)."""
+    from collections import Counter
+
     from .datapipe.util import fan_out
 
     docs = fan_out(_t(spark, sf_dir, "documents"))
@@ -2059,31 +2057,28 @@ def eval_chrf_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    def grams(n: int):
-        c = F.col("cs")
-        idx = F.when(
-            F.length(c) >= n,
-            F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
-        ).otherwise(F.array().cast("array<int>"))
-        return d.select(
-            "doc_id",
-            F.lit(n).alias("n"),
-            F.explode(F.transform(idx, lambda i: c.substr(i, F.lit(n)))).alias("g"),
-        )
+    def chrf_clips(c: str, r: str) -> list:
+        # Sigma_g min(count_c[g], count_r[g]) per n — the same exact
+        # integers the (pid, n, gram) join summed with least(kc, kr).
+        out = []
+        for n in (1, 2, 3):
+            cc = Counter(c[i : i + n] for i in range(len(c) - n + 1))
+            rc = Counter(r[i : i + n] for i in range(len(r) - n + 1))
+            out.append(sum(min(k, rc[g]) for g, k in cc.items() if g in rc))
+        return out
 
-    gu = grams(1).unionByName(grams(2)).unionByName(grams(3))
-    gc = gu.groupBy("doc_id", "n", "g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("k")
-    )
-    ids = d.select(F.col("doc_id").alias("succ_id"))
-    cc = gc.join(ids, gc.doc_id + 1 == ids.succ_id, "left_semi").select(
-        F.col("doc_id").alias("pid"), "n", "g", F.col("k").alias("kc")
-    )
-    rc = gc.select((F.col("doc_id") - 1).alias("pid"), "n", "g", F.col("k").alias("kr"))
-    clip = (
-        cc.join(rc, ["pid", "n", "g"])
-        .groupBy("n")
-        .agg(F.sum(F.least("kc", "kr")).cast("bigint").alias("m"))
+    def _clips_batch(cs: pd.Series, rs: pd.Series) -> pd.Series:
+        return pd.Series([chrf_clips(a, b) for a, b in zip(cs, rs)])
+
+    clips_udf = F.pandas_udf(_clips_batch, "array<long>")
+    pair_clips = _pair_roles(
+        d.select("doc_id", F.col("cs").alias("t"))
+    ).select(clips_udf("c", "r").alias("m"))
+    clip_w = pair_clips.agg(
+        *[
+            F.sum(F.element_at("m", n)).cast("bigint").alias(str(n))
+            for n in (1, 2, 3)
+        ]
     )
     lens = d.select("doc_id", F.length("cs").alias("L"))
     pairs = lens.alias("c").join(
@@ -2099,7 +2094,6 @@ def eval_chrf_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tot("c", 0, "tc1"), _tot("c", 1, "tc2"), _tot("c", 2, "tc3"),
         _tot("r", 0, "tr1"), _tot("r", 1, "tr2"), _tot("r", 2, "tr3"),
     )
-    clip_w = clip.groupBy().pivot("n", [1, 2, 3]).sum("m")
     j = tot.crossJoin(F.broadcast(clip_w))
 
     def _ratio(mcol: str, tcol: str):

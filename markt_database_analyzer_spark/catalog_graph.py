@@ -27,8 +27,12 @@ from .catalog import SQL_DAVG, _t, register
 NANO = 1_000_000_000.0
 SQL_NSUM = "(CAST(SUM(CAST(round(({x}) * 1000000000.0) AS HUGEINT)) AS DOUBLE) / 1000000000.0)"
 def nsum(col: Column) -> Column:
+    # exact_long_sum: bit-identical hi/lo long accumulation (~4x the
+    # Decimal128 speed) — the same exact integer total, see aggregates.py
+    from .functions.aggregates import exact_long_sum
+
     return (
-        F.sum(F.round(col.cast("double") * F.lit(NANO)).cast("decimal(38,0)")).cast(
+        exact_long_sum(F.round(col.cast("double") * F.lit(NANO)).cast("long")).cast(
             "double"
         )
         / F.lit(NANO)
@@ -99,12 +103,16 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     edges_deg = edges.join(deg, "u").persist()
-    verts = edges.select(F.col("u").alias("v")).distinct()
-    nn = verts.agg(F.count(F.lit(1)).alias("n"))
-    pr = verts.crossJoin(F.broadcast(nn)).select(
-        "v", (F.lit(1.0) / F.col("n")).alias("pr")
-    )
-    for _ in range(_PR_ITERS):
+    # |V| is a 1-row scalar (bounded driver state, the kcore count()
+    # idiom); inlining it as a literal removes the nn broadcast subtree
+    # every iteration used to rebuild. verts reads the persisted frame
+    # so the base join runs once, not once per downstream branch.
+    verts = edges_deg.select(F.col("u").alias("v")).distinct()
+    n = verts.count()
+    # Python float division is the same IEEE-754 double op the old
+    # lit(1.0)/col("n") evaluated in the JVM — bit-identical ranks.
+    pr = verts.select("v", F.lit(1.0 / n).alias("pr"))
+    for i in range(_PR_ITERS):
         pr_u = pr.select(F.col("v").alias("u"), F.col("pr").alias("pr_u"))
         # rank frame is vertex-cardinality — broadcast it so each
         # iteration is a map-side join + one partial-combined agg
@@ -116,12 +124,18 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("v")
             .agg(nsum(F.col("pr_u") / F.col("deg")).alias("s"))
         )
-        pr = s.crossJoin(F.broadcast(nn)).select(
+        pr = s.select(
             "v",
             F.round(
-                (F.lit(1.0 - _PR_D) / F.col("n")) + F.lit(_PR_D) * F.col("s"), 9
+                F.lit((1.0 - _PR_D) / n) + F.lit(_PR_D) * F.col("s"), 9
             ).alias("pr"),
         )
+        # Lineage cut per iteration (the HITS/BFS discipline): without it
+        # iteration i's broadcast subtree replays iterations 1..i-1, an
+        # O(k^2) re-execution the 174-Exchange r13 before-plan showed.
+        # The final iteration feeds TakeOrdered directly — no cut needed.
+        if i < _PR_ITERS - 1:
+            pr = pr.localCheckpoint(eager=True)
     out = pr.select(
         F.col("v").alias("vid"),
         F.when(F.col("v") % 2 == 0, F.lit("customer"))
@@ -628,6 +642,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.lit(0).cast("bigint").alias("dist"))
         .localCheckpoint(eager=True)
     )
+    n_reached = dist.count()
     for _ in range(_BFS_ROUNDS):
         relaxed = (
             dist.join(edges, dist["node"] == edges["src"])
@@ -639,6 +654,16 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
+        # Early exit on the converged frontier: unit-weight BFS assigns a
+        # node its FINAL distance the first round it is reached, so an
+        # unchanged reached-count means no row of dist can change in any
+        # later round — the remaining rounds are algebraic no-ops and the
+        # output is identical without running them. One O(1) count per
+        # round on the just-checkpointed frame.
+        nr = dist.count()
+        if nr == n_reached:
+            break
+        n_reached = nr
     hist = dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
     total = nodes.agg(F.count(F.lit(1)).alias("total"))
     reached = hist.agg(F.coalesce(F.sum("n_nodes"), F.lit(0)).alias("inc"))
@@ -736,6 +761,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n = alive.count()  # O(1) driver state per round — the MLlib shape
         history.append((r, prev_n - n, n))
+        if n == prev_n:
+            # Converged: peeling is monotone (alive_r ⊆ alive_{r-1}), so an
+            # unchanged count means an unchanged SET, and every remaining
+            # round is the algebraic no-op (r, 0, n). Emit those rows
+            # without running the no-op jobs — output identical by
+            # construction to executing them.
+            history.extend((rr, 0, n) for rr in range(r + 1, _KCORE_ROUNDS + 1))
+            break
         prev_n = n
     return spark.createDataFrame(
         history, "round bigint, n_removed bigint, n_remaining bigint"

@@ -1364,17 +1364,30 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "value", hash60(F.col("event_id").cast("string"), seed=_BOOT_SEED).alias("h")
     )
-    # per-resample offsets: B md5s total (vs B×n when hashing the pair)
-    offsets = spark.range(_BOOT_B).select(
-        F.col("id").cast("int").alias("b"),
-        hash60(F.col("id").cast("string")).alias("ob"),
+    # per-resample offsets: the B hash60("0".."63") values are constants,
+    # so compute them ONCE in Python (bit-identical md5 arithmetic to the
+    # old spark.range frame — pinned by the unchanged oracle) and inline
+    # them as int64 literals. The gate then evaluates inside the
+    # explode's filter, so the ×B row blow-up never passes through a
+    # join: explode ships only the ~B/2 passing resample ids per event
+    # (half the rows of the old explode-then-broadcast-join, one
+    # operator fewer, zero per-row md5 for the offsets), straight into
+    # the map-side-combined agg.
+    import hashlib
+
+    obs = F.array(
+        *[
+            F.lit(int(hashlib.md5(str(b).encode()).hexdigest()[:15], 16))
+            for b in range(_BOOT_B)
+        ]
     )
-    exploded = ev.select(
-        "value", "h", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
-    ).join(F.broadcast(offsets), "b")
-    gate = F.pmod(F.col("h") + F.col("ob"), F.lit(RESOLUTION))
+    passing = F.filter(
+        F.sequence(F.lit(0), F.lit(_BOOT_B - 1)),
+        lambda b: F.pmod(F.col("h") + F.element_at(obs, b + F.lit(1)), F.lit(RESOLUTION))
+        < RESOLUTION // 2,
+    )
     rs = (
-        exploded.filter(gate < RESOLUTION // 2)
+        ev.select("value", F.explode(passing).alias("b"))
         .groupBy("b")
         .agg(davg("value").alias("mean_b"))
     )
@@ -7204,7 +7217,15 @@ def stats_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         picks.append(p)
-        rem = rem.join(p.select("d"), "d", "left_anti")
+        if r < _ESD_K:
+            # Lineage cut per round: the recursion references rem three
+            # times per round (moments, pick, next rem), so the uncut
+            # plan grows ~3^k subtrees (the 716-Exchange r13 before-plan)
+            # and re-executes them all. The day-grain frame is tiny;
+            # one eager cut per round keeps every round one shallow pass.
+            rem = rem.join(p.select("d"), "d", "left_anti").localCheckpoint(
+                eager=True
+            )
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)

@@ -1671,6 +1671,11 @@ def search_pseudo_relevance_feedback(spark: SparkSession, sf_dir: str) -> DataFr
     def score_pass(term_frame: DataFrame) -> DataFrame:
         # wt = 1.0 multiplies exactly in IEEE, so the unweighted pass-1
         # oracle (no wt factor) still matches bit-for-bit.
+        # tf feeds both the per-doc score and its own df aggregation —
+        # pin it so the toks scan + filter-join runs once per pass, not
+        # twice (plan-reuse fix from the 148-Exchange r13 before-plan).
+        from pyspark.storagelevel import StorageLevel
+
         tf = (
             toks.join(F.broadcast(term_frame), "w")
             .groupBy("doc_id", "w")
@@ -1678,6 +1683,7 @@ def search_pseudo_relevance_feedback(spark: SparkSession, sf_dir: str) -> DataFr
                 F.count(F.lit(1)).cast("bigint").alias("tf"),
                 F.first("wt").alias("wt"),
             )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         idf = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
         return (
@@ -1690,7 +1696,15 @@ def search_pseudo_relevance_feedback(spark: SparkSession, sf_dir: str) -> DataFr
 
     q1 = spark.createDataFrame([(w, 1.0) for w in _BM25_TERMS], ["w", "wt"])
     pass1 = score_pass(q1)
-    fb = pass1.orderBy(F.desc("score"), "doc_id").limit(_PRF_FB_DOCS).select("doc_id")
+    # 10-row feedback set: cut here so the two downstream consumers
+    # (fbdf's broadcast, and transitively pass2's query model) read 10
+    # rows instead of replaying the whole pass-1 scoring chain.
+    fb = (
+        pass1.orderBy(F.desc("score"), "doc_id")
+        .limit(_PRF_FB_DOCS)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
     fbdf = (
         toks.join(F.broadcast(fb), "doc_id")
         .filter(
@@ -1722,9 +1736,11 @@ def search_pseudo_relevance_feedback(spark: SparkSession, sf_dir: str) -> DataFr
         .limit(_PRF_EXP_TERMS)
     )
     exp_terms = ranked.select("w", F.lit(_PRF_EXP_WEIGHT).alias("wt"))
+    # <= 8-row query model: cut before pass 2 so its broadcast ships 8
+    # rows instead of re-running the expansion-mining chain.
     qmodel = exp_terms.unionByName(
         spark.createDataFrame([(w, 1.0) for w in _BM25_TERMS], ["w", "wt"])
-    )
+    ).localCheckpoint(eager=True)
     pass2 = score_pass(qmodel)
     return (
         pass2.orderBy(F.desc("score"), "doc_id")
@@ -2533,8 +2549,11 @@ def text_unigram_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def nsum_tx(col):
+        # exact_long_sum: bit-identical hi/lo long accumulation, ~4x faster
+        from .functions.aggregates import exact_long_sum
+
         return (
-            F.sum(F.round(col * F.lit(1e9)).cast("decimal(38,0)")).cast("double")
+            exact_long_sum(F.round(col * F.lit(1e9)).cast("long")).cast("double")
             / F.lit(1e9)
         )
 

@@ -2447,8 +2447,11 @@ def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def nsum_ts(col):
+        # exact_long_sum: bit-identical hi/lo long accumulation, ~4x faster
+        from .functions.aggregates import exact_long_sum
+
         return (
-            F.sum(F.round(col * F.lit(1e9)).cast("decimal(38,0)")).cast("double")
+            exact_long_sum(F.round(col * F.lit(1e9)).cast("long")).cast("double")
             / F.lit(1e9)
         )
 

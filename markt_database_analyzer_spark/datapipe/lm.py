@@ -217,17 +217,24 @@ def dsir_importance(
     Returns one row per candidate (non-target) document:
     ``(id, n_feats, log_w, gumbel_key, sampled)``.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # feats feeds three consumers (both model counts and the candidate
+    # scoring pass): pin it so the tokenize+hash explode runs once, and
+    # fold the two single-slice count passes into ONE map-side-combined
+    # aggregation over the shared frame (2 corpus aggs -> 1). c_tgt = 0
+    # where the original left join produced NULL — the downstream
+    # coalesce(c_tgt, 0) makes the log-ratio identical.
     feats = docs.select(
         F.col(id_col).alias("did"),
         target_pred.alias("is_target"),
         F.explode(dsir_features(text_col, n_buckets)).alias("bucket"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_tgt"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("c_raw"),
     )
-    tgt_counts = feats.filter("is_target").groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_tgt")
-    )
-    raw_counts = feats.filter(~F.col("is_target")).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_raw")
-    )
+    tgt_counts = counts.select("bucket", "c_tgt")
     # Model totals: raw_total rides an unbounded window over the
     # ≤ n_buckets count rows — constant-size state, no extra shuffle of
     # the corpus. tgt_total must be the GLOBAL target feature mass
@@ -239,8 +246,11 @@ def dsir_importance(
     tgt_total = tgt_counts.agg(
         F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("tgt_total")
     )
+    # raw_counts already carries c_tgt via the shared counts frame — the
+    # old raw-left-join-tgt is a projection of it (c_tgt 0 vs NULL, which
+    # the coalesce below erases), so no bucket-table self-join is needed.
     ratio = (
-        raw_counts.join(tgt_counts, "bucket", "left")
+        counts.filter(F.col("c_raw") > 0)
         .crossJoin(F.broadcast(tgt_total))
         .withColumn("raw_total", F.sum("c_raw").over(w_all))
         .select(

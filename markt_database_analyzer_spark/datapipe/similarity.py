@@ -813,6 +813,13 @@ def kcenter_select(
         F.expr(_qdist_expr("vec", cvec)).alias("mind"),
         F.lit(0).alias("arank"),
     )
+    # One eager cut per pick: the chained min-distance folds otherwise
+    # stack k inlined-literal distance expressions (each carries the
+    # full centroid vector as literals), and every argmax re-analyzes
+    # and re-executes the whole chain — O(k^2) driver planning and
+    # executor compute. Materialized, each step is one scan evaluating
+    # exactly ONE new distance expression; same mind/arank data.
+    cur = cur.localCheckpoint(eager=True)
     for i in range(1, k):
         far = cur.orderBy(F.desc("mind"), F.asc("pid")).limit(1).collect()[0]
         picks.append((i, far["pid"], far["mind"]))
@@ -824,6 +831,8 @@ def kcenter_select(
             F.when(nd < F.col("mind"), nd).otherwise(F.col("mind")).alias("mind"),
             F.when(nd < F.col("mind"), F.lit(i)).otherwise(F.col("arank")).alias("arank"),
         )
+        if i < k - 1:
+            cur = cur.localCheckpoint(eager=True)
     stats = cur.groupBy("arank").agg(
         F.count(F.lit(1)).alias("n_assigned"), F.max("mind").alias("max_radius_q")
     )
