@@ -1758,7 +1758,12 @@ def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("qnorm"),
         )
-        .orderBy("event_id")
+        # single-partition sort instead of a global orderBy: the range
+        # exchange samples + re-shuffles the full per-event output for
+        # cosmetic order only (driver compare is order-insensitive);
+        # the output stays totally ordered.
+        .repartition(1)
+        .sortWithinPartitions("event_id")
     )
 
 
@@ -2636,8 +2641,12 @@ def stats_quantile_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame
         / 1000000.0,
         9,
     )
-    return rows.select("event_id", "event_type", "value", qnorm.alias("qnorm")).orderBy(
-        "event_id"
+    # single-partition sort instead of a global orderBy (same rationale
+    # as stats_quantile_normalize: cosmetic order, order-insensitive gate)
+    return (
+        rows.select("event_id", "event_type", "value", qnorm.alias("qnorm"))
+        .repartition(1)
+        .sortWithinPartitions("event_id")
     )
 
 

@@ -281,7 +281,13 @@ def w_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .orderBy("event_type", "ts", "event_id")
+        # single-partition sort instead of a global orderBy: the
+        # range exchange samples (re-executing the window stage) and
+        # re-shuffles the full per-event output just for cosmetic
+        # order (A/B at sf0.1: 2.3 s -> 1.4 s); the driver compare is
+        # order-insensitive and the output stays totally ordered.
+        .repartition(1)
+        .sortWithinPartitions("event_type", "ts", "event_id")
     )
 
 

@@ -201,8 +201,17 @@ def triangle_stats(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         (F.col("d1") < F.col("d2"))
         | ((F.col("d1") == F.col("d2")) & (F.col("w1") < F.col("w2")))
     )
+    # Close wedges with a SHUFFLED HASH join (guide §3.1): the stream
+    # side is the wedge frame (the largest intermediate — sum of oriented
+    # out-degrees squared) and sort-merge would SORT all of it just to
+    # probe edge membership; hashing the per-partition edge slice skips
+    # that sort (A/B at sf0.1: 7.1 s vs 7.8-8.6 s for the same plan with
+    # SMJ). The build side is the per-partition slice of the oriented
+    # edge list — bounded by the shuffle partitioning, and per-partition
+    # build memory is the documented SHJ trade.
     tri = wedges.join(
-        o.select(F.col("a").alias("w1"), F.col("b").alias("w2")), ["w1", "w2"]
+        o.select(F.col("a").alias("w1"), F.col("b").alias("w2")).hint("SHUFFLE_HASH"),
+        ["w1", "w2"],
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
     base = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
