@@ -2808,11 +2808,18 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.col("cum") - F.col("cnt") + 1).cast("bigint").alias(alias),
         )
 
+    # quantity and discount are DOMAIN-BOUNDED columns (integral 1..50 /
+    # 11 discount steps — the domain does not grow with the corpus), so
+    # their rank maps broadcast at any scale; hinting them removes two of
+    # the three fact-table shuffles (checkpointed rank maps carry no
+    # size statistics, so the 64 MB auto-broadcast cannot fire on its
+    # own). The price rank map is value-domain-sized and keeps the
+    # shuffled join.
     j = (
         li.select(*cols)
         .join(rank2("l_extendedprice", "rx2"), "l_extendedprice")
-        .join(rank2("l_quantity", "rq2"), "l_quantity")
-        .join(rank2("l_discount", "rd2"), "l_discount")
+        .join(F.broadcast(rank2("l_quantity", "rq2")), "l_quantity")
+        .join(F.broadcast(rank2("l_discount", "rd2")), "l_discount")
     )
 
     def d(c: str):

@@ -95,6 +95,8 @@ def main() -> None:
             with open(os.path.join(args.plans_dir, f"{name}_{args.suffix}.txt"), "w") as f:
                 f.write(plan)
             release_blocks()
+        if args.runs == 0:  # plans-only mode
+            continue
         samples = []
         for _ in range(args.runs):
             spark.sparkContext.setJobDescription(f"profile:{name}")
