@@ -82,23 +82,27 @@ def connected_components(
     for _ in range(max_iter):
         # Push every node's current label to its neighbours, then take the
         # min of (own label, pushed labels). Join key is dst (int64).
+        # The node's own previous label rides along as a conditional max
+        # (each id has exactly one own row), so the convergence test is a
+        # column compare on the just-checkpointed frame — one trivial scan
+        # instead of the old new⋈old join job per round.
         pushed = (
             edges.join(labels, edges["dst"] == labels["id"])
-            .select(F.col("src").alias("id"), "lab")
+            .select(F.col("src").alias("id"), "lab", F.lit(0).alias("own"))
         )
         new_labels = (
-            labels.unionByName(pushed)
+            labels.select("id", "lab", F.lit(1).alias("own"))
+            .unionByName(pushed)
             .groupBy("id")
-            .agg(F.min("lab").alias("lab"))
+            .agg(
+                F.min("lab").alias("lab"),
+                F.max(F.when(F.col("own") == 1, F.col("lab"))).alias("old_lab"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
+        # min-label only ever decreases, so "changed" == strictly-lower
+        changed = new_labels.filter(F.col("lab") < F.col("old_lab")).count()
+        labels = new_labels.select("id", "lab")
         if changed == 0:
             return labels.select("id", F.col("lab").alias("cluster_id"))
     raise RuntimeError(
