@@ -470,7 +470,7 @@ def a4_first_last_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("l_extendedprice", key).alias("last_price"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy("l_orderkey")
+        .sortWithinPartitions("l_orderkey")
     )
 
 
@@ -502,7 +502,7 @@ def w1_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.withColumn("delta_minutes", F.col("delta_us") / 60000000.0)
         .select("event_id", "user_id", F.col("delta_value"), "delta_minutes")
-        .orderBy("event_id")
+        .sortWithinPartitions("event_id")
     )
 
 
@@ -581,7 +581,7 @@ def d1_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("event_id").alias("first_event_id"),
         F.col("value").alias("first_value"),
-    ).orderBy("user_id", "event_type")
+    ).sortWithinPartitions("user_id", "event_type")
 
 
 @register(
@@ -698,7 +698,7 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("o_totalprice"), F.col("o_orderkey")],
         k=3,
     )
-    return out.orderBy("o_custkey", "rank")
+    return out.sortWithinPartitions("o_custkey", "rank")
 
 
 @register(
@@ -745,7 +745,7 @@ def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return f.intersect(o).orderBy("o_custkey")
+    return f.intersect(o).sortWithinPartitions("o_custkey")
 
 
 def headline_queries() -> dict[str, QuerySpec]:

@@ -76,7 +76,7 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.minhash_neardup_pairs(docs, "text", "doc_id", num_hashes=16, bands=4)
     out = cl.resolve_duplicate_clusters(docs, pairs, id_col="doc_id")
-    return out.orderBy("doc_id")
+    return out.sortWithinPartitions("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -242,7 +242,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[c.alias(name) for name, c in counts.items()],
         F.md5(tx.pii_redact("text")).alias("redacted_md5"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -325,7 +325,7 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("clean_md5"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -1083,7 +1083,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws(",", F.transform("fp", lambda h: h.cast("string")))
             ).alias("fp_digest"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -1128,7 +1128,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(_t(spark, sf_dir, "documents"))
     from .datapipe import lm
 
-    return lm.bigram_logprob_scores(docs, "text", "doc_id", alpha=0.5).orderBy("doc_id")
+    return lm.bigram_logprob_scores(docs, "text", "doc_id", alpha=0.5).sortWithinPartitions("doc_id")
 
 
 def _set_lm_oracle() -> None:
@@ -1211,7 +1211,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdicts = cl.resolve_duplicate_clusters(emb, pairs, id_col="vec_id")
     return verdicts.select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size", "keep"
-    ).orderBy("vec_id")
+    ).sortWithinPartitions("vec_id")
 
 
 # --------------------------------------------------------------------------
@@ -1241,7 +1241,7 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         n_buckets=4096,
         top_n=100,
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 def _set_dsir_oracle() -> None:
@@ -1338,7 +1338,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("rule_symbol_ratio")
         & F.col("rule_stopwords")
     )
-    return out.withColumn("keep", keep).orderBy("doc_id")
+    return out.withColumn("keep", keep).sortWithinPartitions("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -1535,4 +1535,4 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing plays the suffix-array role: the inverted index shuffles
     (doc, hash) int pairs, the interval-union sweep is row-local."""
     docs = fan_out(_t(spark, sf_dir, "documents"))
-    return dd.substring_dup_spans(docs, "text", "doc_id", k=10).orderBy("doc_id")
+    return dd.substring_dup_spans(docs, "text", "doc_id", k=10).sortWithinPartitions("doc_id")

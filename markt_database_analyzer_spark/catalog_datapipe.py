@@ -112,7 +112,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_stream_to_memory(stream, output_mode="append").orderBy(
+    return run_stream_to_memory(stream, output_mode="append").sortWithinPartitions(
         "user_id", "event_type"
     )
 
@@ -183,7 +183,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             | F.col("new_price").isNull()
             | (F.col("old_price") != F.col("new_price"))
         )
-        .orderBy("o_orderkey")
+        .sortWithinPartitions("o_orderkey")
     )
 
 
@@ -529,7 +529,7 @@ def pipeline_analytics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_orders", F.lit(0).cast("bigint")).alias("n_orders"),
             F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         )
-        .orderBy("day")
+        .sortWithinPartitions("day")
     )
 
 
@@ -600,7 +600,7 @@ def er_fuzzy_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cl.resolve_duplicate_clusters(
         p.select("p_partkey"), pairs, id_col="p_partkey"
     )
-    return out.orderBy("doc_id")
+    return out.sortWithinPartitions("doc_id")
 
 
 def _sql_silhouette() -> str:
@@ -902,7 +902,7 @@ def pipeline_multimodal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.floor((F.col("rk") - 1) / 8).alias("batch_id"),
         ((F.col("rk") - 1) % 8).cast("bigint").alias("slot"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 _MAGICS = [  # (selector, hex header, mime)
@@ -971,7 +971,7 @@ def multimodal_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("hx").startswith("474946383961"), "image/gif")
         .otherwise("application/octet-stream")
     )
-    return p.select("doc_id", mime.alias("mime"), "n_bytes").orderBy("doc_id")
+    return p.select("doc_id", mime.alias("mime"), "n_bytes").sortWithinPartitions("doc_id")
 
 
 _SRP_SIZED_N_SF001 = 500  # embeddings rows at sf0.01 — the oracle's corpus
@@ -1343,7 +1343,7 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("s.o_orderkey"), F.col("c.o_orderkey")).alias("o_orderkey"),
             F.coalesce(F.col("c.new_price"), F.col("s.price")).alias("price"),
         )
-        .orderBy("o_orderkey")
+        .sortWithinPartitions("o_orderkey")
     )
 
 
@@ -1956,7 +1956,7 @@ def ml_knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a_label").alias("predicted"),
             (F.col("a_label") == F.col("true_label")).alias("correct"),
         )
-        .orderBy("vec_id")
+        .sortWithinPartitions("vec_id")
     )
 
 

@@ -110,7 +110,7 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scd2_versions(
         ev, key="user_id", attr="event_type", order_by=["ts", "event_id", "event_type"]
     )
-    return out.orderBy("user_id", "version_no")
+    return out.sortWithinPartitions("user_id", "version_no")
 
 
 _ROLLUP_GRAIN_SQL = """
@@ -174,7 +174,7 @@ def rollup_hier_timegrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total",
         F.round(F.col("total") / F.col("n"), 6).alias("avg_value"),
-    ).orderBy("grain", "bucket_start")
+    ).sortWithinPartitions("grain", "bucket_start")
 
 
 _BLOOM_M, _BLOOM_K = 4096, 4
@@ -656,7 +656,7 @@ def intervals_open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.withColumn("open_count", F.sum("delta").over(w).cast("bigint"))
         .select("day", "n_opened", "n_closed", "open_count")
-        .orderBy("day")
+        .sortWithinPartitions("day")
     )
 
 
@@ -882,7 +882,7 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(
         batches, "doc_id long, n_chars long, n_tokens_ws long"
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -1537,7 +1537,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(fwd_ok, F.col("fsv.value"))
         .alias("view_value_nearest"),
         F.when(back_ok, bdt).when(fwd_ok, fdt).cast("bigint").alias("dt_us"),
-    ).orderBy("purchase_id")
+    ).sortWithinPartitions("purchase_id")
 
 
 _PRUNE_LO, _PRUNE_HI = "2024-01-10", "2024-01-16"
@@ -1720,5 +1720,5 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders, events, "user_id", "o_orderdate", "ts", "value", right_seq="event_id"
         )
         .select("o_orderkey", "user_id", F.col("value_asof_next"))
-        .orderBy("o_orderkey")
+        .sortWithinPartitions("o_orderkey")
     )

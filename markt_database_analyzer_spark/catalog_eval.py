@@ -2044,8 +2044,19 @@ def eval_chrf_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a (doc, n, gram) groupBy exchange plus a (pid, n, gram)
     sort-merge join — strictly more shuffled bytes than the two-role
     string union, and 22 Exchanges against 5 after. Totals still come
-    from per-doc LENGTHS (no second gram pass)."""
-    from collections import Counter
+    from per-doc LENGTHS (no second gram pass).
+
+    r14 (guide §4.2, VERDICT item 7): the per-pair Python Counter loop
+    is replaced by a numpy kernel inside the same Arrow batch. A string
+    is its codepoint sequence (utf-32-le buffer — exact, surrogate-free
+    by construction), an n-gram is the base-2^21 composition of its n
+    codepoints (codepoints < 0x110000 < 2^21, so 3 grams fit int64 with
+    no collisions), and the clipped match count is
+    sum(min(counts)) over np.intersect1d of the two unique-gram sets —
+    the identical exact integers, fuzz-pinned against the Counter form
+    (test_r14_optimization), at vectorized speed (measured 5.6x on
+    2000-char synthetic docs; entry A/B in OPTIMIZATION_r14.md)."""
+    import numpy as np
 
     from .datapipe.util import fan_out
 
@@ -2057,15 +2068,28 @@ def eval_chrf_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    def _gram_clip(gc: "np.ndarray", gr: "np.ndarray") -> int:
+        # Sigma_g min(count_c[g], count_r[g]) — the same exact integers
+        # the (pid, n, gram) join summed with least(kc, kr).
+        if len(gc) == 0 or len(gr) == 0:
+            return 0
+        uc, cc = np.unique(gc, return_counts=True)
+        ur, cr = np.unique(gr, return_counts=True)
+        _, ic, ir = np.intersect1d(uc, ur, assume_unique=True, return_indices=True)
+        return int(np.minimum(cc[ic], cr[ir]).sum())
+
+    def _grams(a: "np.ndarray", n: int) -> "np.ndarray":
+        if len(a) < n:
+            return a[:0]
+        g = a[: len(a) - n + 1].copy()
+        for k in range(1, n):
+            g = g * np.int64(1 << 21) + a[k : len(a) - n + 1 + k]
+        return g
+
     def chrf_clips(c: str, r: str) -> list:
-        # Sigma_g min(count_c[g], count_r[g]) per n — the same exact
-        # integers the (pid, n, gram) join summed with least(kc, kr).
-        out = []
-        for n in (1, 2, 3):
-            cc = Counter(c[i : i + n] for i in range(len(c) - n + 1))
-            rc = Counter(r[i : i + n] for i in range(len(r) - n + 1))
-            out.append(sum(min(k, rc[g]) for g, k in cc.items() if g in rc))
-        return out
+        ca = np.frombuffer(c.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        ra = np.frombuffer(r.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        return [_gram_clip(_grams(ca, n), _grams(ra, n)) for n in (1, 2, 3)]
 
     def _clips_batch(cs: pd.Series, rs: pd.Series) -> pd.Series:
         return pd.Series([chrf_clips(a, b) for a, b in zip(cs, rs)])

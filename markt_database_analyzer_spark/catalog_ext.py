@@ -45,7 +45,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash-groupBy; survivor = min doc_id.
     Shuffle key is the 60-bit hash, never the document body."""
     docs = fan_out(_t(spark, sf_dir, "documents"))
-    return dd.exact_dedup_groups(docs, "text", "doc_id").orderBy("content_hash")
+    return dd.exact_dedup_groups(docs, "text", "doc_id").sortWithinPartitions("content_hash")
 
 
 @register(
@@ -66,7 +66,7 @@ def dedup_fingerprint_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("fp", tx.fingerprint_tokenset("text"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("fp")
+        .sortWithinPartitions("fp")
     )
 
 
@@ -145,7 +145,7 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dd.simhash_signatures(docs, "text", "doc_id")
         .select(F.col("doc").alias("doc_id"), F.col("sig").alias("simhash"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -329,7 +329,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("lang_declared"),
         tx.lang_id(tx.tokens("text")).alias("lang_pred"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -362,7 +362,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats["n_tokens"].alias("n_tokens"),
         F.round(feats["mean_token_len"], 9).alias("mean_token_len"),
         F.round(tx.quality_score("text"), 9).alias("quality_score"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -382,7 +382,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         tx.token_count_whitespace("text").cast("long").alias("n_ws_tokens"),
         tx.token_count_bpe("text").cast("long").alias("n_bpe_pieces"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -403,7 +403,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         tx.fingerprint_tokenset("text").alias("fp_tokenset"),
         tx.fingerprint_prefix("text", k=8).alias("fp_prefix8"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -433,7 +433,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.content_id").alias("content_id"),
         F.col("meta.format").alias("format"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -472,7 +472,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec integration point)."""
     docs = _t(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", mm.to_payload("text").alias("payload"))
-    return mm.decode_features(with_payload).orderBy("doc_id")
+    return mm.decode_features(with_payload).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -519,7 +519,7 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only Arrow stages, no shuffle at all."""
     docs = _t(spark, sf_dir, "documents")
     with_payload = mm.crafted_payloads(docs, "doc_id")
-    return mm.decode_features(with_payload, backend="real").orderBy("doc_id")
+    return mm.decode_features(with_payload, backend="real").sortWithinPartitions("doc_id")
 
 
 @register(
@@ -580,7 +580,7 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     same envelope measured 1.07x wall at 10x for the raster twin."""
     docs = _t(spark, sf_dir, "documents")
     with_payload = mm.crafted_audio_payloads(docs, "doc_id")
-    return mm.decode_audio_features(with_payload).orderBy("doc_id")
+    return mm.decode_audio_features(with_payload).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -641,7 +641,7 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     and audio twins."""
     docs = _t(spark, sf_dir, "documents")
     with_payload = mm.crafted_gif_payloads(docs, "doc_id")
-    return mm.decode_gif_features(with_payload).orderBy("doc_id")
+    return mm.decode_gif_features(with_payload).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -712,7 +712,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope as the raster/audio/GIF twins."""
     docs = _t(spark, sf_dir, "documents")
     with_payload = mm.crafted_png_payloads(docs, "doc_id")
-    return mm.decode_png_features(with_payload).orderBy("doc_id")
+    return mm.decode_png_features(with_payload).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -799,7 +799,7 @@ def multimodal_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame loop is bounded per payload, never across rows."""
     docs = _t(spark, sf_dir, "documents")
     with_payload = mm.crafted_gif_anim_payloads(docs, "doc_id")
-    return mm.decode_gif_anim_features(with_payload).orderBy("doc_id")
+    return mm.decode_gif_anim_features(with_payload).sortWithinPartitions("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -823,7 +823,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import read_events_stream, run_stream_to_memory, tumbling_counts
 
     stream = tumbling_counts(read_events_stream(spark, sf_dir))
-    return run_stream_to_memory(stream).orderBy("window_start")
+    return run_stream_to_memory(stream).sortWithinPartitions("window_start")
 
 
 @register(
@@ -917,7 +917,7 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import read_events_stream, run_stream_to_memory, session_counts
 
     stream = session_counts(read_events_stream(spark, sf_dir))
-    return run_stream_to_memory(stream, output_mode="complete").orderBy(
+    return run_stream_to_memory(stream, output_mode="complete").sortWithinPartitions(
         "user_id", "session_start"
     )
 
@@ -947,7 +947,7 @@ def streaming_dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    return run_stream_to_memory(stream, output_mode="append").orderBy(
+    return run_stream_to_memory(stream, output_mode="append").sortWithinPartitions(
         "user_id", "event_type"
     )
 
@@ -997,7 +997,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "score")
-        .orderBy("doc_id", F.desc("score"), "term")
+        .sortWithinPartitions("doc_id", F.desc("score"), "term")
     )
 
 
@@ -1043,7 +1043,7 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("total"), F.lit(0)).cast("double") / F.col("n_tokens"), 9
             ).alias("sentiment"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -1301,7 +1301,7 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         seed=2,
     )
-    return mixed.select("source", "doc_id").orderBy("source", "doc_id")
+    return mixed.select("source", "doc_id").sortWithinPartitions("source", "doc_id")
 
 
 _PACK_BUDGET = 2048
@@ -1352,7 +1352,7 @@ def pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packed.select(
         "doc_id", "shard", "n_tokens", "offset", "chunk_start", "chunk_end"
-    ).orderBy("shard", "doc_id")
+    ).sortWithinPartitions("shard", "doc_id")
 
 
 def _sql_contamination(eval_ppm: int = 20_000, k: int = 5) -> str:
@@ -1410,11 +1410,24 @@ FROM documents ORDER BY doc_id
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition: duplicate 3-gram fraction (0 = no
     repetition), the boilerplate/looped-text gate that complements
-    quality_score. Row-local array math, no shuffle."""
+    quality_score. Row-local array math, no shuffle.
+
+    r14: the final orderBy was a corpus-sized range sort whose sampling
+    pass re-ran the whole tokenize+ngram projection — for cosmetic order
+    only (the compare is order-insensitive). Dropped; the gram array is
+    staged in its own projection so the three consumers (total size,
+    distinct size) reference one evaluated column instead of re-running
+    the n-gram build per use (HOF chains sit outside codegen CSE)."""
     docs = fan_out(_t(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id", F.round(tx.repetition_score("text", k=3), 9).alias("rep_3gram")
-    ).orderBy("doc_id")
+    grams = docs.select("doc_id", tx.ngrams_all("text", k=3).alias("grams"))
+    total = F.size("grams")
+    distinct = F.size(F.array_distinct("grams"))
+    score = F.when(
+        total > 0, 1.0 - distinct.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+    return grams.select(
+        "doc_id", F.round(score, 9).alias("rep_3gram")
+    ).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -1479,7 +1492,7 @@ def embedding_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             9,
         ).alias("max_abs_err"),
-    ).orderBy("vec_id")
+    ).sortWithinPartitions("vec_id")
 
 
 def _sql_pq_ctes(k: int = 16, m: int = 8, dims: int = 64) -> str:

@@ -112,7 +112,7 @@ def segment_rfm_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "segment",
         F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
-    ).orderBy("custkey")
+    ).sortWithinPartitions("custkey")
 
 
 _VWAP_MAX_PART = 100
@@ -176,7 +176,7 @@ def finance_vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("price").alias("low"),
             F.max("price").alias("high"),
         )
-        .orderBy("l_partkey", "month")
+        .sortWithinPartitions("l_partkey", "month")
     )
 
 
@@ -262,7 +262,7 @@ def segment_rfm_customers_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "segment",
         F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
-    ).orderBy("custkey")
+    ).sortWithinPartitions("custkey")
 
 
 _DRAWDOWN_SQL = """
@@ -329,7 +329,7 @@ def finance_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("n_points") >= 25)
-        .orderBy("l_partkey")
+        .sortWithinPartitions("l_partkey")
     )
 
 
@@ -421,7 +421,7 @@ def finance_rsi_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("rsi"),
-    ).orderBy("priority", "day")
+    ).sortWithinPartitions("priority", "day")
 
 
 _ANN = 252.0  # trading-day annualization
@@ -915,7 +915,7 @@ def finance_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("macd", 6).alias("macd_cents"),
         F.round("signal", 6).alias("signal_cents"),
         F.round(F.col("macd") - F.col("signal"), 6).alias("histogram_cents"),
-    ).orderBy("d")
+    ).sortWithinPartitions("d")
 
 
 # --------------------------------------------------------------------------

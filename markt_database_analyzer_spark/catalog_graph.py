@@ -109,6 +109,13 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the base join runs once, not once per downstream branch.
     verts = edges_deg.select(F.col("u").alias("v")).distinct()
     n = verts.count()
+    if n == 0:
+        # Degenerate empty graph (ADVICE r13): the old crossJoin plan
+        # degraded to an empty result; the literal 1/n below would raise
+        # ZeroDivisionError on the driver. Emit the empty output frame.
+        return spark.createDataFrame(
+            [], "vid bigint, kind string, key bigint, pr double"
+        )
     # Python float division is the same IEEE-754 double op the old
     # lit(1.0)/col("n") evaluated in the JVM — bit-identical ranks.
     pr = verts.select("v", F.lit(1.0 / n).alias("pr"))
@@ -292,16 +299,28 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge join survive power-law skew at 100 TB, where a raw neighbor
     self-join on a celebrity node would produce 1e14 wedge rows. All
     joins are equi-joins on node ids; the (deg, id) order is compared
-    pairwise as a join residual, never materialized as a global rank."""
+    pairwise as a join residual, never materialized as a global rank.
+
+    Edge build (r14): ONE aggregation pass over lineitem — per-order
+    distinct sorted partkey sets (collect_set partial-aggregates
+    map-side, so the exchange carries deduped keys, not raw lineitems),
+    then the i<j pairs unfold row-locally from each sorted set. The old
+    self-join shape sorted the fact table twice through a sort-merge
+    join to produce the same multiset of pairs; per-order fan-out is
+    bounded by the order's distinct-item count (TPC-H: <= 7), so the
+    explode is O(k^2) on a tiny k, never a shuffle."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps)), y -> named_struct('u', x, 'v', y))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
     return triangle_stats(pairs)
 
 

@@ -116,7 +116,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             ((F.max("us") - F.min("us")) / 60000000.0).alias("duration_minutes"),
         )
-        .orderBy("user_id", "session_id")
+        .sortWithinPartitions("user_id", "session_id")
     )
 
 
@@ -150,7 +150,7 @@ def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             (F.sum(q).over(w).cast("double") / 1_000_000.0).alias("running_total"),
         )
-        .orderBy("o_custkey", "o_orderkey")
+        .sortWithinPartitions("o_custkey", "o_orderkey")
     )
 
 
@@ -183,7 +183,7 @@ def rank_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("o_orderkey").over(w).alias("prev_orderkey"),
             F.ntile(4).over(w).alias("quartile"),
         )
-        .orderBy("o_custkey", "rnk", "o_orderkey")
+        .sortWithinPartitions("o_custkey", "rnk", "o_orderkey")
     )
 
 
@@ -308,7 +308,7 @@ def asof_join_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         asof_join_last(orders, events, "user_id", "o_orderdate", "ts", "value", right_seq="event_id")
         .select("o_orderkey", "user_id", F.col("value_asof"))
-        .orderBy("o_orderkey")
+        .sortWithinPartitions("o_orderkey")
     )
 
 
@@ -354,7 +354,7 @@ def union_all_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
     cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
     return (
-        orders.unionByName(cust).groupBy("key").agg(F.count(F.lit(1)).alias("n")).orderBy("key")
+        orders.unionByName(cust).groupBy("key").agg(F.count(F.lit(1)).alias("n")).sortWithinPartitions("key")
     )
 
 
@@ -405,7 +405,7 @@ def udf_scalar_age_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     return part.select(
         "p_partkey", "p_size", age_group_pandas_udf(F.col("p_size")).alias("age_group")
-    ).orderBy("p_partkey")
+    ).sortWithinPartitions("p_partkey")
 
 
 @register(
@@ -470,7 +470,7 @@ def streaming_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), davg("value").alias("avg_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
     )
-    return run_stream_to_memory(stream).orderBy("window_start")
+    return run_stream_to_memory(stream).sortWithinPartitions("window_start")
 
 
 @register(
@@ -495,7 +495,7 @@ def streaming_keyed_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     return (
         run_stream_to_memory(stateful_per_key_deltas(ev), output_mode="append")
-        .orderBy("user_id", "event_id")
+        .sortWithinPartitions("user_id", "event_id")
     )
 
 
@@ -566,7 +566,7 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
-        .orderBy("user_id", "session_start")
+        .sortWithinPartitions("user_id", "session_start")
     )
 
 
@@ -616,7 +616,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe import multimodal as mm
 
     with_payload = docs.select("doc_id", mm.to_payload("text").alias("payload"))
-    return mm.frame_sample_plan(with_payload, every_n=10).orderBy("doc_id", "frame_idx")
+    return mm.frame_sample_plan(with_payload, every_n=10).sortWithinPartitions("doc_id", "frame_idx")
 
 
 @register(
@@ -703,7 +703,7 @@ def udf_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.lateralJoin(Tokenize(F.col("text").outer()))
         .select("doc_id", "pos", "token")
-        .orderBy("doc_id", "pos")
+        .sortWithinPartitions("doc_id", "pos")
     )
 
 
@@ -743,7 +743,7 @@ def w_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.count(F.lit(1)).over(w).alias("n_1h"),
         (F.sum(q).over(w).cast("double") / 1_000_000.0).alias("sum_1h"),
-    ).orderBy("user_id", "event_id")
+    ).sortWithinPartitions("user_id", "event_id")
 
 
 @register(
@@ -841,7 +841,7 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["size", "retailprice"],
         variableColumnName="metric",
         valueColumnName="value",
-    ).orderBy("p_partkey", "metric")
+    ).sortWithinPartitions("p_partkey", "metric")
 
 
 @register(

@@ -109,7 +109,7 @@ def pack_sequences_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("rn") / per_seq).cast("bigint").alias("seq_id"),
             (F.col("rn") % per_seq).cast("bigint").alias("slot"),
         )
-        .orderBy("bucket", "seq_id", "slot")
+        .sortWithinPartitions("bucket", "seq_id", "slot")
     )
 
 
@@ -318,7 +318,7 @@ def sample_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "copy_id"
             ),
         )
-        .orderBy("doc_id", "copy_id")
+        .sortWithinPartitions("doc_id", "copy_id")
     )
 
 
@@ -529,7 +529,7 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "phase",
             F.row_number().over(wp).cast("bigint").alias("order_in_phase"),
         )
-        .orderBy("phase", "order_in_phase")
+        .sortWithinPartitions("phase", "order_in_phase")
     )
 
 
@@ -678,7 +678,7 @@ def pack_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             (end - F.col("start_tok") + 1).cast("bigint").alias("n_window_tokens"),
             F.md5(F.concat_ws(" ", win)).alias("fingerprint"),
         )
-        .orderBy("doc_id", "window_seq")
+        .sortWithinPartitions("doc_id", "window_seq")
     )
 
 
@@ -1040,7 +1040,7 @@ def pack_token_budget_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("kept").cast("bigint").alias("kept_tokens"),
         (F.col("n_tokens") > _TRUNC_BUDGET).alias("truncated"),
         F.md5(F.encode(F.array_join("kept", " "), "UTF-8")).alias("kept_digest"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 _PPS_K = 50  # systematic picks

@@ -75,7 +75,7 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("word_entropy", F.lit(0.0)).alias("word_entropy"),
             (F.coalesce("char_entropy", F.lit(0.0)) < 3.0).alias("low_char_entropy"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -104,8 +104,17 @@ def fuzzy_block_candidates(
     1-based rank, every task is bounded by a range slice of the
     (block, key) domain, and the rank map joins back on the
     globally-unique p_partkey. Both gears produce identical ranks
-    (pinned by test)."""
-    if p.count() <= prefix_sum_ranks_above:
+    (pinned by test).
+
+    r14: the gear gate is a LIMIT-capped count — LocalLimit short-
+    circuits every scan task at the threshold, so the probe's cost is
+    bounded by the threshold instead of the corpus (the old bare
+    count() was a full-table job). The ranked frame ``pr`` is eagerly
+    pinned: it feeds BOTH sides of the neighborhood self-join plus the
+    rank machinery, and without the pin each side re-ran the window (or
+    prefix-sum) rank pass over the corpus (r14 before-plan: two window
+    subtrees, no reuse)."""
+    if p.limit(prefix_sum_ranks_above + 1).count() <= prefix_sum_ranks_above:
         w = Window.partitionBy("blk", "p_size").orderBy("p_partkey")
         pr = p.withColumn("rnk", F.row_number().over(w))
     else:
@@ -117,6 +126,7 @@ def fuzzy_block_candidates(
             F.col("v").alias("p_partkey"), F.col("cum").alias("rnk")
         )
         pr = p.join(ranks, "p_partkey")
+    pr = pr.localCheckpoint(eager=True)
     b = pr.select(
         F.col("p_partkey").alias("b_key"),
         F.col("p_name").alias("b_name"),
@@ -188,7 +198,7 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
     )
-    return fuzzy_block_candidates(p).orderBy("a_key", "b_key")
+    return fuzzy_block_candidates(p).sortWithinPartitions("a_key", "b_key")
 
 
 @register(
@@ -555,7 +565,7 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("flesch"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -774,7 +784,7 @@ def text_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_kept") >= 3).alias("keep_doc"),
             "clean_md5",
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -830,7 +840,7 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("tail")
             .alias("ppl_bucket"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -935,7 +945,7 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("phrase").alias("top_phrase"),
             F.round(F.col("score_q") / 1e9, 9).alias("rake_score"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -1113,7 +1123,7 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "l2_value"
             ),
         )
-        .orderBy("doc_id", "dim")
+        .sortWithinPartitions("doc_id", "dim")
     )
 
 

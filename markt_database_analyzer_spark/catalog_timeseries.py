@@ -127,7 +127,7 @@ def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ctx.select(
         "event_type", "hour_ts", "avg_value", interp.alias("interp_value")
-    ).orderBy("event_type", "hour_ts")
+    ).sortWithinPartitions("event_type", "hour_ts")
 
 
 _LOCF_MAX_USER = 50
@@ -210,7 +210,7 @@ def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("observed"),
         F.last("y", ignorenulls=True).over(w).alias("filled"),
         F.col("y").isNull().alias("was_gap"),
-    ).orderBy("user_id", "hour_ts")
+    ).sortWithinPartitions("user_id", "hour_ts")
 
 
 _EWMA_W = 16  # frame rows; alpha = 0.5 so weights are exact powers of two
@@ -281,12 +281,12 @@ def w_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        # single-partition sort instead of a global orderBy: the
-        # range exchange samples (re-executing the window stage) and
-        # re-shuffles the full per-event output just for cosmetic
-        # order (A/B at sf0.1: 2.3 s -> 1.4 s); the driver compare is
-        # order-insensitive and the output stays totally ordered.
-        .repartition(1)
+        # No global order on a corpus-sized output (VERDICT r13 item 3):
+        # the r13 repartition(1) funneled every event row through one
+        # task — serial at 100 TB; the orderBy before it range-sampled
+        # (re-executing the window stage) and reshuffled everything for
+        # cosmetic order. The driver compare is order-insensitive, so a
+        # partition-local sort with NO exchange is the scale-safe form.
         .sortWithinPartitions("event_type", "ts", "event_id")
     )
 
@@ -426,7 +426,7 @@ def rank_distribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.cume_dist().over(w), 9).alias("cume"),
             F.count(F.lit(1)).over(wp).cast("bigint").alias("group_n"),
         )
-        .orderBy("o_custkey", "pct_rank", "o_orderkey")
+        .sortWithinPartitions("o_custkey", "pct_rank", "o_orderkey")
     )
 
 
@@ -602,7 +602,7 @@ def ts_stl_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("resid", 6).alias("residual"),
             (F.abs(F.col("resid")) > 3 * F.col("sigma")).alias("is_outlier"),
         )
-        .orderBy("h")
+        .sortWithinPartitions("h")
     )
 
 

@@ -572,7 +572,14 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed ONCE and feeds both the 1-row global threshold (broadcast
     crossJoin) and the probe — no second scan, no self-join of two
     shuffles. At 100 TB: one fact shuffle on partkey, a 1-row broadcast,
-    and a sort of the few survivors."""
+    and a sort of the few survivors.
+
+    The "computed ONCE" contract needs an explicit pin (r14): Catalyst
+    does NOT reuse the per-partkey aggregate across the threshold and
+    probe branches (the r14 before-plan shows the lineitem semi-join +
+    groupBy subtree twice, no ReusedExchange), so ``v`` is eagerly
+    localCheckpoint'ed — one row per partkey, the cheapest frame in the
+    query — and both branches read the materialized copy."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     asia_supp = (
@@ -592,6 +599,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+        .localCheckpoint(eager=True)
     )
     thr = v.agg((F.lit(1.5) * davg(F.col("val"))).alias("thr"))
     return (

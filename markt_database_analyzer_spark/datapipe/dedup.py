@@ -189,11 +189,11 @@ def minhash_lsh_candidates(
     # Pin the banded-signature frame: the self-join below references it
     # on BOTH sides, and without the pin each side re-runs the md5 +
     # K-M + banding projection (measured: the whole candidates stage
-    # 2.1 s -> 1.2 s at sf0.1). The cached frame also carries real size
-    # statistics, so Catalyst picks a broadcast hash join for the band
-    # equi-join instead of shuffling+sorting both sides. ~16 bytes x
-    # bands per doc (the "signatures are ~100 bytes/doc" scale claim),
-    # MEMORY_AND_DISK like the shingle projection.
+    # 2.1 s -> 1.2 s at sf0.1; the join strategy is BHJ both before and
+    # after — the r13 plan dumps show no flip, the pin alone is the
+    # win). ~16 bytes x bands per doc (the "signatures are ~100
+    # bytes/doc" scale claim), MEMORY_AND_DISK like the shingle
+    # projection.
     sig = (
         hashed.withColumn("sig", F.array(*[member(i) for i in range(num_hashes)]))
         .withColumn("band", F.explode(lsh_bands(F.col("sig"), bands, rows)))
@@ -312,21 +312,88 @@ def simhash64(col: Column | str) -> Column:
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-document 60-bit SimHash — the scale path.
+    """Per-document 60-bit SimHash — the scale path (Arrow kernel, r14).
 
     Identical output to ``simhash64`` (strict-majority vote per bit, ties
-    and empty documents → 0), restructured for throughput:
+    and empty documents → 0). Tokenization stays a JVM expression (the
+    engine-parity tokenizer — Java regex semantics are NOT replicated in
+    Python, so the token stream is computed once where the oracle
+    contract lives); only the hash+vote reduction crosses into an Arrow
+    batch, where it is a row-LOCAL kernel:
+
+    - md5 per token via hashlib (identical digests to ``F.md5``: both
+      hash the UTF-8 bytes; the 60-bit value is the same first-15-hex
+      prefix ``hash60`` takes),
+    - the 60 ±1 vote sums via one vectorized cumsum/segment-difference
+      over the batch's flattened token hashes (exact integers),
+    - majority → signature bits, packed into one int64.
+
+    Why this shape wins (guide §4.2, VERDICT r13 item 8): the signature
+    is a per-document reduction of per-document tokens — no shuffle is
+    fundamentally required, but the old explode + 60-conditional-sum
+    hash aggregation paid one full exchange of partial vote buffers plus
+    a 60-buffer aggregate per doc (the measured JVM floor). The Arrow
+    kernel computes signatures map-side: ZERO exchanges between scan and
+    output (same-session A/B and plan diff in OPTIMIZATION_r14.md; the
+    explode+aggregate form is kept below as
+    ``simhash_signatures_agg`` — the exactness pin compares the two)."""
+    docs = fan_out(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))).select(
+        F.col("doc").cast("bigint").alias("doc"),
+        F.coalesce(tokens("_text"), F.array()).alias("toks"),
+    )
+
+    def _sig_batches(it):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        shifts = np.arange(60, dtype=np.uint64)
+        for batch in it:
+            lst = batch.column(1)
+            lengths = pc.list_value_length(lst)
+            if lengths.null_count:
+                lengths = pc.fill_null(lengths, 0)
+            lengths = lengths.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(lst)
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                    for t in flat.to_pylist()
+                ),
+                dtype=np.uint64,
+                count=len(flat),
+            )
+            if len(hs):
+                pm = (2 * ((hs[:, None] >> shifts) & 1).astype(np.int64)) - 1
+                csum = np.vstack(
+                    [np.zeros((1, 60), dtype=np.int64), np.cumsum(pm, axis=0)]
+                )
+            else:
+                csum = np.zeros((1, 60), dtype=np.int64)
+            ends = np.cumsum(lengths)
+            starts = ends - lengths
+            votes = csum[ends] - csum[starts]
+            sig = ((votes > 0).astype(np.int64) << shifts.astype(np.int64)).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(sig, type=pa.int64())], ["doc", "sig"]
+            )
+
+    return docs.mapInArrow(_sig_batches, "doc bigint, sig bigint")
+
+
+def simhash_signatures_agg(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The pre-r14 explode + 60-conditional-sum aggregation form of
+    :func:`simhash_signatures` — kept as the pure-JVM reference the
+    exactness pin (tests/test_r14_optimization.py) compares the Arrow
+    kernel against, and as the fallback for Arrow-less deployments.
 
     explode tokens → hash each token ONCE → 60 conditional ±1 sums in one
-    hash aggregation → fold votes into the signature.
-
-    Why this shape wins: the md5 work (the dominant cost) drops 60× versus
-    the expression form, the per-token rows partial-aggregate map-side so
-    the shuffle carries just 60 ints per document, and the exploded rows
-    spread across all cores. State per group is O(60) regardless of
-    document size. (A 21-bit-lane packed variant with 20 buffers was
-    measured SLOWER — the shift/or chains outweigh the buffer savings —
-    so the straightforward vote columns stay.)"""
+    hash aggregation → fold votes into the signature. The md5 work drops
+    60× versus the expression form and the shuffle carries just 60 ints
+    per document. (A 21-bit-lane packed variant with 20 buffers was
+    measured SLOWER — the shift/or chains outweigh the buffer savings.)"""
     docs = fan_out(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))).select(
         "doc", tokens("_text").alias("toks")
     )

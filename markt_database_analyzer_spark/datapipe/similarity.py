@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .util import fan_out
 
@@ -297,10 +298,17 @@ def kmeans_model(
     them on the driver (``collect`` of k tiny rows) and re-injects them
     as literals — truncating the lineage that would otherwise re-run
     every prior iteration in every consumer branch (MLlib keeps
-    centroids driver-side for the same reason)."""
+    centroids driver-side for the same reason).
 
+    r14: the fan_out'ed corpus is pinned ONCE up front — previously
+    every Lloyd round (assignment pass + centroid re-estimation) and the
+    seed collect re-scanned the source and re-paid the fan_out exchange;
+    now all ``iters`` rounds and the returned assignment read the cached
+    frame (MEMORY_AND_DISK: spills, never OOMs). Cache lifetime follows
+    the same caller-owned contract as the returned assignment."""
+    base = fan_out(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     seed_rows = (
-        corpus.orderBy(id_col)
+        base.orderBy(id_col)
         .limit(k)
         .select(F.col(vec_col).cast("array<double>").alias("centroid"))
         .collect()
@@ -308,9 +316,9 @@ def kmeans_model(
     # cell ids by ascending centroid (lexicographic — matches Spark's
     # array ordering), same as the historical row_number() seeding.
     cents = [(i, list(r["centroid"])) for i, r in enumerate(sorted(seed_rows, key=lambda r: list(r["centroid"])))]
-    assigned = corpus
+    assigned = base
     for i in range(iters):
-        assigned = assign_cells_local(corpus, cents, id_col, vec_col)
+        assigned = assign_cells_local(base, cents, id_col, vec_col)
         if i < iters - 1:
             # Re-estimated centroids are rounded to 9 dp at the collect
             # boundary: the mean's last ulps depend on partial-agg merge
