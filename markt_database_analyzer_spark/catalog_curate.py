@@ -1463,6 +1463,10 @@ def pipeline_quality_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LM build twice). One MEMORY_AND_DISK pin per stage evaluates each
     # exactly once — the minhash_neardup_pairs shingle-projection
     # discipline; at 100 TB the same barrier is a parquet checkpoint.
+    # Cache lifetime (ADVICE r13): pins are released by the harness
+    # (bench.py unpersists all blocks between entries; tests clearCache)
+    # — a long-lived library session composing many entries should wrap
+    # calls in its own unpersist scope, as with MLlib model frames.
     g1 = (
         docs.select(*base_cols, *tx.gopher_rules("text", min_words=20, max_words=100_000))
         .filter(

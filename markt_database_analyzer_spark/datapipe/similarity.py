@@ -225,6 +225,64 @@ def assign_cells(corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str)
     )
 
 
+def assign_cells_local_arrow(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow-kernel variant of :func:`assign_cells_local` — TRIED AND
+    NOT ADOPTED as the default (r14): identical math vectorized
+    (squared-distance terms accumulated in array order — the
+    srp_codes_arrow pattern, bit-identical to the sequential
+    ``F.aggregate`` fold; ``np.argmin`` = first-min, the
+    ``array_position``/``array_min`` tie-break), bit-equality pinned in
+    tests/test_r14_optimization.py. Same-session A/B at sf0.1
+    (k=10 cells, 64 dims, 2k vectors): Arrow 0.50-0.59 s vs expression
+    0.32-0.48 s — the Python-worker round trip exceeds the interpreted
+    fold cost at this cell count, so the expression form stays the
+    default (contrast :func:`pq_encode_reconstruct`, where 128 folds per
+    row make the same kernel a measured 2x win). Revisit if k·dims
+    grows an order of magnitude."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    ordered = sorted(cents)
+    cmat = np.array([v for _, v in ordered], dtype=np.float64)
+    cell_ids = np.array([int(c) for c, _ in ordered], dtype=np.int32)
+    k, dim = cmat.shape
+    out = fan_out(corpus)
+    vec_pos = out.columns.index(vec_col)
+    schema = T.StructType(out.schema.fields + [T.StructField("cell", T.IntegerType())])
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            m = batch.num_rows
+            if m == 0:
+                cell = np.zeros(0, dtype=np.int32)
+            else:
+                arr = batch.column(vec_pos)
+                flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+                vecs = flat.reshape(m, dim)
+                dmat = np.empty((m, k), dtype=np.float64)
+                for ci in range(k):
+                    acc = np.zeros(m, dtype=np.float64)
+                    for i in range(dim):
+                        d = vecs[:, i] - cmat[ci, i]
+                        acc = acc + d * d
+                    dmat[:, ci] = acc
+                cell = cell_ids[np.argmin(dmat, axis=1)]
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(cell, type=pa.int32())],
+                names=list(batch.schema.names) + ["cell"],
+            )
+
+    return out.mapInArrow(assign, schema)
+
+
 def assign_cells_local(
     corpus: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -246,7 +304,9 @@ def assign_cells_local(
     The whole argmin is rendered as ONE SQL expression string: k·dims
     double literals via ``F.lit`` would be k·dims py4j round trips of
     driver time per pass (measured ~0.8 s for 10×64); ``repr(float)`` is
-    shortest-round-trip decimal, so the parsed doubles are bit-identical."""
+    shortest-round-trip decimal, so the parsed doubles are bit-identical.
+    An Arrow-kernel variant exists (:func:`assign_cells_local_arrow`) —
+    measured SLOWER at this model size, kept for the record."""
     ordered = sorted(cents)
 
     def sqdist_sql(cvec: list[float]) -> str:
@@ -622,15 +682,101 @@ def pq_encode_reconstruct(
     distance(query, reconstruction) == Σ_j LUT_j[code_j] — the scan-time
     lookup-table trick is an execution detail; the semantics live here.
 
-    Map-only: codebook subvectors are rendered as one SQL literal
-    expression per subspace (k·dims doubles via repr — exact shortest
-    round-trip, no py4j literal storm); per-row subvector slices are
-    staged as named columns so each slice evaluates once, not per code."""
+    r14 (guide §4.2): the m·k literal-expression distance folds per row
+    (:func:`pq_encode_reconstruct_exprs`, kept below) are interpreted
+    HOFs; this Arrow kernel does the identical math vectorized —
+    squared-distance terms accumulated IN SUBVECTOR ORDER (bit-identical
+    to the sequential fold, the srp_codes_arrow pattern), argmin =
+    ``np.argmin`` (first occurrence — identical to ``array_position`` of
+    ``array_min``), and the reconstruction gathers the SAME float64
+    codebook values the literal ``element_at`` returned. Bit-equality vs
+    the expression form pinned in tests/test_r14_optimization.py."""
+    import numpy as np
+    from pyspark.sql import types as T
+
     dims = len(codebook[0])
     if dims % m != 0:
         # a silent truncation here would reconstruct m*(dims//m) elements,
         # null-pad the downstream zip_with against the full-length query,
         # and turn the ADC top-k into a NULL-ordered arbitrary pick
+        raise ValueError(
+            f"PQ requires dims % m == 0 (got dims={dims}, m={m})"
+        )
+    sub = dims // m
+    cb = np.array(codebook, dtype=np.float64)  # k x dims
+    staged = fan_out(corpus).select(
+        F.col(id_col),
+        *extra_cols,
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    vec_pos = staged.columns.index("_v")
+    schema = T.StructType(
+        staged.schema.fields
+        + [T.StructField(f"code{j}", T.IntegerType()) for j in range(m)]
+        + [T.StructField("recon", T.ArrayType(T.DoubleType()))]
+    )
+
+    def encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        n_codes = cb.shape[0]
+        for batch in batches:
+            rows = batch.num_rows
+            codes = np.zeros((rows, m), dtype=np.int32)
+            recon = np.zeros((rows, dims), dtype=np.float64)
+            if rows:
+                flat = (
+                    batch.column(vec_pos)
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                )
+                vecs = flat.reshape(rows, dims)
+                for j in range(m):
+                    dmat = np.empty((rows, n_codes), dtype=np.float64)
+                    for ci in range(n_codes):
+                        acc = np.zeros(rows, dtype=np.float64)
+                        for i in range(j * sub, (j + 1) * sub):
+                            d = vecs[:, i] - cb[ci, i]
+                            acc = acc + d * d
+                        dmat[:, ci] = acc
+                    cj = np.argmin(dmat, axis=1)
+                    codes[:, j] = cj
+                    recon[:, j * sub : (j + 1) * sub] = cb[cj, j * sub : (j + 1) * sub]
+            recon_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (rows + 1) * dims, dims, dtype=np.int32)),
+                pa.array(recon.reshape(-1), type=pa.float64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns)
+                + [pa.array(codes[:, j], type=pa.int32()) for j in range(m)]
+                + [recon_arr],
+                names=list(batch.schema.names)
+                + [f"code{j}" for j in range(m)]
+                + ["recon"],
+            )
+
+    return staged.mapInArrow(encode, schema)
+
+
+def pq_encode_reconstruct_exprs(
+    corpus: DataFrame,
+    codebook: list[list[float]],
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The pre-r14 literal-expression form of
+    :func:`pq_encode_reconstruct` — kept as the pure-JVM reference its
+    exactness pin compares against (and for Arrow-less deployments).
+    Codebook subvectors render as one SQL literal expression per
+    subspace (``repr`` doubles — exact shortest round-trip, no py4j
+    literal storm); per-row subvector slices are staged as named columns
+    so each slice evaluates once, not per code."""
+    dims = len(codebook[0])
+    if dims % m != 0:
         raise ValueError(
             f"PQ requires dims % m == 0 (got dims={dims}, m={m})"
         )

@@ -205,6 +205,46 @@ def test_simhash_arrow_kernel_matches_agg_form(spark):
     assert a[1] == 0 and a[2] == 0 and a[3] == 0  # empty/ws/null → sig 0
 
 
+def test_assign_cells_arrow_kernel_matches_exprs(spark):
+    # the Arrow Lloyd-assignment kernel must be bit-identical to the
+    # literal-expression argmin (same accumulation order, same
+    # first-min tie-break) — including deliberately tied centroids.
+    import markt_database_analyzer_spark.datapipe.similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    seed_rows = (
+        emb.orderBy("vec_id").limit(4).select("embedding").collect()
+    )
+    cents = [(i, [float(v) for v in r["embedding"]]) for i, r in enumerate(seed_rows)]
+    cents.append((4, cents[0][1]))  # duplicate centroid: exercises the tie-break
+    a = {
+        r["vec_id"]: r["cell"]
+        for r in sim.assign_cells_local_arrow(emb, cents, "vec_id", "embedding").collect()
+    }
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in sim.assign_cells_local(emb, cents, "vec_id", "embedding").collect()
+    }
+    assert a == b
+
+
+def test_pq_encode_arrow_kernel_matches_exprs(spark):
+    import markt_database_analyzer_spark.datapipe.similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = sim.pq_codebook(emb, k=16)
+    cols = ["vec_id"] + [f"code{j}" for j in range(8)] + ["recon"]
+    a = {
+        r["vec_id"]: tuple(r[c] if c != "recon" else tuple(r[c]) for c in cols[1:])
+        for r in sim.pq_encode_reconstruct(emb, cb, m=8).select(cols).collect()
+    }
+    b = {
+        r["vec_id"]: tuple(r[c] if c != "recon" else tuple(r[c]) for c in cols[1:])
+        for r in sim.pq_encode_reconstruct_exprs(emb, cb, m=8).select(cols).collect()
+    }
+    assert a == b  # exact doubles: reconstruction gathers identical codebook values
+
+
 def test_tpch_q11_threshold_and_probe_share_one_aggregate(spark):
     # the pinned per-partkey aggregate: the executed plan must carry the
     # lineitem scan at most once (the checkpoint truncates the probe and
