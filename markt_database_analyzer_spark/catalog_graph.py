@@ -245,6 +245,36 @@ def paths_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_pairs(li: DataFrame, weighted: bool = False) -> DataFrame:
+    """All (u < v) same-order part pairs in ONE aggregation pass (r14) —
+    the shared edge build of every co-purchase graph entry. Per-order
+    sorted item arrays (``collect_set`` partial-aggregates and dedups
+    map-side when the consumer dedups anyway; ``collect_list`` when pair
+    MULTIPLICITY feeds an edge weight) with the i<j position pairs
+    unfolded row-locally, replacing the historical lineitem self-join
+    that sort-merge-joined the fact table against itself and scanned it
+    twice. Pair multiset identical to the self-join: the strict
+    ``p.u < p.v`` residual excludes equal-partkey lineitem pairs exactly
+    as ``a.l_partkey < b.l_partkey`` did, and sorted-array position
+    pairs reproduce the cu*cv multiplicity of every u < v value pair
+    (pinned by test_r14_optimization). Per-order fan-out is bounded by
+    the order's item count (TPC-H: <= 7), so the unfold is O(k^2) on a
+    tiny k, never a shuffle."""
+    coll = F.collect_list if weighted else F.collect_set
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(coll("l_partkey")).alias("ps")
+    )
+    return grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> filter(transform("
+                "slice(ps, i + 2, size(ps)), y -> named_struct('u', x, 'v', y)), "
+                "p -> p.u < p.v)))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+
+
 def _sql_triangles() -> str:
     return """
 WITH e AS (
@@ -301,27 +331,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are equi-joins on node ids; the (deg, id) order is compared
     pairwise as a join residual, never materialized as a global rank.
 
-    Edge build (r14): ONE aggregation pass over lineitem — per-order
-    distinct sorted partkey sets (collect_set partial-aggregates
-    map-side, so the exchange carries deduped keys, not raw lineitems),
-    then the i<j pairs unfold row-locally from each sorted set. The old
-    self-join shape sorted the fact table twice through a sort-merge
-    join to produce the same multiset of pairs; per-order fan-out is
-    bounded by the order's distinct-item count (TPC-H: <= 7), so the
-    explode is O(k^2) on a tiny k, never a shuffle."""
+    Edge build (r14): the shared one-pass ``_copurchase_pairs`` — see
+    its docstring for the equivalence argument vs the old self-join."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    grouped = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> transform("
-                "slice(ps, i + 2, size(ps)), y -> named_struct('u', x, 'v', y))))"
-            )
-        ).alias("p")
-    ).select("p.u", "p.v")
-    return triangle_stats(pairs)
+    return triangle_stats(_copurchase_pairs(li))
 
 
 _LP_ANCHOR_CAP = 200
@@ -393,12 +406,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     #  - the edge frame is checkpointed: it feeds adj (x2), the
     #    anti-join, and transitively the degree frames.
     e = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
-        )
+        _copurchase_pairs(li, weighted=True)
+        .groupBy(F.col("u").alias("x"), F.col("v").alias("y"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _LP_MIN_W)
         .select("x", "y")
@@ -558,13 +567,28 @@ def cluster_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = ids.select("cid", F.col("cid").alias("lab")).localCheckpoint(eager=True)
     for _ in range(_GRID_CC_ROUNDS):
-        labels = (
+        # r14: convergence early-exit, the kcore/CC discipline. Every
+        # core cell has its (0,0)-offset self-edge in nbr, so the node's
+        # own previous label rides through the min-aggregation as a
+        # conditional max (one row per (src,dst) pair; dst == src is the
+        # self-pair). Min-label only ever decreases, so changed ≡
+        # strictly-lower; once 0, every remaining round is an algebraic
+        # no-op and the final labels are identical without running it.
+        stepped = (
             nbr.join(F.broadcast(labels.select(F.col("cid").alias("dst"), "lab")), "dst")
             .groupBy("src")
-            .agg(F.min("lab").alias("lab"))
-            .select(F.col("src").alias("cid"), "lab")
+            .agg(
+                F.min("lab").alias("lab"),
+                F.max(F.when(F.col("dst") == F.col("src"), F.col("lab"))).alias(
+                    "old_lab"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
+        changed = stepped.filter(F.col("lab") < F.col("old_lab")).count()
+        labels = stepped.select(F.col("src").alias("cid"), "lab")
+        if changed == 0:
+            break
     clusters = (
         labels.join(F.broadcast(ids.select("cid", "npts")), "cid")
         .groupBy("lab")
@@ -638,6 +662,16 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     once. Distances beyond the round budget report as unreached (-1) —
     the bounded-diameter contract, replayed identically by the oracle's
     unrolled CTE chain. Output: nodes per distance (+ the -1 row)."""
+    # Edge build: deliberately KEPT on the self-join form (r14). The
+    # shared one-pass _copurchase_pairs build is faster in isolation
+    # (1.3-1.6 s vs 2.0 s for this edge checkpoint) and was adopted for
+    # the other five co-purchase entries, but an interleaved same-session
+    # ABAB of the FULL entry measured old 4.4-4.5 s vs new 7.0-7.3 s:
+    # the relaxation rounds run measurably slower against the
+    # explode-built checkpointed edge RDD (row clustering/partitioning
+    # interaction with the per-round broadcast-join + min-merge), and a
+    # fan_out before the pin did not recover it. Measured loss → keep
+    # the measured-faster form here (the r13 revert-log discipline).
     li = _t(spark, sf_dir, "lineitem")
     b = li.select("l_orderkey", "l_partkey")
     a = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
@@ -746,12 +780,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier, never a replay. Output: per-round removal counts and the
     final core size."""
     li = _t(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey")
-    a = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("l_partkey"))
-        .groupBy(F.col("pa").alias("x"), F.col("l_partkey").alias("y"))
+        _copurchase_pairs(li.select("l_orderkey", "l_partkey"), weighted=True)
+        .groupBy(F.col("u").alias("x"), F.col("v").alias("y"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _KCORE_MIN_W)
         .select("x", "y")
@@ -856,12 +887,8 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing edges."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     e = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
-        )
+        _copurchase_pairs(li, weighted=True)
+        .groupBy(F.col("u").alias("x"), F.col("v").alias("y"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _LP_MIN_W)
         .select("x", "y")
@@ -968,14 +995,12 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce. No window, no driver state beyond the single output row."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     e = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        _copurchase_pairs(li)
+        .select(F.col("u").alias("x"), F.col("v").alias("y"))
         .distinct()
         # the edge set feeds the degree build AND both lookup joins —
-        # without the pin the per-order self-join re-runs three times
-        # (measured 34.5 s -> ~8 s at sf0.1)
+        # without the pin the edge build re-runs three times
+        # (measured 34.5 s -> ~8 s at sf0.1, self-join era)
         .localCheckpoint(eager=True)
     )
     deg = (

@@ -127,23 +127,25 @@ def test_triangle_edge_build_one_pass_equals_self_join(spark):
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    grouped = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    new_pairs = (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> transform("
-                    "slice(ps, i + 2, size(ps)), y -> named_struct('u', x, 'v', y))))"
-                )
-            ).alias("p")
-        )
-        .select("p.u", "p.v")
-        .distinct()
-    )
+    from markt_database_analyzer_spark.catalog_graph import _copurchase_pairs
+
+    new_pairs = _copurchase_pairs(li).distinct()
     assert new_pairs.exceptAll(old_pairs).count() == 0
     assert old_pairs.exceptAll(new_pairs).count() == 0
+
+    # the WEIGHTED form must reproduce the self-join's pair MULTIPLICITY
+    # (equal-partkey lineitem pairs excluded, cu*cv per value pair) —
+    # exceptAll on the un-deduped multisets pins it, including any
+    # orders that list the same partkey on several lineitems.
+    old_multi = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    )
+    new_multi = _copurchase_pairs(li, weighted=True)
+    assert new_multi.exceptAll(old_multi).count() == 0
+    assert old_multi.exceptAll(new_multi).count() == 0
 
 
 def test_no_single_partition_funnel_on_corpus_outputs(spark):
